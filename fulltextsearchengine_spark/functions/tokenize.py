@@ -1,0 +1,63 @@
+"""Tokenizer — the reference's exact semantics, two implementations.
+
+Reference (parsing/Tokenizer.java:9,17-22): split on ``[^A-Za-z0-9]+``,
+drop empty tokens, lowercase each token. ASCII-only on purpose — the
+commented-out Unicode variant (Tokenizer.java:8) was rejected by the
+reference author.
+
+Order of operations matters for exactness: the reference splits the
+ORIGINAL string then lowercases each token. Lowercasing first could turn
+non-ASCII separators into ASCII token chars (e.g. Kelvin sign ``K`` →
+``k``), so both implementations split first, lower second.
+
+Two paths:
+- ``tokens_col``: pure built-in Catalyst expressions (regexp split +
+  filter + transform + lower) — stays inside whole-stage codegen, the
+  default for the index-build hot path.
+- ``tokenize_pandas_udf``: Arrow-batched pandas UDF (``str.findall`` is
+  the vectorized "split on complement + drop empties") — the
+  ``input_hint``-mandated vectorized-UDF variant; benchmarked against
+  the built-in path in bench.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_RE = r"[^A-Za-z0-9]+"
+_TOKEN_FINDALL = re.compile(r"[A-Za-z0-9]+")
+
+
+def tokens_col(text: Column) -> Column:
+    """array<string> of lowercased tokens, JVM-side (codegen-friendly)."""
+    parts = F.split(F.coalesce(text, F.lit("")), TOKEN_RE)
+    nonempty = F.filter(parts, lambda t: t != F.lit(""))
+    return F.transform(nonempty, lambda t: F.lower(t))
+
+
+def tokenize_texts(s: pd.Series) -> pd.Series:
+    """Vectorized pandas tokenize: findall([A-Za-z0-9]+) ≡ split on the
+    complement + drop empties; then lower each token."""
+    return s.fillna("").str.findall(_TOKEN_FINDALL).map(
+        lambda toks: [t.lower() for t in toks]
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pandas_udf(s: pd.Series) -> pd.Series:
+    return tokenize_texts(s)
+
+
+# DuckDB-SQL equivalent of tokens_col, for oracle queries. `{col}` is the
+# text column expression. Produces a list of lowercased tokens.
+TOKENS_SQL = (
+    "list_transform("
+    "list_filter(regexp_split_to_array(coalesce({col}, ''), '[^A-Za-z0-9]+'),"
+    " t -> t <> ''), t -> lower(t))"
+)

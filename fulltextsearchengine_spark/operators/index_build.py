@@ -1,0 +1,142 @@
+"""Index build pipeline — the SPIMI analog, Spark-first (SURVEY.md §3.1/§7.1).
+
+The reference's run-generation + k-way-merge machinery (spimi/
+SPIMIIndexer.java:39-86, sorting/ExternalSorter.java) is deliberately
+absent: Spark's partial hash aggregation + sort-based shuffle with spill
+IS SPIMI (SURVEY.md §4). What remains is the logical dataflow:
+
+  transcripts
+    → assign_doc_ids (operators/docid.py)
+    → tokenize (functions/tokenize.py, JVM expressions) + doc_len
+    → explode → groupBy(term, doc_id).count() = tf      [shuffle 1]
+    → terms: groupBy(term).agg(df, cf)                  [shuffle 2, partial agg map-side]
+    → stats: single global agg
+    → conv_ranges: groupBy(conv_id).agg(min/max doc_id)
+
+Produced tables (§7.0 star schema):
+- docs(doc_id, conv_id, turn_idx, role, tool, ts, doc_len)
+    — CompactReview analog (storage/CompactReview.java:16-33); doc_len is
+      int64, NOT the reference's int16 cap (documented deviation §1.2).
+- postings(term, doc_id, tf, doc_len)
+    — flat posting rows; doc_len denormalized so BM25/LM scoring never
+      joins the docs table (8 bytes/posting, the impact-ordered-index
+      trade). Compressed block layout lives in posting_blocks.py.
+- terms(term, df, cf) — dictionary analog (dictionary/Dictionary.java).
+- conv_ranges(conv_id, from_doc_id, to_doc_id, n_docs)
+    — ProductIdToDocIdMapper analog (storage/ProductIdToDocIdMapper
+      .java:142-201): contiguous because doc_id ranks (conv_id, turn_idx).
+- stats: 1 row (total_tokens, unique_terms, num_docs, num_pairs,
+  avg_doc_len) — dictionary-stats.bin analog
+  (dictionary/SequentialDictionaryBuilder.java:168-175), all int64
+  (the reference's int-cast overflow at Dictionary.java:173-175 is NOT
+  replicated).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_pandas_udf, tokens_col
+from .docid import assign_doc_ids
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over the index tables (all lazily-evaluated DataFrames or
+    parquet-backed reads — see save/load)."""
+
+    docs: DataFrame
+    postings: DataFrame
+    terms: DataFrame
+    conv_ranges: DataFrame
+    stats: DataFrame
+
+    def stats_row(self) -> dict:
+        return self.stats.collect()[0].asDict()
+
+
+def build_index(
+    transcripts: DataFrame,
+    use_pandas_tokenizer: bool = False,
+    num_partitions: int | None = None,
+) -> InvertedIndex:
+    """Build the logical index from a transcripts DataFrame.
+
+    ``use_pandas_tokenizer`` switches the tokenizer to the Arrow-batched
+    pandas UDF (input_hint's vectorized-UDF path); default is the pure
+    Catalyst expression which stays in whole-stage codegen.
+    """
+    tok = tokenize_pandas_udf(F.col("text")) if use_pandas_tokenizer else tokens_col(F.col("text"))
+
+    with_ids = assign_doc_ids(transcripts, num_partitions=num_partitions)
+    # tokenize once; doc_len = len incl. repetitions (parsing/Review.java:93-98)
+    turns = with_ids.withColumn("tokens", tok).withColumn(
+        "doc_len", F.size("tokens").cast("long")
+    )
+
+    docs = turns.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len")
+
+    # (term, doc_id, tf): Spark's partial hash-agg before the exchange is
+    # the reference's per-run invert (spimi/TemporaryIndexBuilder.java:91-121);
+    # the shuffle's sort+merge is its k-way run merge (SPIMIIndexer.java:58-86);
+    # duplicate (term, doc_id) tf-summing (SequentialDictionaryBuilder
+    # .java:131-141) is the reduce side of the same agg.
+    postings = (
+        turns.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "doc_len")
+    )
+
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+    conv_ranges = docs.groupBy("conv_id").agg(
+        F.min("doc_id").alias("from_doc_id"),
+        F.max("doc_id").alias("to_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+    stats = docs.agg(
+        F.sum("doc_len").alias("total_tokens"),
+        F.count(F.lit(1)).alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    ).crossJoin(
+        terms.agg(
+            F.count(F.lit(1)).alias("unique_terms"),
+            F.sum("df").alias("num_pairs"),
+        )
+    ).select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len")
+
+    return InvertedIndex(docs=docs, postings=postings, terms=terms, conv_ranges=conv_ranges, stats=stats)
+
+
+def save_index(index: InvertedIndex, path: str) -> None:
+    """Persist index tables as parquet (Iceberg-shaped layout: one dir per
+    table; postings sorted by (term, doc_id) within files so parquet
+    min/max stats give term-level file skipping — the binary-search-over-
+    sorted-structure analog, SURVEY.md §4)."""
+    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    (
+        index.postings.repartition(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    index.terms.write.mode("overwrite").parquet(f"{path}/terms")
+    index.conv_ranges.write.mode("overwrite").parquet(f"{path}/conv_ranges")
+    index.stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    return InvertedIndex(
+        docs=spark.read.parquet(f"{path}/docs"),
+        postings=spark.read.parquet(f"{path}/postings"),
+        terms=spark.read.parquet(f"{path}/terms"),
+        conv_ranges=spark.read.parquet(f"{path}/conv_ranges"),
+        stats=spark.read.parquet(f"{path}/stats"),
+    )

@@ -1,0 +1,149 @@
+"""Compressed posting-block layout — the PostingListWriter/Reader analog
+(inverted_index/PostingListWriter.java:41-61, PostingListReader.java:22-86,
+Design.md:4-34), re-designed for a cluster.
+
+Physical layout (SURVEY.md §7.0): each term's doc_id-ascending posting
+list is cut into blocks of ≤ ``block_size`` postings. docIDs are
+delta-gap encoded (np.diff — PostingListWriter.java:55-57 analog) and
+both gap and tf streams are Stream-VByte compressed (split control/data
+streams → branch-free numpy decode; same information content as the
+reference's group varint, Design.md:12-34, but decode-vectorizable).
+
+Skew design (SURVEY.md §4 "skew handling", the load-bearing piece at
+10^12 turns): the build groups by ``(term, bucket)`` where
+``bucket = (doc_id-1) // bucket_range``. A stopword with 10^11 postings
+is thus split across ~10^11/bucket_range independent groups — per-task
+work is bounded by ``bucket_range`` regardless of term hotness (two-level
+SPIMI merge analog; no single reducer ever sees a whole hot posting
+list). Because buckets are CONTIGUOUS doc_id ranges, blocks remain
+globally doc_id-ascending when ordered by (bucket, block_in_bucket) —
+unlike hash salting, which would interleave ranges.
+
+Each block carries ``first_doc_id``, ``last_doc_id``, ``max_tf`` and
+``max_impact`` (the length-normalized BM25 tf-side upper bound
+tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl)), to be multiplied by idf at query
+time) — the block-max metadata driving WAND-style block skipping
+(wand.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs import gaps_encode, svb_decode, svb_encode
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_BUCKET_RANGE = 1 << 16  # docIDs per build bucket (bounds task size)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("last_doc_id", T.LongType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("gaps_ctrl", T.BinaryType()),
+        T.StructField("gaps_data", T.BinaryType()),
+        T.StructField("tfs_ctrl", T.BinaryType()),
+        T.StructField("tfs_data", T.BinaryType()),
+    ]
+)
+
+
+def build_posting_blocks(
+    postings: DataFrame,
+    avgdl: float,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    bucket_range: int = DEFAULT_BUCKET_RANGE,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """postings(term, doc_id, tf, doc_len) → compressed block table.
+
+    One shuffle on (term, bucket); numpy codec work runs Arrow-batched in
+    ``applyInPandas``. blocks_per_bucket block_ids keep (bucket, local)
+    ordering globally doc_id-ascending per term.
+    """
+    blocks_per_bucket = -(-bucket_range // block_size)
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        lens = pdf["doc_len"].to_numpy(np.float64)
+        impact = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
+        term = pdf["term"].iat[0]
+        bucket = int((doc_ids[0] - 1) // bucket_range)
+        out = []
+        for s in range(0, len(doc_ids), block_size):
+            e = min(s + block_size, len(doc_ids))
+            ids = doc_ids[s:e]
+            # gaps relative to first_doc_id-1 (first gap = 1): every
+            # encoded value ≤ bucket_range, fits uint32 even when absolute
+            # docIDs are 10^12-scale; absolute base is the first_doc_id col.
+            gaps = gaps_encode(ids, prev=int(ids[0]) - 1)
+            g_ctrl, g_data = svb_encode(gaps)
+            t_ctrl, t_data = svb_encode(tfs[s:e])
+            out.append(
+                (
+                    term,
+                    bucket,
+                    bucket * blocks_per_bucket + s // block_size,
+                    e - s,
+                    int(ids[0]),
+                    int(ids[-1]),
+                    int(tfs[s:e].max()),
+                    float(impact[s:e].max()),
+                    bytes(g_ctrl),
+                    bytes(g_data),
+                    bytes(t_ctrl),
+                    bytes(t_data),
+                )
+            )
+        return pd.DataFrame(out, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    grouped = postings.withColumn(
+        "bucket", ((F.col("doc_id") - 1) / F.lit(bucket_range)).cast("long")
+    ).groupBy("term", "bucket")
+    return grouped.applyInPandas(encode_group, schema=BLOCK_SCHEMA)
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, tfs) from one block row — branch-free numpy decode
+    (PostingListReader.java:63-67 cumsum analog)."""
+    n = row["n"]
+    gaps = svb_decode(row["gaps_ctrl"], row["gaps_data"], n)
+    doc_ids = np.cumsum(gaps.astype(np.int64)) + (int(row["first_doc_id"]) - 1)
+    tfs = svb_decode(row["tfs_ctrl"], row["tfs_data"], n).astype(np.int64)
+    return doc_ids, tfs
+
+
+def blocks_to_postings(blocks: DataFrame) -> DataFrame:
+    """Inverse transform (round-trip check / rehydration): block table →
+    flat (term, doc_id, tf). Arrow-batched; no per-row Python."""
+
+    def decode_iter(batches):
+        for pdf in batches:
+            terms, ids, tfs = [], [], []
+            for _, row in pdf.iterrows():
+                d, t = decode_block(row)
+                terms.extend([row["term"]] * len(d))
+                ids.append(d)
+                tfs.append(t)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "term": terms,
+                        "doc_id": np.concatenate(ids),
+                        "tf": np.concatenate(tfs),
+                    }
+                )
+
+    return blocks.mapInPandas(decode_iter, schema="term string, doc_id long, tf long")

@@ -1,0 +1,217 @@
+"""Ranked search — the ReviewSearch analog (SURVEY.md §3.3), DataFrame path.
+
+Three scorers over one index:
+- lnn.ltc vector space  (ReviewSearch.java:27-104 semantics)
+- Jelinek–Mercer unigram LM, λ=0.5 (ReviewSearch.java:146-199)
+- BM25 (north-star scale path; Robertson/Sparck-Jones idf, k1=1.2 b=0.75)
+plus conv_search, the productSearch analog (ReviewSearch.java:235-284).
+
+Float determinism: the oracle (oracle.py) accumulates per-doc scores in
+sorted-term order. To be *bit-identical* rather than merely close, each
+scorer pivots the ≤|q| query terms into columns and combines them in a
+literal expression in the same sorted order — adding/multiplying in a
+fixed order instead of an unordered SUM aggregate. Query-side weights
+(idf, ltc) are computed driver-side in Python — identical math to the
+oracle. Queries are tiny (reference queries are 1-5 terms), so the
+pivot is a fixed-width projection, not a wide pivot.
+
+Plan shape at scale: postings.filter(term IN q) prunes by parquet
+min/max on the sorted postings table (the dictionary-binary-search
+analog, SURVEY.md §4); one shuffle on doc_id for the groupBy; top-k via
+orderBy+limit = TakeOrderedAndProject (bounded per-partition heaps +
+driver merge — no global sort). The block-compressed WAND path lives in
+wand.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index_build import InvertedIndex
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+LM_LAMBDA = 0.5
+
+
+def normalize_query(query: list[str]) -> list[str]:
+    """Query-side case folding (IndexReader.java:93,125 — every lookup
+    lowercases). Multi-token strings are NOT re-tokenized here; callers
+    pass term lists, as ReviewSearch does."""
+    return [t.lower() for t in query]
+
+
+class Searcher:
+    """Query engine over an InvertedIndex. Caches global stats and the
+    filtered per-query term stats (the J1 broadcast-lookup analog,
+    SURVEY.md §2.4)."""
+
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self._stats: dict | None = None
+
+    # ---- IndexReader-analog point lookups (SURVEY.md §3.2) -------------
+    @property
+    def stats(self) -> dict:
+        if self._stats is None:
+            self._stats = self.index.stats_row()
+        return self._stats
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term -> (df, cf) for the given terms; absent terms omitted.
+        Analog of dictionary binary search (Dictionary.java:145-165):
+        a pruned scan of the tiny terms table."""
+        terms = sorted(set(normalize_query(terms)))
+        if not terms:
+            return {}
+        rows = self.index.terms.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: (r["df"], r["cf"]) for r in rows}
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        """Pruned posting scan: (term, doc_id, tf, doc_len), the
+        getReviewsWithToken analog (IndexReader.java:89-103)."""
+        terms = sorted(set(normalize_query(terms)))
+        return self.index.postings.filter(F.col("term").isin(terms))
+
+    def conv_doc_ids(self, conv_id: str) -> DataFrame:
+        """ProductIdToDocIdMapper analog (J4): conv range → exploded ids."""
+        return (
+            self.index.conv_ranges.filter(F.col("conv_id") == conv_id.lower())
+            .select(F.explode(F.sequence("from_doc_id", "to_doc_id")).alias("doc_id"))
+        )
+
+    # ---- pivoted per-term tf frame (shared by all scorers) -------------
+    def _pivoted_tf(self, terms: list[str]) -> DataFrame:
+        """(doc_id, doc_len, tf_<i> for each sorted term): OR-union of the
+        query terms' postings, one row per candidate doc."""
+        p = self.postings_for(terms)
+        exprs = [
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+        return p.groupBy("doc_id", "doc_len").agg(*exprs)
+
+    # ---- scorers -------------------------------------------------------
+    def _query_ltc(self, query: list[str]) -> dict[str, float]:
+        """ltc query vector, driver-side — exact ReviewSearch.queryLtc
+        math (ReviewSearch.java:27-58): (1+log10 tf)·log10(N/df), df=0
+        dropped, cosine-normalized."""
+        n = self.stats["num_docs"]
+        tf = Counter(normalize_query(query))
+        stats = self.term_stats(list(tf))
+        vec: dict[str, float] = {}
+        for term, f in tf.items():
+            df = stats.get(term, (0, 0))[0]
+            if df == 0:
+                continue
+            vec[term] = (1.0 + math.log10(f)) * math.log10(n / df)
+        norm = math.sqrt(sum(w * w for w in vec.values()))
+        if norm > 0:
+            vec = {t: w / norm for t, w in vec.items()}
+        return vec
+
+    def vector_space_scores(self, query: list[str]) -> DataFrame:
+        """(doc_id, score): dot(query ltc, doc lnn), OR candidates
+        (ReviewSearch.java:65-104). Terms combined in sorted order —
+        bit-identical to the oracle's accumulation."""
+        qvec = self._query_ltc(query)
+        terms = sorted(qvec)
+        if not terms:
+            return self._empty_scores()
+        piv = self._pivoted_tf(terms)
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            contrib = F.lit(qvec[t]) * (F.lit(1.0) + F.log10(F.col(f"tf_{i}")))
+            score = score + F.coalesce(contrib, F.lit(0.0))
+        return piv.select("doc_id", score.alias("score"))
+
+    def bm25_scores(self, query: list[str], k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+        """(doc_id, score): Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))."""
+        terms = sorted(set(normalize_query(query)))
+        stats = self.term_stats(terms)
+        n = self.stats["num_docs"]
+        avgdl = (self.stats["total_tokens"] / n) if n else 0.0
+        idf = {
+            t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for t, (df, _) in stats.items()
+            if df > 0
+        }
+        terms = sorted(idf)
+        if not terms:
+            return self._empty_scores()
+        piv = self._pivoted_tf(terms)
+        norm_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            tf = F.col(f"tf_{i}")
+            contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
+            score = score + F.coalesce(contrib, F.lit(0.0))
+        return piv.select("doc_id", score.alias("score"))
+
+    def lm_scores(self, query: list[str], lam: float = LM_LAMBDA) -> DataFrame:
+        """(doc_id, score): Π over DISTINCT query terms of
+        λ·tf/len + (1−λ)·cf/total (ReviewSearch.java:146-178); candidates
+        = OR-union; missing term backs off to the collection model;
+        multiplied in sorted-term order (raw float64 product, matching
+        the oracle — NOT exp-log-sum)."""
+        terms = sorted(set(normalize_query(query)))
+        if not terms:
+            return self._empty_scores()
+        stats = self.term_stats(terms)
+        total = self.stats["total_tokens"]
+        piv = self._pivoted_tf(terms)
+        score = F.lit(1.0)
+        for i, t in enumerate(terms):
+            cf = stats.get(t, (0, 0))[1]
+            mle = F.coalesce(F.col(f"tf_{i}").cast("double"), F.lit(0.0)) / F.col("doc_len")
+            factor = F.lit(lam) * mle + F.lit((1.0 - lam) * (cf / total))
+            score = score * factor
+        return piv.select("doc_id", score.alias("score"))
+
+    # ---- top-k ---------------------------------------------------------
+    @staticmethod
+    def topk(scores: DataFrame, k: int) -> DataFrame:
+        """score desc, doc_id asc, limit k (ReviewSearch.java:95-103).
+        Physical plan: TakeOrderedAndProject — per-partition bounded
+        heaps merged on the driver, not a global sort."""
+        return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def vector_space_search(self, query: list[str], k: int) -> DataFrame:
+        return self.topk(self.vector_space_scores(query), k)
+
+    def bm25_search(self, query: list[str], k: int) -> DataFrame:
+        return self.topk(self.bm25_scores(query), k)
+
+    def language_model_search(self, query: list[str], k: int) -> DataFrame:
+        return self.topk(self.lm_scores(query), k)
+
+    # ---- conv-level search (productSearch analog) ----------------------
+    def conv_search(self, query: list[str], k: int) -> DataFrame:
+        """(conv_id, relevancy, rank) — two-stage (ReviewSearch.java:
+        235-284): relevancy(conv) = Σ candidate dots / n_docs(conv);
+        stage 1 top-k by relevancy (tie conv_id asc — documented
+        deviation, reference tie order is nondeterministic); stage 2
+        re-sorts by rank desc (= mean dot over ALL conv docs; the
+        helpfulness-free getProductRank analog), tie conv_id asc."""
+        dots = self.vector_space_scores(query)
+        per_conv = (
+            dots.join(self.index.docs.select("doc_id", "conv_id"), "doc_id")
+            .groupBy("conv_id")
+            .agg(F.sum("score").alias("sum_dots"))
+            .join(self.index.conv_ranges.select("conv_id", "n_docs"), "conv_id")
+            .select(
+                "conv_id",
+                (F.col("sum_dots") / F.col("n_docs")).alias("relevancy"),
+                (F.col("sum_dots") / F.col("n_docs")).alias("rank"),
+            )
+        )
+        stage1 = per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k)
+        return stage1.orderBy(F.desc("rank"), F.asc("conv_id"))
+
+    def _empty_scores(self) -> DataFrame:
+        spark = self.index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")

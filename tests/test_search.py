@@ -1,0 +1,100 @@
+"""Rank-identity gate: all scorers vs the pure-pandas oracle over the
+reference query set (FIXTURES.md §3) — top-k docIDs in exact order,
+scores to 1e-9 relative tolerance.
+
+Analog of the reference's mock-driven + golden ranking tests
+(src/test/java/webdata/ReviewSearchTest.java:75-233)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from fulltextsearchengine_spark import datagen, oracle
+from fulltextsearchengine_spark.operators.index_build import build_index
+from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_transcripts_pdf):
+    golden = oracle.build_index(small_transcripts_pdf)
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    searcher = Searcher(build_index(sdf))
+    vocab = datagen.make_vocab(2000, seed=42)
+    queries = datagen.make_queries(vocab, n_queries=25, seed=7)
+    return golden, searcher, queries
+
+
+def _check_ranking(expected: list[tuple], got: list[tuple]):
+    """Exact id order; scores close. Adjacent ids may swap only if their
+    oracle scores are within 1 ulp-ish tolerance (cross-runtime log10)."""
+    assert len(got) == len(expected)
+    exp_ids = [e[0] for e in expected]
+    got_ids = [g[0] for g in got]
+    if exp_ids != got_ids:
+        exp_scores = {e[0]: e[1] for e in expected}
+        got_scores = {g[0]: g[1] for g in got}
+        assert set(exp_ids) == set(got_ids), (exp_ids, got_ids)
+        for a, b in zip(exp_ids, got_ids):
+            if a != b:
+                assert math.isclose(exp_scores[a], exp_scores[b], rel_tol=1e-12), (a, b)
+    for (eid, es), gs in zip(expected, [g[1] for g in got]):
+        assert es == pytest.approx(gs, rel=1e-9, abs=1e-300)
+
+
+def test_vector_space_rank_identity(setup):
+    golden, searcher, queries = setup
+    for q in queries:
+        exp = oracle.vector_space_search(golden, q, K)
+        got = [(r["doc_id"], r["score"]) for r in searcher.vector_space_search(q, K).collect()]
+        _check_ranking(exp, got)
+
+
+def test_bm25_rank_identity(setup):
+    golden, searcher, queries = setup
+    for q in queries:
+        exp = oracle.bm25_search(golden, q, K)
+        got = [(r["doc_id"], r["score"]) for r in searcher.bm25_search(q, K).collect()]
+        _check_ranking(exp, got)
+
+
+def test_lm_rank_identity(setup):
+    golden, searcher, queries = setup
+    for q in queries:
+        exp = oracle.language_model_search(golden, q, K)
+        got = [(r["doc_id"], r["score"]) for r in searcher.language_model_search(q, K).collect()]
+        _check_ranking(exp, got)
+
+
+def test_conv_search_rank_identity(setup):
+    golden, searcher, queries = setup
+    for q in queries[:10]:
+        exp = oracle.conv_search(golden, q, K)
+        rows = searcher.conv_search(q, K).collect()
+        got = [(r["conv_id"], r["relevancy"], r["rank"]) for r in rows]
+        assert [g[0] for g in got] == [e[0] for e in exp]
+        for e, g in zip(exp, got):
+            assert e[1] == pytest.approx(g[1], rel=1e-9, abs=1e-300)
+            assert e[2] == pytest.approx(g[2], rel=1e-9, abs=1e-300)
+
+
+def test_empty_query_and_oov(setup):
+    _, searcher, _ = setup
+    assert searcher.bm25_search([], K).count() == 0
+    assert searcher.vector_space_search([], K).count() == 0
+    assert searcher.language_model_search([], K).count() == 0
+    assert searcher.bm25_search(["zzznotaword"], K).count() == 0
+    assert searcher.conv_search([], K).count() == 0
+
+
+def test_case_folding(setup):
+    golden, searcher, _ = setup
+    term = max(golden["term_to_document_frequency"], key=golden["term_to_document_frequency"].get)
+    a = [(r["doc_id"], r["score"]) for r in searcher.bm25_search([term], K).collect()]
+    b = [(r["doc_id"], r["score"]) for r in searcher.bm25_search([term.upper()], K).collect()]
+    assert a == b and len(a) > 0
