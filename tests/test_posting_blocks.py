@@ -1,0 +1,119 @@
+"""Posting-block compression round-trip + block-max WAND exactness.
+
+Analog of the reference's posting round-trip tests
+(src/test/java/webdata/dictionary/PostingListsTest.java:21-89) plus the
+pruning-is-lossless property the reference never needed (it has no
+pruning)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.operators.index_build import build_index
+from fulltextsearchengine_spark.operators.posting_blocks import (
+    build_posting_blocks,
+    blocks_to_postings,
+)
+from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.operators.wand import bm25_topk_wand, bm25_topk_wand_blockmax
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+BUCKET_RANGE = 256  # small → forces multi-bucket groups in a 1000-doc corpus
+BLOCK_SIZE = 16  # small → forces multi-block lists
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, small_transcripts_pdf):
+    golden = oracle.build_index(small_transcripts_pdf)
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    idx = build_index(sdf)
+    stats = idx.stats_row()
+    avgdl = stats["total_tokens"] / stats["num_docs"]
+    blocks = build_posting_blocks(
+        idx.postings, avgdl=avgdl, block_size=BLOCK_SIZE, bucket_range=BUCKET_RANGE
+    ).cache()
+    return golden, idx, blocks, stats
+
+
+def test_block_roundtrip(ctx):
+    golden, idx, blocks, _ = ctx
+    got: dict[str, list[int]] = {}
+    rows = blocks_to_postings(blocks).collect()
+    for r in sorted(rows, key=lambda r: (r["term"], r["doc_id"])):
+        got.setdefault(r["term"], []).extend([r["doc_id"], r["tf"]])
+    assert got == golden["term_to_postings"]
+
+
+def test_block_invariants(ctx):
+    _, _, blocks, _ = ctx
+    for r in blocks.collect():
+        assert 1 <= r["n"] <= BLOCK_SIZE
+        assert r["first_doc_id"] <= r["last_doc_id"]
+        assert (r["first_doc_id"] - 1) // BUCKET_RANGE == r["bucket"]
+        assert (r["last_doc_id"] - 1) // BUCKET_RANGE == r["bucket"]
+        assert r["max_impact"] > 0
+
+
+def test_blocks_ascending_per_term(ctx):
+    _, _, blocks, _ = ctx
+    per_term: dict[str, list] = {}
+    for r in blocks.collect():
+        per_term.setdefault(r["term"], []).append((r["block_id"], r["first_doc_id"], r["last_doc_id"]))
+    for term, bl in per_term.items():
+        bl.sort()
+        for (b1, f1, l1), (b2, f2, l2) in zip(bl, bl[1:]):
+            assert l1 < f2, term  # globally doc_id-ascending in block_id order
+
+
+def test_wand_matches_oracle(ctx):
+    golden, idx, blocks, stats = ctx
+    queries = [
+        ["the"],  # likely missing; OOV-safe
+        [max(golden["term_to_document_frequency"], key=golden["term_to_document_frequency"].get)],
+        sorted(golden["term_to_document_frequency"])[:3],
+        sorted(golden["term_to_document_frequency"])[10:15],
+        [sorted(golden["term_to_document_frequency"])[0], "zzznotaword"],
+    ]
+    doc_lens = idx.docs.select("doc_id", "doc_len")
+    for q in queries:
+        exp = oracle.bm25_search(golden, q, 10)
+        got = bm25_topk_wand(
+            blocks,
+            doc_lens,
+            q,
+            10,
+            n_docs=stats["num_docs"],
+            total_tokens=stats["total_tokens"],
+            bucket_range=BUCKET_RANGE,
+        )
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for e, g in zip(exp, got):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_blockmax_kernel_matches_oracle(ctx):
+    """Single-partition block-max skipping kernel: exact despite pruning."""
+    golden, idx, blocks, stats = ctx
+    import math
+
+    n = stats["num_docs"]
+    doc_lens = np.zeros(n + 1, dtype=np.float64)
+    for d, l in golden["doc_to_length"].items():
+        doc_lens[d] = l
+    terms_sorted = sorted(golden["term_to_document_frequency"])
+    for q in [terms_sorted[:5], terms_sorted[50:53], [terms_sorted[1]]]:
+        idf = {
+            t: math.log((n - golden["term_to_document_frequency"][t] + 0.5)
+                        / (golden["term_to_document_frequency"][t] + 0.5) + 1.0)
+            for t in q
+        }
+        bpdf = blocks.filter(blocks.term.isin(q)).toPandas()
+        got = bm25_topk_wand_blockmax(
+            bpdf, doc_lens, idf, 10, avgdl=stats["total_tokens"] / n
+        )
+        exp = oracle.bm25_search(golden, q, 10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for e, g in zip(exp, got):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
