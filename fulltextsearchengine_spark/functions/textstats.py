@@ -1,0 +1,113 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID (stopword-vote heuristic), quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (JVM-side,
+whole-stage codegen) over a (doc_id, text) corpus — no Python in the
+hot path. Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .tokenize import tokens_col
+
+# Tiny per-language stopword lists for the n-gram-free language-ID vote.
+# Deliberately small + fixed so the SQL oracle can inline them.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "une", "que"],
+}
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(+) n_ws_tokens (whitespace split), n_alnum_tokens (engine
+    tokenizer), n_chars."""
+    ws = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.withColumn(
+            "n_ws_tokens",
+            F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.lit(0))
+            .otherwise(F.size(ws))
+            .cast("long"),
+        )
+        .withColumn("n_alnum_tokens", F.size(toks).cast("long"))
+        .withColumn("n_chars", F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long"))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals (micro-scaled ints so results hash stably across
+    engines): mean token length, unique-token ratio, non-alnum char
+    ratio, stopword(en) ratio."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    alnum_chars = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "mean_token_len_micro",
+            F.when(n > 0, F.round(alnum_chars / n * 1e6)).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "uniq_ratio_micro",
+            F.when(n > 0, F.round(F.size(F.array_distinct(F.col("_toks"))) / n * 1e6))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "punct_ratio_micro",
+            F.when(
+                F.length(text) > 0,
+                F.round((F.length(text) - alnum_chars) / F.length(text) * 1e6),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "stopword_ratio_micro",
+            F.when(n > 0, F.round(_count_in(F.col("_toks"), LANG_STOPWORDS["en"]) / n * 1e6))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_toks")
+    )
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: per-language stopword hit counts; argmax
+    wins, ties (incl. all-zero) → 'und'. Deterministic argmax order:
+    languages compared in sorted code order."""
+    toks = tokens_col(F.col(text_col))
+    d = df.withColumn("_toks", toks)
+    for code, words in LANG_STOPWORDS.items():
+        d = d.withColumn(f"_hits_{code}", _count_in(F.col("_toks"), words))
+    codes = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"_hits_{c}") for c in codes])
+    pred = F.lit("und")
+    # first (sorted) language achieving the max, if max > 0
+    expr = None
+    for c in codes:
+        cond = F.col(f"_hits_{c}") == best
+        expr = F.when(cond, F.lit(c)) if expr is None else expr.when(cond, F.lit(c))
+    pred = F.when(best > 0, expr).otherwise(F.lit("und"))
+    return d.withColumn("lang_pred", pred).drop("_toks", *[f"_hits_{c}" for c in codes])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the canonical token stream
+    (tokenize → join with single spaces). Robust to case/punctuation/
+    whitespace variance — the exact-dedup key."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five strategies, cheapest-first:
+- exact: md5 over the canonical token stream, groupBy hash → one shuffle
+  on a 16-byte key; canonical doc = min doc_id per group.
+- ngram-Jaccard (exact near-dup baseline): word-shingle inverted join.
+  Candidate pairs = docs sharing ≥1 shingle — at scale this MUST be run
+  behind the MinHash-LSH candidate filter (the shared-shingle join on a
+  common shingle is quadratic); kept exact here as the oracle baseline,
+  with a df-cap knob to drop stop-shingles.
+- MinHash + LSH banding: per-doc signature = min over shingles of
+  md5(salt_i ⊕ shingle) for B·R salted hash functions; band key =
+  md5(concat of the band's R mins); candidate pairs share a band bucket.
+  Hash = md5 hex (lexicographic min ≡ numeric min on hex strings) so an
+  ANSI-SQL oracle reproduces signatures bit-for-bit.
+- SimHash: 64-bit signature from per-token md5 bits weighted by tf;
+  near-dups = signatures within Hamming distance d (banded lookup).
+- embedding cosine near-dup: see similarity.py.
+
+All shuffles are on hash keys (uniform by construction — no skew
+handling needed beyond AQE); the shingle join is the only skew-prone op
+and carries the df-cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 2
+
+
+def canonical_text_hash(text_col) -> F.Column:
+    return F.md5(F.array_join(tokens_col(text_col), " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, text_hash, canonical_doc_id, group_size, is_dup):
+    canonical = min doc_id per identical canonical-token-stream group."""
+    h = df.select(F.col(id_col).alias("doc_id"), canonical_text_hash(F.col(text_col)).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        h.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("canonical_doc_id")).cast("int"))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, k: int = DEFAULT_SHINGLE_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word k-grams of the tokenized text.
+    Docs with < k tokens produce no shingles (standard convention).
+    Pure Catalyst: sequence + slice + concat_ws, no joins, no Python."""
+    toks = tokens_col(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE_K,
+    max_shingle_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_micro) for pairs with Jaccard(shingle sets)
+    ≥ threshold. Exact; candidate generation via the shared-shingle
+    inverted join, optionally dropping shingles with df > max_shingle_df
+    (stop-shingles dominate the join at scale and can't create high-
+    Jaccard pairs on their own)."""
+    sh = doc_shingles(df, k=k, id_col=id_col, text_col=text_col).cache()
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh_j = sh.join(keep.select("shingle"), "shingle")
+    else:
+        sh_j = sh
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh_j.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_j.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro"),
+        )
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): MinHash over md5-salted shingle hashes.
+    One aggregation; signature columns are 32-hex-char strings."""
+    sh = doc_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b): DISTINCT candidate pairs sharing ≥1 LSH band
+    bucket. Two shuffles (signature agg, band self-join); band keys are
+    md5 hashes → uniform, skew-free."""
+    sig = minhash_signatures(
+        df, n_hashes=bands * rows_per_band, k=k, id_col=id_col, text_col=text_col
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b_ = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash. Per token: 64 bits drawn from
+    md5 (two 8-hex-char halves → 2×32 bits via conv()); bit i votes
+    +tf/−tf; sign of the vote sum sets signature bit i. Pure Catalyst
+    expressions: explode → per-(doc,token) tf agg → 64 conditional sums.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h1", F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")) \
+          .withColumn("h2", F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    v = h.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft on the JVM long: bit 63 wraps to the sign bit (1<<63
+        # would overflow a Python→Spark int64 literal)
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        sig = sig + F.when(F.col(f"v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return v.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within Hamming distance d of the
+    64-bit SimHash. Candidates via 4-band exact-match blocking (any pair
+    with d ≤ 3 shares at least one of 4 16-bit bands — pigeonhole), then
+    exact popcount verify. Band keys uniform → skew-free self-join."""
+    sig = simhash64(df, **kw).cache()
+    bands = None
+    for i in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    bb = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cand = a.join(bb, ["band", "bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k against one query vector.
+  JVM-side: zip_with + aggregate (no Python). O(N·d) scan — the exact
+  baseline; at 100 TB this is one pruned column scan, embarrassingly
+  parallel, top-k via TakeOrderedAndProject.
+- ``srp_bucketed_topk``: sign-random-projection LSH scale path. H seeded
+  hyperplanes → H-bit bucket per vector (numpy inside one Arrow-batched
+  mapInPandas); query probes its own bucket (+ optional multi-probe by
+  Hamming-adjacent buckets), then exact cosine re-rank within candidates.
+  Shuffle-free at query time given a bucket-partitioned layout; recall
+  measured against cosine_topk in tests.
+- ``cosine_near_pairs``: all-pairs near-dup (embedding-cosine dedup):
+  exact self-join baseline with block partitioning; at scale run within
+  SRP buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_scores(
+    embeddings: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cosine): exact cosine vs a literal query vector,
+    JVM-side left-to-right fold (deterministic summation order)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    e = F.col(vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(e, q) / (_norm(e) * F.lit(qn))).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int, **kw
+) -> DataFrame:
+    return (
+        cosine_scores(embeddings, query_vec, **kw)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def srp_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket ids. Hyperplanes
+    are seeded → deterministic; the numpy matmul runs Arrow-batched."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    weights = np.power(2.0, np.arange(n_planes))
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim) float32
+            bits = (m.astype(np.float64) @ planes) > 0
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "bucket": (bits @ weights).astype(np.int64)}
+            )
+
+    return embeddings.mapInPandas(assign, schema="vec_id long, bucket long")
+
+
+def srp_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's SRP bucket (+ all buckets within
+    ``multiprobe_hamming`` bit flips), exact cosine re-rank inside."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    qbits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    weights = np.power(2.0, np.arange(n_planes))
+    probe = {int(qbits @ weights)}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            flipped = qbits.copy()
+            flipped[i] = ~flipped[i]
+            probe.add(int(flipped @ weights))
+    buckets = srp_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    cand = embeddings.join(
+        buckets.filter(F.col("bucket").isin(sorted(probe))).select("vec_id"),
+        embeddings[id_col] == F.col("vec_id"),
+        "left_semi",
+    )
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_micro): exact all-pairs with cosine ≥
+    threshold. Normalizes once, then a broadcast-friendly self-join;
+    the scale path runs this within SRP buckets instead (near-dup pairs
+    collide with high probability)."""
+    e = F.col(vec_col)
+    normed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(e, lambda x: x.cast("double") / _norm(e)).alias("unit"),
+    )
+    a = normed.select(F.col("vid").alias("vec_a"), F.col("unit").alias("ua"))
+    b = normed.select(F.col("vid").alias("vec_b"), F.col("unit").alias("ub"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _dot(F.col("ua"), F.col("ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_micro")
+        )
+    )
