@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workloads:
+1. the sf-dir suite — index build + all scorers + WAND + dedup + ANN
+   over the documents-derived transcript table (same queries the
+   correctness gate checks);
+2. a large synthetic transcript corpus (SPARK_GRAFT_BENCH_TURNS, default
+   300k turns, cached parquet under .bench/) measuring index-build
+   throughput in turns/sec — the BASELINE.md headline metric.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py (spark-submit --py-files at local[8] and
+local[32]) → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fulltextsearchengine_spark.operators.index_build import build_and_save_index, load_index  # noqa: E402
+from fulltextsearchengine_spark.operators.posting_blocks import build_posting_blocks  # noqa: E402
+from fulltextsearchengine_spark.operators.search import Searcher  # noqa: E402
+from fulltextsearchengine_spark.operators.wand import bm25_topk_wand  # noqa: E402
+from fulltextsearchengine_spark.session import get_spark  # noqa: E402
+from fulltextsearchengine_spark.sources.transcripts import transcripts_from_documents  # noqa: E402
+
+BENCH_QUERIES = [
+    ["spark", "join", "fast"],
+    ["window", "merge", "stream"],
+    ["batch", "customer", "query"],
+    ["data", "table"],
+    ["scan"],
+]
+
+
+def ensure_bench_corpus(n_turns: int, cache_dir: Path) -> Path:
+    """Seeded synthetic corpus, written once as 32-file parquet."""
+    path = cache_dir / f"transcripts_{n_turns}.parquet"
+    if path.exists():
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fulltextsearchengine_spark.datagen import make_transcripts_bulk
+
+    pdf = make_transcripts_bulk(n_turns=n_turns, n_convs=max(n_turns // 20, 1))
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    tmp = Path(str(path) + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    n_files = 32
+    rows_per = -(-len(pdf) // n_files)
+    for i in range(n_files):
+        chunk = pdf.iloc[i * rows_per : (i + 1) * rows_per]
+        if len(chunk):
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), tmp / f"part-{i:05d}.parquet")
+    tmp.rename(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "300000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    corpus_path = ensure_bench_corpus(bench_turns, Path(__file__).parent / ".bench")
+
+    spark = get_spark(app_name="ftse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    workdir = tempfile.mkdtemp(prefix="ftse_bench_")
+    q: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        q[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # ---- sf-dir suite --------------------------------------------------
+    t = transcripts_from_documents(spark, sf_dir)
+    timed("index_build_sfdir", lambda: build_and_save_index(t, f"{workdir}/index"))
+    idx = load_index(spark, f"{workdir}/index")
+    st = idx.stats_row()
+    avgdl = st["total_tokens"] / st["num_docs"]
+    searcher = Searcher(idx)
+    searcher._stats = st
+
+    bucket_range = 1 << 12
+    blocks = timed(
+        "posting_blocks_build",
+        lambda: build_posting_blocks(idx.postings, avgdl=avgdl, bucket_range=bucket_range).cache(),
+    )
+    blocks.count()
+
+    timed("bm25_df", lambda: [searcher.bm25_search(qq, 10).collect() for qq in BENCH_QUERIES])
+    timed("lnnltc_df", lambda: [searcher.vector_space_search(qq, 10).collect() for qq in BENCH_QUERIES])
+    timed("lm_df", lambda: [searcher.language_model_search(qq, 10).collect() for qq in BENCH_QUERIES])
+    timed("conv_search", lambda: [searcher.conv_search(qq, 10).collect() for qq in BENCH_QUERIES[:2]])
+    doc_lens = idx.docs.select("doc_id", "doc_len").cache()
+    doc_lens.count()
+    term_df = {r["term"]: r["df"] for r in idx.terms.collect()}
+    timed(
+        "bm25_wand",
+        lambda: [
+            bm25_topk_wand(
+                blocks, doc_lens, qq, 10,
+                n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+                bucket_range=bucket_range,
+                term_stats={t_: term_df.get(t_, 0) for t_ in qq},
+            )
+            for qq in BENCH_QUERIES
+        ],
+    )
+
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from fulltextsearchengine_spark.functions.textstats import with_lang_id, with_quality
+    from fulltextsearchengine_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk
+
+    timed("dedup_exact", lambda: exact_dedup(docs_raw).count())
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_raw, bands=4, rows_per_band=2).count())
+    timed("text_quality", lambda: with_quality(docs_raw).count())
+    timed("text_lang_id", lambda: with_lang_id(docs_raw).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
+
+    # ---- large-corpus build throughput --------------------------------
+    big = spark.read.parquet(str(corpus_path))
+    timed("index_build_bigcorpus", lambda: build_and_save_index(big, f"{workdir}/bigindex"))
+    turns_per_sec = bench_turns / q["index_build_bigcorpus"]
+
+    bigidx = load_index(spark, f"{workdir}/bigindex")
+    bst = bigidx.stats_row()
+    bsearcher = Searcher(bigidx)
+    bsearcher._stats = bst
+    big_terms = [r["term"] for r in bigidx.terms.orderBy(F.desc("df")).limit(40).collect()]
+    big_queries = [big_terms[i : i + 3] for i in range(0, 15, 3)]
+    timed("bm25_df_bigcorpus", lambda: [bsearcher.bm25_search(qq, 10).collect() for qq in big_queries])
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    total = round(sum(q.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": sf,
+                "cpus": cpus,
+                "bench_corpus_turns": bench_turns,
+                "index_build_turns_per_sec": round(turns_per_sec, 1),
+                "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

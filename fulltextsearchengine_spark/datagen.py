@@ -101,3 +101,46 @@ def make_queries(vocab: np.ndarray, n_queries: int = 50, seed: int = 7) -> list[
     queries.append(["zzznotaword"])
     queries.append([str(vocab[0]), "zzznotaword"])
     return queries
+
+
+def make_transcripts_bulk(
+    n_turns: int,
+    n_convs: int,
+    vocab_size: int = 50_000,
+    seed: int = 42,
+    zipf_a: float = 1.3,
+    mean_turn_tokens: int = 60,
+) -> pd.DataFrame:
+    """Fully-vectorized large-corpus generator for benchmarks: Zipf token
+    soup, space-joined (no punctuation/noise features — those are for the
+    correctness corpus in make_transcripts). ~10^6 turns/sec to build."""
+    rng = np.random.default_rng(seed)
+    vocab = make_vocab(vocab_size, seed)
+
+    lens = rng.poisson(mean_turn_tokens, size=n_turns).clip(1)
+    total = int(lens.sum())
+    ranks = np.minimum(rng.zipf(zipf_a, size=total) - 1, vocab_size - 1)
+    words = vocab[ranks]
+    flat = pd.Series(words)
+    turn_of_token = np.repeat(np.arange(n_turns), lens)
+    texts = flat.groupby(turn_of_token).agg(" ".join)
+
+    conv_of_turn = np.sort(rng.integers(0, n_convs, size=n_turns))
+    turn_idx = np.zeros(n_turns, dtype=np.int32)
+    _, starts = np.unique(conv_of_turn, return_index=True)
+    for s, e in zip(starts, np.append(starts[1:], n_turns)):
+        turn_idx[s:e] = np.arange(e - s, dtype=np.int32)
+
+    ts0 = np.datetime64("2026-01-01T00:00:00")
+    ts = ts0 + conv_of_turn.astype("timedelta64[s]") * 3600 + turn_idx.astype("timedelta64[s]")
+    df = pd.DataFrame(
+        {
+            "conv_id": pd.Series(conv_of_turn).map(lambda i: f"conv_{i:08d}"),
+            "turn_idx": turn_idx,
+            "role": rng.choice(ROLES, size=n_turns),
+            "text": texts.to_numpy(),
+            "tool": rng.choice(TOOLS, size=n_turns),
+            "ts": ts,
+        }
+    )
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)

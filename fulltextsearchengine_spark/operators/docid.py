@@ -56,4 +56,6 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
         "doc_id",
         (F.row_number().over(w).cast("long") + offset_map[F.col("_pid")].cast("long")),
     ).drop("_pid")
+    # expose the persisted frame so callers can unpersist once consumed
+    out._ftse_persisted = ranged
     return out

@@ -115,11 +115,79 @@ def build_index(
     return InvertedIndex(docs=docs, postings=postings, terms=terms, conv_ranges=conv_ranges, stats=stats)
 
 
+def build_and_save_index(
+    transcripts: DataFrame,
+    path: str,
+    use_pandas_tokenizer: bool = False,
+    num_partitions: int | None = None,
+) -> InvertedIndex:
+    """The materializing build pipeline — each table derives from the
+    PREVIOUS persisted stage, so docID assignment + tokenization run
+    exactly once (the staged-batch shape that scales to 100 TB; the
+    lazy `build_index` recomputes its lineage per action and exists for
+    logical composition/tests).
+
+    Stages (SURVEY.md §3.1 analog):
+      1. docs_tokens: docID assign + tokenize, written once
+         (tokens column kept only in this intermediate);
+      2. postings:    explode → groupBy(term, doc_id) [the one big
+         shuffle], written sorted by (term, doc_id) within term-hash
+         partitions → parquet min/max gives term-level file skipping;
+      3. docs/terms/conv_ranges/stats: cheap derivations, each reading
+         only the columns it needs (column pruning does the rest).
+    """
+    spark = transcripts.sparkSession
+    tok = tokenize_pandas_udf(F.col("text")) if use_pandas_tokenizer else tokens_col(F.col("text"))
+
+    with_ids = assign_doc_ids(transcripts, num_partitions=num_partitions)
+    turns = with_ids.withColumn("tokens", tok).withColumn(
+        "doc_len", F.size("tokens").cast("long")
+    )
+    turns.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len", "tokens"
+    ).write.mode("overwrite").parquet(f"{path}/docs_tokens")
+    if hasattr(with_ids, "_ftse_persisted"):
+        with_ids._ftse_persisted.unpersist()
+    dt = spark.read.parquet(f"{path}/docs_tokens")
+
+    (
+        dt.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "doc_len")
+        .repartition(F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+
+    dt.drop("tokens").write.mode("overwrite").parquet(f"{path}/docs")
+    postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    ).write.mode("overwrite").parquet(f"{path}/terms")
+    docs = spark.read.parquet(f"{path}/docs")
+    terms = spark.read.parquet(f"{path}/terms")
+    docs.groupBy("conv_id").agg(
+        F.min("doc_id").alias("from_doc_id"),
+        F.max("doc_id").alias("to_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).write.mode("overwrite").parquet(f"{path}/conv_ranges")
+    docs.agg(
+        F.sum("doc_len").alias("total_tokens"),
+        F.count(F.lit(1)).alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    ).crossJoin(
+        terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
+    ).select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return load_index(spark, path)
+
+
 def save_index(index: InvertedIndex, path: str) -> None:
-    """Persist index tables as parquet (Iceberg-shaped layout: one dir per
-    table; postings sorted by (term, doc_id) within files so parquet
-    min/max stats give term-level file skipping — the binary-search-over-
-    sorted-structure analog, SURVEY.md §4)."""
+    """Persist an already-built logical index (recomputes lineage per
+    table — prefer build_and_save_index for full builds)."""
     index.docs.write.mode("overwrite").parquet(f"{path}/docs")
     (
         index.postings.repartition(F.col("term"))

@@ -106,10 +106,11 @@ def srp_bucketed_topk(
             flipped[i] = ~flipped[i]
             probe.add(int(flipped @ weights))
     buckets = srp_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    probe_ids = buckets.filter(F.col("bucket").isin(sorted(probe))).select(
+        F.col("vec_id").alias("_probe_id")
+    )
     cand = embeddings.join(
-        buckets.filter(F.col("bucket").isin(sorted(probe))).select("vec_id"),
-        embeddings[id_col] == F.col("vec_id"),
-        "left_semi",
+        probe_ids, embeddings[id_col] == F.col("_probe_id"), "left_semi"
     )
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 

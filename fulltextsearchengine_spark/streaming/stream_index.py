@@ -1,0 +1,124 @@
+"""Incremental (streaming) index build — append-only segments.
+
+The reference cannot index incrementally (SURVEY.md §2.9). The scalable
+streaming analog is the Lucene/segment model: each micro-batch of new
+transcript turns becomes an immutable index SEGMENT (its own docs/
+postings/terms/stats tables built by the batch pipeline); readers merge
+df/cf/postings across segments at query time (cheap unions + one agg),
+and a compaction job can fold segments together offline.
+
+Segment-local docIDs are globalized by a per-segment ``doc_base``
+offset: segment k's docs occupy (base, base + num_docs], assigned in
+batch-id order — the arrival-order docID contract (IndexWriter.java:
+47-58) extended to micro-batches.
+
+Driven by ``foreachBatch`` + ``trigger(availableNow=True)`` so the same
+code serves backfill (process a parquet lake to completion) and tailing
+(continuous micro-batches with checkpoint/restart exactly-once).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import build_index, save_index
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def run_incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Stream transcript parquet drops from ``input_dir`` into index
+    segments under ``index_dir``/seg=<batch_id>. Exactly-once per batch
+    via the streaming checkpoint; doc_base bookkeeping rides in a
+    _segments.json manifest next to the segments."""
+    manifest_path = f"{index_dir}/_segments.json"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = build_index(batch_df)
+        seg_path = f"{index_dir}/seg={batch_id}"
+        save_index(idx, seg_path)
+        n = idx.docs.count()
+        # manifest update (driver-side, single writer per stream)
+        import fsspec  # local fs; on HDFS/S3 use the hadoop FS API
+
+        try:
+            with fsspec.open(manifest_path, "r") as f:
+                manifest = json.load(f)
+        except (FileNotFoundError, OSError):
+            manifest = {"segments": []}
+        if any(s["batch_id"] == batch_id for s in manifest["segments"]):
+            return  # replayed batch (restart): segment already recorded
+        base = sum(s["num_docs"] for s in manifest["segments"])
+        manifest["segments"].append(
+            {"batch_id": batch_id, "path": seg_path, "doc_base": base, "num_docs": n}
+        )
+        with fsspec.open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def load_segments(spark: SparkSession, index_dir: str) -> list[dict]:
+    with open(f"{index_dir}/_segments.json") as f:
+        return json.load(f)["segments"]
+
+
+def merged_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Union of all segment postings with globalized doc_ids. Same
+    (term, doc_id, tf, doc_len) contract as the batch postings table, so
+    every scorer works unchanged over an incrementally-built index."""
+    segs = load_segments(spark, index_dir)
+    out = None
+    for s in segs:
+        p = spark.read.parquet(f"{s['path']}/postings").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(s["doc_base"])
+        )
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
+def merged_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    segs = load_segments(spark, index_dir)
+    out = None
+    for s in segs:
+        d = spark.read.parquet(f"{s['path']}/docs").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(s["doc_base"])
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def merge_segment_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Global stats across segments (df/cf re-aggregated — duplicate
+    terms across segments merge exactly like SPIMI run merge)."""
+    p = merged_postings(spark, index_dir)
+    terms = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    row = (
+        p.agg(
+            F.sum("tf").alias("total_tokens"),
+            F.count(F.lit(1)).alias("num_pairs"),
+            F.countDistinct("doc_id").alias("num_docs_with_terms"),
+        )
+        .crossJoin(terms.agg(F.count(F.lit(1)).alias("unique_terms")))
+        .collect()[0]
+    )
+    return row.asDict()

@@ -1,0 +1,89 @@
+"""Two-cluster-size scaling benchmark (north_rule evidence): runs the
+identical index-build + BM25 job via ``spark-submit --py-files`` at
+local[N] and local[4N] on the same input and reports throughput at both
+plus scaling efficiency → BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_turns] [N_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+from datetime import date
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def make_pkg_zip(dest: Path) -> None:
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in (REPO / "fulltextsearchengine_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+
+
+def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
+    out = Path(tempfile.mkstemp(suffix=".json")[1])
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(pkg),
+        str(REPO / "scripts" / "bench_job.py"),
+        str(corpus), str(out),
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, stdout=sys.stderr, stderr=sys.stderr)
+    return json.loads(out.read_text())
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from bench import ensure_bench_corpus
+
+    corpus = ensure_bench_corpus(n_turns, REPO / ".bench")
+    pkg = Path(tempfile.mkstemp(suffix=".zip")[1])
+    make_pkg_zip(pkg)
+
+    r_n = run_at(n_cores, pkg, corpus)
+    r_4n = run_at(n_cores * 4, pkg, corpus)
+
+    eff_build = (r_n["build_sec"] / r_4n["build_sec"]) / 4.0
+    lines = [
+        "# BENCH — scaling evidence (N vs 4N parallelism)",
+        "",
+        f"Same `spark-submit --py-files` job (scripts/bench_job.py: full index build",
+        f"+ BM25 top-10 × {r_n['n_queries']} queries) on the identical seeded corpus of",
+        f"{r_n['n_turns']:,} transcript turns; sandbox proxy for N vs 4N executors is",
+        f"local[{n_cores}] vs local[{n_cores * 4}] (one JVM, shared page cache — a conservative",
+        "proxy: a real cluster adds network shuffle but also 4× memory bandwidth).",
+        "",
+        "| config | build sec | build turns/sec | BM25 p-avg latency (s) |",
+        "|---|---|---|---|",
+        f"| local[{r_n['cores']}] | {r_n['build_sec']} | {r_n['build_turns_per_sec']:,} | {r_n['bm25_latency_sec']} |",
+        f"| local[{r_4n['cores']}] | {r_4n['build_sec']} | {r_4n['build_turns_per_sec']:,} | {r_4n['bm25_latency_sec']} |",
+        "",
+        f"**Index-build throughput scaling efficiency (N→4N): {eff_build:.3f}**"
+        + (" ✓ (≥0.8)" if eff_build >= 0.8 else " ✗ (<0.8 — see notes)"),
+        "",
+        f"_Generated {date.today().isoformat()} by scripts/scaling_bench.py._",
+    ]
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(json.dumps({"n": r_n, "4n": r_4n, "efficiency_build": round(eff_build, 3)}))
+
+
+if __name__ == "__main__":
+    main()

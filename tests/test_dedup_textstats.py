@@ -1,0 +1,179 @@
+"""Dedup + text-analysis operators vs independent pure-Python oracles
+(hashlib/numpy — no Spark, no shared code paths)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from fulltextsearchengine_spark.oracle import tokenize
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox JUMPS over the lazy dog!!"),  # exact dup of 1 after canon
+    (3, "The quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "Der schnelle braune Fuchs springt und die der und den"),
+    (5, "el rapido zorro marron salta sobre el perro y la que"),
+    (6, "completely different content about distributed query engines"),
+    (7, ""),
+    (8, "short text"),
+    (9, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (10, "le renard brun rapide saute et les des une du chien"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _canon_hash(text: str) -> str:
+    return _md5(" ".join(tokenize(text)))
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = tokenize(text)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(docs_df):
+    from fulltextsearchengine_spark.operators.dedup import exact_dedup
+
+    rows = {r["doc_id"]: r for r in exact_dedup(docs_df).collect()}
+    groups: dict[str, list[int]] = {}
+    for did, text in DOCS:
+        groups.setdefault(_canon_hash(text), []).append(did)
+    for h, ids in groups.items():
+        for did in ids:
+            r = rows[did]
+            assert r["text_hash"] == h
+            assert r["canonical_doc_id"] == min(ids)
+            assert r["group_size"] == len(ids)
+            assert r["is_dup"] == (1 if did != min(ids) else 0)
+    assert rows[2]["canonical_doc_id"] == 1 and rows[9]["canonical_doc_id"] == 1
+
+
+def test_shingles_and_jaccard(docs_df):
+    from fulltextsearchengine_spark.operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+    got = {}
+    for r in doc_shingles(docs_df, k=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for did, text in DOCS:
+        exp = _shingles(text)
+        assert got.get(did, set()) == exp, did
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3, k=3).collect()
+    }
+    exp_pairs = {}
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            a, b = DOCS[i], DOCS[j]
+            sa, sb = _shingles(a[1]), _shingles(b[1])
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.3:
+                exp_pairs[(a[0], b[0])] = round(jac * 1e6)
+    assert pairs == exp_pairs
+    assert (1, 2) in pairs and (1, 9) in pairs and (1, 3) in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs_df):
+    from fulltextsearchengine_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in
+            minhash_signatures(docs_df, n_hashes=8, k=3).collect()}
+    for did, text in DOCS:
+        sh = _shingles(text)
+        if not sh:
+            assert did not in sigs
+            continue
+        exp = [min(_md5(f"{i}:{s}") for s in sh) for i in range(8)]
+        assert sigs[did] == exp, did
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs_df, bands=4, rows_per_band=2, k=3).collect()}
+    # identical docs share every band; near-dups (1,3) very likely
+    assert (1, 2) in pairs and (1, 9) in pairs and (2, 9) in pairs
+    assert (4, 6) not in pairs  # unrelated docs must not collide on all bands
+
+
+def _simhash_oracle(text: str) -> int | None:
+    tf = Counter(tokenize(text))
+    if not tf:
+        return None
+    votes = [0] * 64
+    for term, f in tf.items():
+        h = _md5(term)
+        h1, h2 = int(h[0:8], 16), int(h[8:16], 16)
+        for i in range(64):
+            bit = (h1 >> i) & 1 if i < 32 else (h2 >> (i - 32)) & 1
+            votes[i] += f if bit else -f
+    sig = sum(1 << i for i in range(64) if votes[i] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash(docs_df):
+    from fulltextsearchengine_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs_df).collect()}
+    for did, text in DOCS:
+        exp = _simhash_oracle(text)
+        if exp is None:
+            assert did not in got
+        else:
+            assert got[did] == exp, did
+    # exact dups -> identical signatures -> hamming 0 pairs found
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs_df, max_hamming=3).collect()}
+    assert pairs.get((1, 9)) == 0 and pairs.get((1, 2)) == 0
+
+
+def test_lang_id(docs_df):
+    from fulltextsearchengine_spark.functions.textstats import LANG_STOPWORDS, with_lang_id
+
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs_df).collect()}
+    for did, text in DOCS:
+        toks = tokenize(text)
+        hits = {c: sum(1 for t in toks if t in ws) for c, ws in LANG_STOPWORDS.items()}
+        best = max(hits.values()) if hits else 0
+        exp = "und" if best == 0 else min(c for c, h in hits.items() if h == best)
+        assert got[did] == exp, (did, hits)
+    assert got[1] == "en" and got[4] == "de" and got[5] == "es" and got[10] == "fr"
+
+
+def test_quality_and_counts(docs_df):
+    from fulltextsearchengine_spark.functions.textstats import with_quality, with_token_counts
+
+    q = {r["doc_id"]: r for r in with_quality(docs_df).collect()}
+    c = {r["doc_id"]: r for r in with_token_counts(docs_df).collect()}
+    for did, text in DOCS:
+        toks = tokenize(text)
+        n = len(toks)
+        assert q[did]["n_tokens"] == n
+        assert c[did]["n_alnum_tokens"] == n
+        assert c[did]["n_chars"] == len(text)
+        assert c[did]["n_ws_tokens"] == (len(text.split()) if text.strip() else 0)
+        if n:
+            alnum = sum(1 for ch in text if ch.isascii() and ch.isalnum())
+            assert q[did]["mean_token_len_micro"] == round(alnum / n * 1e6)
+            assert q[did]["uniq_ratio_micro"] == round(len(set(toks)) / n * 1e6)
+
+
+def test_fingerprint(docs_df):
+    from fulltextsearchengine_spark.functions.textstats import with_fingerprint
+
+    got = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs_df).collect()}
+    for did, text in DOCS:
+        assert got[did] == _canon_hash(text)

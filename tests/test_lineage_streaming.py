@@ -1,0 +1,144 @@
+"""Checkpoint-resumable staged build + lineage verification + streaming
+segment indexing + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def corpus(tiny_transcripts_pdf):
+    return tiny_transcripts_pdf
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path_factory):
+    from fulltextsearchengine_spark.plans.lineage import build_index_checkpointed
+
+    base = str(tmp_path_factory.mktemp("ckpt"))
+    sdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+
+    idx1, blocks1, r1 = build_index_checkpointed(spark, sdf, base)
+    assert r1.ran == ["docs", "postings", "terms", "conv_ranges", "stats", "blocks"]
+    assert r1.skipped == []
+    golden = oracle.build_index(corpus)
+    assert idx1.stats_row()["total_tokens"] == golden["total_tokens"]
+
+    # second run: everything resumes from checkpoint, nothing recomputes
+    idx2, blocks2, r2 = build_index_checkpointed(spark, sdf, base)
+    assert r2.ran == []
+    assert set(r2.skipped) == {"docs", "postings", "terms", "conv_ranges", "stats", "blocks"}
+    assert idx2.stats_row() == idx1.stats_row()
+    assert blocks2.count() == blocks1.count()
+
+    # lineage checksums verify (and metrics exist for every stage)
+    assert r1.verify_lineage("postings")
+    assert r1.verify_lineage("docs")
+    m = {x["stage"]: x for x in r1.metrics()}
+    assert m["postings"]["rows"] > 0 and m["postings"]["wall_ms"] > 0
+
+
+def test_partial_resume(spark, corpus, tmp_path_factory):
+    """Delete one stage marker → only that stage (and nothing else)
+    recomputes; results unchanged."""
+    import os
+
+    from fulltextsearchengine_spark.plans.lineage import build_index_checkpointed
+
+    base = str(tmp_path_factory.mktemp("ckpt2"))
+    sdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    idx1, _, _ = build_index_checkpointed(spark, sdf, base)
+    terms_before = sorted(
+        (r["term"], r["df"], r["cf"]) for r in idx1.terms.collect()
+    )
+    os.remove(f"{base}/terms/_STAGE_DONE")
+    idx2, _, r2 = build_index_checkpointed(spark, sdf, base)
+    assert r2.ran == ["terms"]
+    assert sorted((r["term"], r["df"], r["cf"]) for r in idx2.terms.collect()) == terms_before
+
+
+def test_streaming_incremental_index(spark, corpus, tmp_path_factory):
+    """Two parquet drops → two segments; merged postings/stats equal the
+    one-shot batch build over the concatenated corpus (modulo docID
+    permutation: batch orders globally by (conv_id, turn_idx), segments
+    by arrival batch — both are valid arrival orders; we compare
+    per-(conv_id, turn_idx) term stats which are docID-invariant)."""
+    from fulltextsearchengine_spark.streaming.stream_index import (
+        merge_segment_stats,
+        merged_docs,
+        merged_postings,
+        run_incremental_index,
+    )
+
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = str(base / "in")
+    half = len(corpus) // 2
+    a, b = corpus.iloc[:half], corpus.iloc[half:]
+    spark.createDataFrame(a, schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(b, schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+
+    run_incremental_index(
+        spark, input_dir, str(base / "index"), str(base / "ckpt"), await_termination=True
+    )
+
+    stats = merge_segment_stats(spark, str(base / "index"))
+    golden = oracle.build_index(corpus)
+    assert stats["total_tokens"] == golden["total_tokens"]
+    assert stats["unique_terms"] == golden["unique_tokens"]
+    assert stats["num_pairs"] == sum(golden["term_to_document_frequency"].values())
+
+    # global doc_ids are unique and dense 1..N across segments
+    ids = [r["doc_id"] for r in merged_docs(spark, str(base / "index")).collect()]
+    assert sorted(ids) == list(range(1, len(corpus) + 1))
+
+    # per-turn term stats identical to the batch build (docID-invariant)
+    docs = merged_docs(spark, str(base / "index"))
+    post = merged_postings(spark, str(base / "index"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["doc_len"] for r in docs.collect()
+    }
+    exp = {
+        (m["conv_id"], m["turn_idx"]): golden["doc_to_length"][d]
+        for d, m in golden["doc_to_meta"].items()
+    }
+    assert got == exp
+    assert post.count() == sum(golden["term_to_document_frequency"].values())
+
+
+def test_multimodal_plumbing(spark):
+    from fulltextsearchengine_spark.operators.multimodal import (
+        decode_images,
+        extract_byte_features,
+        media_with_embeddings,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30).cache()
+    feats = extract_byte_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["n_bytes"] > 0 and 0 <= r["mean_byte"] <= 255
+        assert len(r["histogram"]) == 16 and sum(r["histogram"]) == r["n_bytes"]
+
+    imgs = decode_images(media, fake=True).collect()
+    assert len(imgs) == 10  # a third of 30 are images
+    for r in imgs:
+        assert r["channels"] == 3 and 0 <= r["mean_r"] <= 255
+
+    with pytest.raises(NotImplementedError):
+        decode_images(media, fake=False)
+
+    frames = sample_frames(media, n_frames=4).collect()
+    vids = {r["media_id"] for r in frames}
+    assert len(vids) == 10 and all(len(r["frame_payload"]) > 0 for r in frames)
+
+    emb = media_with_embeddings(media, dim=16).collect()
+    assert len(emb) == 30 and all(len(r["embedding"]) == 16 for r in emb)
+    # determinism: same payload → same embedding
+    again = {r["media_id"]: r["embedding"] for r in media_with_embeddings(media, dim=16).collect()}
+    for r in emb:
+        assert again[r["media_id"]] == r["embedding"]

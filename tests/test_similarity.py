@@ -1,0 +1,79 @@
+"""Similarity search vs numpy oracle: exact cosine top-k, SRP-LSH
+recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant near-duplicates: 150≈0, 151≈1
+    vecs[150] = vecs[0] + rng.standard_normal(DIM).astype(np.float32) * 0.01
+    vecs[151] = vecs[1] + rng.standard_normal(DIM).astype(np.float32) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(N), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _cosine_oracle(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    v = vecs.astype(np.float64)
+    qq = q.astype(np.float64)
+    return (v @ qq) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qq))
+
+
+def test_cosine_topk_exact(emb):
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk
+
+    df, vecs = emb
+    q = vecs[3].tolist()
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    cos = _cosine_oracle(vecs, np.asarray(q))
+    order = sorted(range(N), key=lambda i: (-cos[i], i))[:10]
+    assert [g[0] for g in got] == order
+    for (gid, gc), oid in zip(got, order):
+        assert gc == pytest.approx(cos[oid], rel=1e-6)
+
+
+def test_srp_topk_recall(emb):
+    from fulltextsearchengine_spark.operators.similarity import srp_bucketed_topk
+
+    df, vecs = emb
+    hits = 0
+    trials = 5
+    for qi in range(trials):
+        q = vecs[qi].tolist()
+        got = {r["vec_id"] for r in
+               srp_bucketed_topk(df, q, 5, dim=DIM, n_planes=8, multiprobe_hamming=1).collect()}
+        cos = _cosine_oracle(vecs, np.asarray(q))
+        top5 = set(sorted(range(N), key=lambda i: (-cos[i], i))[:5])
+        assert qi in got  # the query vector itself always lands in its own bucket
+        hits += len(got & top5)
+    assert hits >= trials * 2  # recall well above random (5/200 per draw)
+
+
+def test_cosine_near_pairs(emb):
+    from fulltextsearchengine_spark.operators.similarity import cosine_near_pairs
+
+    df, vecs = emb
+    got = {(r["vec_a"], r["vec_b"]): r["cosine_micro"] for r in
+           cosine_near_pairs(df, threshold=0.95).collect()}
+    v = vecs.astype(np.float64)
+    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    exp = {}
+    for i in range(N):
+        for j in range(i + 1, N):
+            if sims[i, j] >= 0.95:
+                exp[(i, j)] = round(sims[i, j] * 1e6)
+    assert set(got) == set(exp)
+    assert (0, 150) in got and (1, 151) in got
+    for k in got:
+        assert abs(got[k] - exp[k]) <= 2  # float32->double path, ulp slack
