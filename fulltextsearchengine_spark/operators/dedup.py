@@ -55,8 +55,17 @@ def doc_shingles(
 ) -> DataFrame:
     """(doc_id, shingle): DISTINCT word k-grams of the tokenized text.
     Docs with < k tokens produce no shingles (standard convention).
-    Pure Catalyst: sequence + slice + concat_ws, no joins, no Python."""
-    toks = tokens_col(F.col(text_col))
+    Pure Catalyst: sequence + slice + concat_ws, no joins, no Python.
+
+    The tokens array is aliased in its own projection FIRST: referencing
+    the tokenizer expression repeatedly inside the higher-order transform
+    would re-tokenize per reference (measured 20×/quadratic slowdown —
+    CollapseProject keeps the boundary for multiply-referenced non-cheap
+    aliases, so this materializes once per row)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("tokens")
+    )
+    toks = F.col("tokens")
     shingles = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -64,8 +73,8 @@ def doc_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles)).alias("shingle")
+    return tokenized.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -141,20 +150,23 @@ def minhash_lsh_pairs(
     md5 hashes → uniform, skew-free."""
     sig = minhash_signatures(
         df, n_hashes=bands * rows_per_band, k=k, id_col=id_col, text_col=text_col
-    )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+    ).cache()  # tiny (n_docs × B·R hex strings); both join sides reuse it
+    # one pass: band keys as an exploded array column (a unionByName of
+    # per-band selects would re-evaluate the signature lineage per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bucket"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b_ = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
@@ -198,14 +210,16 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     with d ≤ 3 shares at least one of 4 16-bit bands — pigeonhole), then
     exact popcount verify. Band keys uniform → skew-free self-join."""
     sig = simhash64(df, **kw).cache()
-    bands = None
-    for i in range(4):
-        b = sig.select(
-            "doc_id",
+    band_structs = [
+        F.struct(
             F.lit(i).alias("band"),
             F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
         )
-        bands = b if bands is None else bands.unionByName(b)
+        for i in range(4)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     bb = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = a.join(bb, ["band", "bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()

@@ -143,16 +143,12 @@ def build_and_save_index(
     turns = with_ids.withColumn("tokens", tok).withColumn(
         "doc_len", F.size("tokens").cast("long")
     )
-    turns.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len", "tokens"
-    ).write.mode("overwrite").parquet(f"{path}/docs_tokens")
-    if hasattr(with_ids, "_ftse_persisted"):
-        with_ids._ftse_persisted.unpersist()
-    dt = spark.read.parquet(f"{path}/docs_tokens")
-
+    # Two jobs over the persisted (range-partitioned) input; tokenize runs
+    # twice, which benchmarks faster than materializing a tokens-array
+    # intermediate (array-of-strings parquet encode dominates).
     (
-        dt.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len")
+        turns.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")  # partial agg map-side = SPIMI run invert
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "doc_id", "tf", "doc_len")
         .repartition(F.col("term"))
@@ -162,7 +158,11 @@ def build_and_save_index(
     )
     postings = spark.read.parquet(f"{path}/postings")
 
-    dt.drop("tokens").write.mode("overwrite").parquet(f"{path}/docs")
+    turns.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"
+    ).write.mode("overwrite").parquet(f"{path}/docs")
+    if hasattr(with_ids, "_ftse_persisted"):
+        with_ids._ftse_persisted.unpersist()
     postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     ).write.mode("overwrite").parquet(f"{path}/terms")

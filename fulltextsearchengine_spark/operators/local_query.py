@@ -1,0 +1,92 @@
+"""Driver-local low-latency BM25 serving — the IndexReader analog.
+
+The reference answers queries from one process over an mmap'd index
+(~0.6 ms/term at 1k docs, ~17-20 ms/term at 34.7M docs — BASELINE.md).
+A Spark job has a ~100 ms scheduling floor, so for *serving* (as opposed
+to analytical scoring over the whole corpus) the engine mirrors the
+reference's design: posting BLOCKS are fetched once per term (one pruned
+parquet/DataFrame read — the disk-seek analog), cached in memory, and
+scored with the numpy block-max kernel (wand.py) in microseconds.
+
+At 100 TB this object is what each SERVING SHARD holds: blocks for its
+term range, doc_len slab for its doc range; a router fans out and
+k-merges (score desc, doc_id asc). Locally one shard = the whole index.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .wand import BM25_B, BM25_K1, bm25_topk_wand_blockmax
+
+_BLOCK_COLS = [
+    "term", "bucket", "block_id", "n", "first_doc_id", "last_doc_id",
+    "max_tf", "max_impact", "gaps_ctrl", "gaps_data", "tfs_ctrl", "tfs_data",
+]
+
+
+class LocalBM25:
+    """In-memory top-k server over compressed posting blocks."""
+
+    def __init__(
+        self,
+        blocks: DataFrame,
+        docs: DataFrame,
+        n_docs: int,
+        total_tokens: int,
+        term_df: dict[str, int],
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ):
+        self.blocks = blocks
+        self.n_docs = n_docs
+        self.avgdl = total_tokens / n_docs if n_docs else 1.0
+        self.term_df = term_df
+        self.k1, self.b = k1, b
+        # doc_len slab indexed by doc_id (the fixed-record-store analog,
+        # storage/FixedRecordStorage.java:89-101 — O(1) length lookup)
+        lens = docs.select("doc_id", "doc_len").collect()
+        self.doc_lens = np.zeros(n_docs + 1, dtype=np.float64)
+        for r in lens:
+            self.doc_lens[r["doc_id"]] = r["doc_len"]
+        self._cache: dict[str, pd.DataFrame] = {}
+
+    def _fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            pdf = (
+                self.blocks.filter(F.col("term").isin(missing))
+                .select(*_BLOCK_COLS)
+                .toPandas()
+            )
+            for t, grp in pdf.groupby("term"):
+                self._cache[t] = grp
+            for t in missing:
+                self._cache.setdefault(t, pd.DataFrame(columns=_BLOCK_COLS))
+        frames = [self._cache[t] for t in terms if len(self._cache[t])]
+        if not frames:
+            return pd.DataFrame(columns=_BLOCK_COLS)
+        return pd.concat(frames, ignore_index=True)
+
+    def idf(self, term: str) -> float | None:
+        df = self.term_df.get(term, 0)
+        if df <= 0:
+            return None
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def search(self, query: list[str], k: int) -> list[tuple[int, float]]:
+        terms = sorted({t.lower() for t in query})
+        idf = {t: w for t in terms if (w := self.idf(t)) is not None}
+        if not idf:
+            return []
+        bpdf = self._fetch_blocks(sorted(idf))
+        if bpdf.empty:
+            return []
+        return bm25_topk_wand_blockmax(
+            bpdf, self.doc_lens, idf, k, avgdl=self.avgdl, k1=self.k1, b=self.b
+        )

@@ -50,9 +50,18 @@ class Searcher:
     filtered per-query term stats (the J1 broadcast-lookup analog,
     SURVEY.md §2.4)."""
 
-    def __init__(self, index: InvertedIndex):
+    def __init__(self, index: InvertedIndex, preload_terms: bool = False):
         self.index = index
         self._stats: dict | None = None
+        self._term_cache: dict[str, tuple[int, int]] | None = None
+        if preload_terms:
+            # the reference holds its whole dictionary in RAM
+            # (Dictionary.java:74-79); viable while |terms| is driver-sized.
+            # At 100 TB scale leave this off — term_stats then does a
+            # min/max-pruned scan of the sorted terms table per query.
+            self._term_cache = {
+                r["term"]: (r["df"], r["cf"]) for r in index.terms.collect()
+            }
 
     # ---- IndexReader-analog point lookups (SURVEY.md §3.2) -------------
     @property
@@ -68,6 +77,8 @@ class Searcher:
         terms = sorted(set(normalize_query(terms)))
         if not terms:
             return {}
+        if self._term_cache is not None:
+            return {t: self._term_cache[t] for t in terms if t in self._term_cache}
         rows = self.index.terms.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: (r["df"], r["cf"]) for r in rows}
 
