@@ -146,12 +146,18 @@ def build_and_save_index(
     # Two jobs over the persisted (range-partitioned) input; tokenize runs
     # twice, which benchmarks faster than materializing a tokens-array
     # intermediate (array-of-strings parquet encode dominates).
+    # Final layout shuffle is salted with a doc_id range bucket: a
+    # stopword at 10^12-turn scale has ~10^11 postings — hashing by term
+    # alone would put them all in one reducer. (term, doc_id-range) keeps
+    # per-reducer work bounded while sortWithinPartitions(term, doc_id)
+    # still gives parquet min/max term pruning per file.
+    salt = (F.col("doc_id") / F.lit(1 << 20)).cast("long")
     (
         turns.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "doc_len")  # partial agg map-side = SPIMI run invert
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "doc_id", "tf", "doc_len")
-        .repartition(F.col("term"))
+        .repartition(F.col("term"), salt)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
@@ -190,7 +196,7 @@ def save_index(index: InvertedIndex, path: str) -> None:
     table — prefer build_and_save_index for full builds)."""
     index.docs.write.mode("overwrite").parquet(f"{path}/docs")
     (
-        index.postings.repartition(F.col("term"))
+        index.postings.repartition(F.col("term"), (F.col("doc_id") / F.lit(1 << 20)).cast("long"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")

@@ -29,6 +29,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _checksum_agg():
+    """Order-insensitive per-file checksum: sum of xxhash64 in decimal
+    (ANSI mode forbids long-overflow wraparound) reduced mod 2^61."""
+    return (
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 61).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum")
+    )
+
+
 class StageRunner:
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
@@ -79,7 +89,7 @@ class StageRunner:
                 F.xxhash64(*cols).alias("h"),
             )
             .groupBy("file")
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("h").alias("checksum"))
+            .agg(F.count(F.lit(1)).alias("rows"), _checksum_agg())
             .withColumn("stage", F.lit(name))
             .select("stage", "file", "rows", "checksum")
         )
@@ -111,7 +121,7 @@ class StageRunner:
             r["file"]: (r["rows"], r["checksum"])
             for r in data.select(F.input_file_name().alias("file"), F.xxhash64(*data.columns).alias("h"))
             .groupBy("file")
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("h").alias("checksum"))
+            .agg(F.count(F.lit(1)).alias("rows"), _checksum_agg())
             .collect()
         }
         return recorded == current

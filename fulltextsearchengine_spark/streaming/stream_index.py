@@ -48,11 +48,14 @@ def run_incremental_index(
         seg_path = f"{index_dir}/seg={batch_id}"
         save_index(idx, seg_path)
         n = idx.docs.count()
-        # manifest update (driver-side, single writer per stream)
-        import fsspec  # local fs; on HDFS/S3 use the hadoop FS API
+        # manifest update — driver-side, single writer per stream.
+        # Local-FS file IO; a cluster deployment swaps these two calls
+        # for the Hadoop FileSystem API (same pattern as plans/lineage.py).
+        import os
 
+        os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
         try:
-            with fsspec.open(manifest_path, "r") as f:
+            with open(manifest_path) as f:
                 manifest = json.load(f)
         except (FileNotFoundError, OSError):
             manifest = {"segments": []}
@@ -62,7 +65,7 @@ def run_incremental_index(
         manifest["segments"].append(
             {"batch_id": batch_id, "path": seg_path, "doc_base": base, "num_docs": n}
         )
-        with fsspec.open(manifest_path, "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
     stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
