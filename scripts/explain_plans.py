@@ -49,7 +49,7 @@ def main() -> None:
     p = grab_plan(s.bm25_search(["spark", "join", "fast"], 10))
     sections.append((
         "BM25 top-k (DataFrame path)", p,
-        ["PushedFilters: [In(term", "TakeOrderedAndProject", "*("],
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython"],
     ))
 
     p = grab_plan(idx.postings.filter(F.col("term") == "spark").select("doc_id", "tf"))
@@ -59,7 +59,7 @@ def main() -> None:
     ))
 
     p = grab_plan(s.conv_search(["data", "table"], 10))
-    sections.append(("conv_search (productSearch analog)", p, ["*("]))
+    sections.append(("conv_search (productSearch analog)", p, ["TakeOrderedAndProject", "!BatchEvalPython"]))
 
     from fulltextsearchengine_spark.operators.dedup import minhash_lsh_pairs
 
@@ -72,7 +72,8 @@ def main() -> None:
     for title, plan, must in sections:
         checks = []
         for m in must:
-            ok = m in plan
+            # "!X" asserts absence (e.g. no per-row Python in the plan)
+            ok = (m[1:] not in plan) if m.startswith("!") else (m in plan)
             checks.append(f"- {'✓' if ok else '✗ MISSING'} `{m}`")
             if not ok:
                 failures.append((title, m))
