@@ -182,33 +182,41 @@ def bm25_topk_wand_blockmax(
     def threshold() -> float:
         return heap[0][0] if len(heap) >= k else -math.inf
 
-    # partition the doc space by the union of block boundaries, coarse pass:
-    # iterate blocks grouped by (bucket) ascending.
+    # iterate doc-range buckets ascending; fully-vectorized per bucket:
+    # decode blocks → np.add.at into a dense doc-range slab (no per-
+    # posting Python), then bounded top-k selection updates the heap.
     for bucket, grp in blocks_pdf.groupby("bucket", sort=True):
-        ub = 0.0
         per_term_max: dict[str, float] = {}
-        for row in grp.itertuples(index=False):
-            w = idf.get(row.term)
+        for term, w_imp in zip(grp["term"].to_numpy(), grp["max_impact"].to_numpy()):
+            w = idf.get(term)
             if w is None:
                 continue
-            per_term_max[row.term] = max(per_term_max.get(row.term, 0.0), w * row.max_impact)
-        ub = sum(per_term_max.values())
-        if ub <= threshold():
-            continue  # skip: no doc in this range can beat the k-th score
-        acc: dict[int, float] = {}
-        for term in sorted(per_term_max):
-            w = idf[term]
-            trows = grp[grp["term"] == term].sort_values("block_id")
+            per_term_max[term] = max(per_term_max.get(term, 0.0), w * float(w_imp))
+        if sum(per_term_max.values()) <= threshold():
+            continue  # block-max skip: no doc here can beat the k-th score
+        base = int(grp["first_doc_id"].min())
+        span = int(grp["last_doc_id"].max()) - base + 1
+        acc = np.zeros(span, dtype=np.float64)
+        touched = np.zeros(span, dtype=bool)
+        for term, trows in grp.groupby("term", sort=True):
+            w = idf.get(term)
+            if w is None:
+                continue
             for row in trows.itertuples(index=False):
                 n = row.n
                 gaps = svb_decode(row.gaps_ctrl, row.gaps_data, n).astype(np.int64)
-                ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1)
+                ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1) - base
                 tfs = svb_decode(row.tfs_ctrl, row.tfs_data, n).astype(np.float64)
-                dl = doc_lens[ids]
+                dl = doc_lens[ids + base]
                 contrib = w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
-                for d, s in zip(ids.tolist(), contrib.tolist()):
-                    acc[d] = acc.get(d, 0.0) + s
-        for d, s in acc.items():
+                acc[ids] += contrib  # ids are unique within a block
+                touched[ids] = True
+        cand = np.nonzero(touched)[0]
+        scores = acc[cand]
+        if cand.size > k:
+            keep = np.lexsort((cand, -scores))[:k]
+            cand, scores = cand[keep], scores[keep]
+        for d, s in zip((cand + base).tolist(), scores.tolist()):
             item = (s, -d)
             if len(heap) < k:
                 heapq.heappush(heap, item)

@@ -117,3 +117,24 @@ def test_blockmax_kernel_matches_oracle(ctx):
         assert [g[0] for g in got] == [e[0] for e in exp], q
         for e, g in zip(exp, got):
             assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_local_bm25_server(ctx):
+    """LocalBM25 (driver-side serving path) matches the oracle exactly,
+    including cache-warm repeat queries and OOV terms."""
+    from fulltextsearchengine_spark.operators.local_query import LocalBM25
+
+    golden, idx, blocks, stats = ctx
+    term_df = dict(golden["term_to_document_frequency"])
+    local = LocalBM25(
+        blocks, idx.docs, stats["num_docs"], stats["total_tokens"], term_df=term_df
+    )
+    terms_sorted = sorted(term_df)
+    queries = [terms_sorted[:3], terms_sorted[20:24], [terms_sorted[5]], ["zzznotaword"], []]
+    for q in queries:
+        exp = oracle.bm25_search(golden, q, 10)
+        for _ in range(2):  # second pass exercises the block cache
+            got = local.search(q, 10)
+            assert [g[0] for g in got] == [e[0] for e in exp], q
+            for e, g in zip(exp, got):
+                assert g[1] == pytest.approx(e[1], rel=1e-9)
