@@ -55,6 +55,11 @@ class LocalBM25:
         for r in lens:
             self.doc_lens[r["doc_id"]] = r["doc_len"]
         self._cache: dict[str, pd.DataFrame] = {}
+        # decoded hot-posting cache: term → {bucket: (ids, impact, ub)}
+        # with impact = precomputed idf-free BM25 tf-side contribution —
+        # the analog of a serving node's posting cache (the reference
+        # re-seeks its HDD per query; we pay decode once per term)
+        self._decoded: dict[str, dict[int, tuple[np.ndarray, np.ndarray, float]]] = {}
 
     def _fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
         missing = [t for t in terms if t not in self._cache]
@@ -73,6 +78,30 @@ class LocalBM25:
             return pd.DataFrame(columns=_BLOCK_COLS)
         return pd.concat(frames, ignore_index=True)
 
+    def _decoded_term(self, term: str) -> dict[int, tuple[np.ndarray, np.ndarray, float]]:
+        if term in self._decoded:
+            return self._decoded[term]
+        from ..codecs import svb_decode
+
+        out: dict[int, list] = {}
+        pdf = self._fetch_blocks([term])
+        for row in pdf.itertuples(index=False):
+            gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
+            ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1)
+            tfs = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
+            out.setdefault(int(row.bucket), []).append((ids, tfs, float(row.max_impact)))
+        dec: dict[int, tuple] = {}
+        for bkt, parts in out.items():
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dl = self.doc_lens[ids]
+            # denominator precomputed; idf multiplied at query time in
+            # the oracle's exact association ((w·tf)·(k1+1))/denom
+            denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            dec[bkt] = (ids, tfs, denom, max(p[2] for p in parts))
+        self._decoded[term] = dec
+        return dec
+
     def idf(self, term: str) -> float | None:
         df = self.term_df.get(term, 0)
         if df <= 0:
@@ -80,6 +109,47 @@ class LocalBM25:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
     def search(self, query: list[str], k: int) -> list[tuple[int, float]]:
+        """Exact BM25 top-k over the decoded-posting cache with per-
+        bucket block-max skipping and a bounded min-heap (score desc,
+        doc_id asc tie-break — ReviewSearch.java:98-101)."""
+        import heapq
+
+        terms = sorted({t.lower() for t in query})
+        idf = {t: w for t in terms if (w := self.idf(t)) is not None}
+        if not idf:
+            return []
+        dec = {t: self._decoded_term(t) for t in sorted(idf)}
+        buckets = sorted({b for d in dec.values() for b in d})
+        heap: list[tuple[float, int]] = []
+        for bkt in buckets:
+            ub = sum(idf[t] * d[bkt][3] for t, d in dec.items() if bkt in d)
+            if len(heap) >= k and ub <= heap[0][0]:
+                continue  # block-max skip
+            parts = [(t, *d[bkt]) for t, d in sorted(dec.items()) if bkt in d]
+            base = min(int(p[1][0]) for p in parts)
+            hi = max(int(p[1][-1]) for p in parts)
+            acc = np.zeros(hi - base + 1, dtype=np.float64)
+            touched = np.zeros(hi - base + 1, dtype=bool)
+            for t, ids, tfs, denom, _ in parts:
+                w = idf[t]
+                acc[ids - base] += w * tfs * (self.k1 + 1.0) / denom
+                touched[ids - base] = True
+            cand = np.nonzero(touched)[0]
+            scores = acc[cand]
+            if cand.size > k:
+                keep = np.lexsort((cand, -scores))[:k]
+                cand, scores = cand[keep], scores[keep]
+            for d_, s in zip((cand + base).tolist(), scores.tolist()):
+                item = (s, -d_)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+
+    def search_uncached(self, query: list[str], k: int) -> list[tuple[int, float]]:
+        """Cold-path variant: per-block decode each call (the property-
+        tested kernel) — what a cache-miss costs."""
         terms = sorted({t.lower() for t in query})
         idf = {t: w for t in terms if (w := self.idf(t)) is not None}
         if not idf:

@@ -88,6 +88,14 @@ class Searcher:
         terms = sorted(set(normalize_query(terms)))
         return self.index.postings.filter(F.col("term").isin(terms))
 
+    def doc_meta(self, doc_id: int) -> dict | None:
+        """docId → metadata row, the getReviewMeta/fixed-record analog
+        (storage/FixedRecordStorage.java:89-101): a point lookup that
+        prunes to one parquet row group via doc_id min/max stats.
+        Out-of-range ids return None (IndexReader.java:36-41 guards)."""
+        rows = self.index.docs.filter(F.col("doc_id") == int(doc_id)).collect()
+        return rows[0].asDict() if rows else None
+
     def conv_doc_ids(self, conv_id: str) -> DataFrame:
         """ProductIdToDocIdMapper analog (J4): conv range → exploded ids."""
         return (
