@@ -176,16 +176,17 @@ FROM rel ORDER BY relevancy DESC, conv_id LIMIT {k}
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 
-_INDEX_CACHE: dict[str, InvertedIndex] = {}
+_INDEX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    if sf_dir not in _INDEX_CACHE:
+    key = (id(spark), sf_dir)  # cached DataFrames are session-bound
+    if key not in _INDEX_CACHE:
         idx = build_index(transcripts_from_documents(spark, sf_dir))
         idx.postings = idx.postings.cache()
         idx.docs = idx.docs.cache()
-        _INDEX_CACHE[sf_dir] = idx
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
 
 
 def _micro(col: str, alias: str) -> F.Column:

@@ -46,7 +46,7 @@ def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     from bench import ensure_bench_corpus
