@@ -89,24 +89,18 @@ def bm25_topk_wand(
         "doc_len",
         (((F.col("doc_id") - 1) / F.lit(bucket_range)).cast("long")).alias("bucket"),
     )
-    joined = qblocks.join(lens_b.select("bucket").distinct(), "bucket", "left_semi")
-    # co-locate: all of a bucket's blocks + its doc_len slab in one task
-    blocks_by_bucket = joined.repartition("bucket")
+    # co-locate: all of a bucket's blocks + its doc_len slab in one task,
+    # executed as cogrouped-by-bucket pandas (blocks ⋈ lens per bucket)
+    blocks_by_bucket = qblocks.repartition("bucket")
     lens_by_bucket = lens_b.repartition("bucket")
 
-    def score_partition(pdfs_iter):
-        # pdfs_iter yields pandas frames of blocks for this task's buckets
-        for pdf in pdfs_iter:
-            yield pdf
-
-    # Execute as cogrouped-by-bucket pandas: blocks ⋈ lens per bucket.
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("score", DoubleType())]
     )
 
-    idf_arr = {t: w for t, w in idf_items}
+    idf_arr = dict(idf_items)
 
     def cogroup_fn(blocks_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
         if blocks_pdf.empty:

@@ -142,3 +142,43 @@ def test_multimodal_plumbing(spark):
     again = {r["media_id"]: r["embedding"] for r in media_with_embeddings(media, dim=16).collect()}
     for r in emb:
         assert again[r["media_id"]] == r["embedding"]
+
+
+def test_watermarked_window_agg(spark, tmp_path_factory):
+    """Streaming windowed agg (watermark + tumbling window, availableNow
+    → memory sink) equals the batch groupBy on the same data."""
+    import pandas as pd
+
+    from fulltextsearchengine_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    base = tmp_path_factory.mktemp("events")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:05", "2026-01-01 10:55", "2026-01-01 11:05",
+                 "2026-01-01 11:59", "2026-01-01 12:00", "2026-01-01 10:30"]
+            ),
+            "event_type": ["a", "a", "b", "a", "b", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, schema="ts timestamp, event_type string, value double")
+    sdf.write.mode("overwrite").parquet(str(base / "in"))
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(sdf).collect()
+    }
+    run_stream_to_memory(
+        spark, str(base / "in"), "ts timestamp, event_type string, value double",
+        query_name="evt_test",
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM evt_test").collect()
+    }
+    assert streamed == batch
+    assert len(batch) == 5  # (10h a), (10h b), (11h a), (11h b), (12h b)
