@@ -115,6 +115,82 @@ def srp_bucketed_topk(
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    dim: int,
+    sample_size: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a driver-side sample
+    (seeded numpy — standard IVF practice: the quantizer trains on a
+    small sample; assignment is the distributed part). Returns
+    (n_centroids, dim) float64, L2-normalized rows for cosine IVF."""
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in embeddings.limit(sample_size).collect()]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid): nearest-centroid assignment, Arrow-batched
+    matmul. At 100 TB this is the partitioning column of the vector
+    table (write partitioned by centroid → query prunes to n_probe
+    partitions)."""
+    c = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "centroid": np.argmax(m @ c.T, axis=1).astype(np.int64)}
+            )
+
+    return embeddings.mapInPandas(assign, schema="vec_id long, centroid long")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids by cosine to the query, scan only the
+    n_probe nearest inverted lists, exact re-rank within them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("centroid").isin(probe)).select(
+        F.col("vec_id").alias("_ivf_id")
+    )
+    cand = embeddings.join(cand_ids, embeddings[id_col] == F.col("_ivf_id"), "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -77,3 +77,28 @@ def test_cosine_near_pairs(emb):
     assert (0, 150) in got and (1, 151) in got
     for k in got:
         assert abs(got[k] - exp[k]) <= 2  # float32->double path, ulp slack
+
+
+def test_ivf_topk_recall(emb):
+    from fulltextsearchengine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    df, vecs = emb
+    cent = ivf_train_centroids(df, n_centroids=8, dim=DIM, seed=11)
+    assert cent.shape == (8, DIM)
+    assigned = {r["vec_id"]: r["centroid"] for r in ivf_assign(df, cent).collect()}
+    assert len(assigned) == N and set(assigned.values()) <= set(range(8))
+
+    hits = 0
+    trials = 5
+    for qi in range(trials):
+        q = vecs[qi].tolist()
+        got = [r["vec_id"] for r in ivf_topk(df, q, 5, cent, n_probe=3).collect()]
+        cos = _cosine_oracle(vecs, np.asarray(q))
+        top5 = sorted(range(N), key=lambda i: (-cos[i], i))[:5]
+        assert qi in got  # query's own vector is in a probed list
+        hits += len(set(got) & set(top5))
+    assert hits >= trials * 3  # n_probe=3/8 lists → high recall on top-5
