@@ -47,14 +47,17 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) if offsets else F.create_map()
+    if offsets:
+        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset_expr = offset_map[F.col("_pid")].cast("long")
+    else:  # empty input: untyped map() literal would fail analysis
+        offset_expr = F.lit(0).cast("long")
 
     # pass 2: rank within each range partition. The window's partitionBy
     # keeps parallelism at P tasks; ordering only sorts within a partition.
     w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
     out = ranged.withColumn(
-        "doc_id",
-        (F.row_number().over(w).cast("long") + offset_map[F.col("_pid")].cast("long")),
+        "doc_id", (F.row_number().over(w).cast("long") + offset_expr)
     ).drop("_pid")
     # expose the persisted frame so callers can unpersist once consumed
     out._ftse_persisted = ranged

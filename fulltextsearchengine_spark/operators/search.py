@@ -67,7 +67,9 @@ class Searcher:
     @property
     def stats(self) -> dict:
         if self._stats is None:
-            self._stats = self.index.stats_row()
+            st = self.index.stats_row()
+            # empty corpus: SUM aggregates are null (total_tokens etc.)
+            self._stats = {k: (0 if v is None else v) for k, v in st.items()}
         return self._stats
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -182,6 +184,8 @@ class Searcher:
             return self._empty_scores()
         stats = self.term_stats(terms)
         total = self.stats["total_tokens"]
+        if not total:
+            return self._empty_scores()
         piv = self._pivoted_tf(terms)
         score = F.lit(1.0)
         for i, t in enumerate(terms):
