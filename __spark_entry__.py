@@ -237,6 +237,16 @@ def _q_lm(spark, sf_dir):
     )
 
 
+Q_BATCH = {"q0": ["spark", "join"], "q1": ["window", "data"], "q2": ["scan"]}
+
+
+def _q_bm25_batch(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return s.bm25_search_batch(Q_BATCH, 10).select(
+        "query_id", "doc_id", _micro("score", "score_micro"), "rank"
+    )
+
+
 def _q_conv_search(spark, sf_dir):
     s = Searcher(_index(spark, sf_dir))
     return s.conv_search(Q_CONV, 10).select("conv_id", _micro("relevancy", "relevancy_micro"))
@@ -382,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_stats": _q_stats,
         "ftse_conv_ranges": _q_conv_ranges,
         "ftse_bm25_topk": _q_bm25,
+        "ftse_bm25_batch": _q_bm25_batch,
         "ftse_bm25_wand_topk": _q_bm25_wand,
         "ftse_lnnltc_topk": _q_lnnltc,
         "ftse_lm_topk": _q_lm,
@@ -439,6 +450,22 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT conv_id, min(doc_id) AS from_doc_id, max(doc_id) AS to_doc_id, "
         "count(*) AS n_docs FROM docs GROUP BY conv_id",
         "ftse_bm25_topk": _bm25_sql(Q_BM25, TOPK),
+        "ftse_bm25_batch": PRELUDE
+        + ", qb AS (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{qid}', '{t}')" for qid, ts in sorted(Q_BATCH.items()) for t in sorted(set(ts))
+        )
+        + ") AS v(query_id, term)), scored AS ("
+        "SELECT q.query_id, p.doc_id, "
+        "sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2 "
+        "/ (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score "
+        "FROM postings p JOIN qb q USING (term) JOIN terms t USING (term) "
+        "JOIN docs d USING (doc_id) CROSS JOIN gstats g "
+        "GROUP BY q.query_id, p.doc_id), brank AS ("
+        "SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, doc_id) AS INT) AS rank FROM scored) "
+        "SELECT query_id, doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro, rank "
+        "FROM brank WHERE rank <= 10",
         "ftse_bm25_wand_topk": _bm25_sql(Q_WAND, TOPK),
         "ftse_lnnltc_topk": _lnnltc_sql(Q_LNN, TOPK),
         "ftse_lm_topk": _lm_sql(Q_LM, TOPK),

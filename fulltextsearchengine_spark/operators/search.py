@@ -28,7 +28,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .index_build import InvertedIndex
@@ -211,6 +211,54 @@ class Searcher:
 
     def language_model_search(self, query: list[str], k: int) -> DataFrame:
         return self.topk(self.lm_scores(query), k)
+
+    # ---- batched multi-query scoring (beyond the reference) ------------
+    def bm25_search_batch(
+        self,
+        queries: dict[str, list[str]],
+        k: int,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """(query_id, doc_id, score, rank): BM25 top-k for MANY queries
+        in ONE Spark job — the analytical shape the single-query
+        reference cannot express. Query terms (with driver-computed idf)
+        broadcast-join the postings scan once; per-query top-k via a
+        rank window partitioned by query_id (parallel across queries).
+        """
+        spark = self.index.postings.sparkSession
+        all_terms = sorted({t for ts in queries.values() for t in normalize_query(ts)})
+        stats = self.term_stats(all_terms)
+        n = self.stats["num_docs"]
+        avgdl = (self.stats["total_tokens"] / n) if n else 0.0
+        rows = []
+        for qid, ts in queries.items():
+            for t in sorted(set(normalize_query(ts))):
+                df = stats.get(t, (0, 0))[0]
+                if df > 0:
+                    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                    rows.append((qid, t, idf))
+        if not rows:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, rank int"
+            )
+        qdf = spark.createDataFrame(rows, "query_id string, term string, idf double")
+        p = self.index.postings.filter(F.col("term").isin(sorted({r[1] for r in rows})))
+        contrib = (
+            F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)))
+        )
+        scored = (
+            p.join(F.broadcast(qdf), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(contrib).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
 
     # ---- conv-level search (productSearch analog) ----------------------
     def conv_search(self, query: list[str], k: int) -> DataFrame:

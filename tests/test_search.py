@@ -98,3 +98,29 @@ def test_case_folding(setup):
     a = [(r["doc_id"], r["score"]) for r in searcher.bm25_search([term], K).collect()]
     b = [(r["doc_id"], r["score"]) for r in searcher.bm25_search([term.upper()], K).collect()]
     assert a == b and len(a) > 0
+
+
+def test_bm25_batch_matches_single(setup):
+    """Batched multi-query BM25 (one job) == per-query results."""
+    golden, searcher, queries = setup
+    batch = {f"q{i}": q for i, q in enumerate(queries[:8]) if q}
+    rows = searcher.bm25_search_batch(batch, K).collect()
+    got: dict[str, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        exp = oracle.bm25_search(golden, q, K)
+        _check_ranking(exp, got.get(qid, []))
+
+
+def test_sql_surface_matches_dataframe(setup):
+    """spark.sql over registered views == the DataFrame scorer."""
+    from fulltextsearchengine_spark.sql import bm25_sql, register_index_views
+
+    golden, searcher, _ = setup
+    register_index_views(searcher.index.postings.sparkSession, searcher.index)
+    q = sorted(golden["term_to_document_frequency"])[:3]
+    spark = searcher.index.postings.sparkSession
+    rows = spark.sql(bm25_sql(q, K)).collect()
+    exp = oracle.bm25_search(golden, q, K)
+    _check_ranking(exp, [(r["doc_id"], r["score"]) for r in rows])
