@@ -125,3 +125,42 @@ def merge_segment_stats(spark: SparkSession, index_dir: str) -> dict:
         .collect()[0]
     )
     return row.asDict()
+
+
+def compact_segments(spark: SparkSession, index_dir: str, out_dir: str) -> None:
+    """Fold all segments into one batch-shaped index (the Lucene-merge
+    analog of SPIMI's final k-way merge, SPIMIIndexer.java:58-86):
+    globalized docIDs are preserved, per-(term, doc_id) tfs re-aggregate
+    (duplicate keys cannot exist across segments — disjoint doc ranges —
+    so this is a pure union + layout rewrite), terms/stats/conv_ranges
+    recomputed. The result is loadable by ``load_index`` and serves all
+    scorers identically to a from-scratch batch build."""
+    p = merged_postings(spark, index_dir)
+    d = merged_docs(spark, index_dir)
+    (
+        p.repartition(F.col("term"), (F.col("doc_id") / F.lit(1 << 20)).cast("long"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
+    )
+    d.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    postings = spark.read.parquet(f"{out_dir}/postings")
+    postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    ).write.mode("overwrite").parquet(f"{out_dir}/terms")
+    docs = spark.read.parquet(f"{out_dir}/docs")
+    terms = spark.read.parquet(f"{out_dir}/terms")
+    docs.groupBy("conv_id").agg(
+        F.min("doc_id").alias("from_doc_id"),
+        F.max("doc_id").alias("to_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/conv_ranges")
+    docs.agg(
+        F.sum("doc_len").alias("total_tokens"),
+        F.count(F.lit(1)).alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    ).crossJoin(
+        terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
+    ).select(
+        "total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")

@@ -182,3 +182,44 @@ def test_watermarked_window_agg(spark, tmp_path_factory):
     }
     assert streamed == batch
     assert len(batch) == 5  # (10h a), (10h b), (11h a), (11h b), (12h b)
+
+
+def test_segment_compaction(spark, corpus, tmp_path_factory):
+    """compact_segments folds streamed segments into a batch-shaped
+    index whose BM25 results match the pandas oracle on the full corpus
+    — streamed ingest + compaction ≡ one-shot batch semantics, modulo
+    docID arrival order (scores are computed per doc; we compare by
+    (conv_id, turn_idx) identity)."""
+    from fulltextsearchengine_spark.operators.index_build import load_index
+    from fulltextsearchengine_spark.operators.search import Searcher
+    from fulltextsearchengine_spark.streaming.stream_index import (
+        compact_segments,
+        run_incremental_index,
+    )
+
+    base = tmp_path_factory.mktemp("compact")
+    input_dir = str(base / "in")
+    half = len(corpus) // 2
+    spark.createDataFrame(corpus.iloc[:half], schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(corpus.iloc[half:], schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    run_incremental_index(spark, input_dir, str(base / "seg"), str(base / "ckpt"))
+    compact_segments(spark, str(base / "seg"), str(base / "out"))
+
+    idx = load_index(spark, str(base / "out"))
+    golden = oracle.build_index(corpus)
+    assert idx.stats_row()["total_tokens"] == golden["total_tokens"]
+    assert idx.stats_row()["num_docs"] == golden["num_docs"]
+
+    s = Searcher(idx)
+    q = sorted(golden["term_to_document_frequency"])[:3]
+    got = {r["doc_id"]: r["score"] for r in s.bm25_scores(q).collect()}
+    # map segment docIDs -> (conv,turn) and compare score sets with oracle
+    id2key = {r["doc_id"]: (r["conv_id"], r["turn_idx"]) for r in idx.docs.collect()}
+    exp_scores = {}
+    for d, sc in oracle.bm25_search(golden, q, 10 ** 9):
+        m = golden["doc_to_meta"][d]
+        exp_scores[(m["conv_id"], m["turn_idx"])] = sc
+    got_scores = {id2key[d]: sc for d, sc in got.items()}
+    assert set(got_scores) == set(exp_scores)
+    for kk in exp_scores:
+        assert got_scores[kk] == pytest.approx(exp_scores[kk], rel=1e-9)
