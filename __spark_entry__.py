@@ -18,7 +18,11 @@ path — is cross-checked against an independent SQL implementation.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # cwd-independent import
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -140,6 +140,19 @@ def main() -> None:
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
 
+    # Arrow pandas-UDF tokenizer variant (input_hint path) vs the default
+    # JVM-expression tokenizer, same pipeline
+    timed(
+        "index_build_sfdir_pandas_udf",
+        lambda: build_and_save_index(t, f"{workdir}/index_pudf", use_pandas_tokenizer=True),
+    )
+    timed(
+        "bm25_batch_30q",
+        lambda: searcher.bm25_search_batch(
+            {f"q{i}": BENCH_QUERIES[i % len(BENCH_QUERIES)] for i in range(30)}, 10
+        ).collect(),
+    )
+
     # ---- large-corpus build throughput --------------------------------
     big = spark.read.parquet(str(corpus_path))
     timed("index_build_bigcorpus", lambda: build_and_save_index(big, f"{workdir}/bigindex"))
