@@ -242,6 +242,14 @@ def _q_lm(spark, sf_dir):
 
 
 Q_BATCH = {"q0": ["spark", "join"], "q1": ["window", "data"], "q2": ["scan"]}
+Q_FILTER = ["hash", "sort"]
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return s.bm25_search_filtered(Q_FILTER, TOPK, role="user").select(
+        "doc_id", _micro("score", "score_micro")
+    )
 
 
 def _q_bm25_batch(spark, sf_dir):
@@ -397,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_conv_ranges": _q_conv_ranges,
         "ftse_bm25_topk": _q_bm25,
         "ftse_bm25_batch": _q_bm25_batch,
+        "ftse_bm25_filtered": _q_bm25_filtered,
         "ftse_bm25_wand_topk": _q_bm25_wand,
         "ftse_lnnltc_topk": _q_lnnltc,
         "ftse_lm_topk": _q_lm,
@@ -454,6 +463,13 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT conv_id, min(doc_id) AS from_doc_id, max(doc_id) AS to_doc_id, "
         "count(*) AS n_docs FROM docs GROUP BY conv_id",
         "ftse_bm25_topk": _bm25_sql(Q_BM25, TOPK),
+        "ftse_bm25_filtered": _bm25_sql(Q_FILTER, TOPK).replace(
+            "GROUP BY p.doc_id\n)",
+            "GROUP BY p.doc_id\n)\n, filt AS (SELECT s.* FROM scored s "
+            "JOIN docs dd ON dd.doc_id = s.doc_id AND dd.role = 'user')",
+        ).replace(
+            "FROM scored ORDER BY", "FROM filt ORDER BY"
+        ),
         "ftse_bm25_batch": PRELUDE
         + ", qb AS (SELECT * FROM (VALUES "
         + ", ".join(

@@ -212,6 +212,31 @@ class Searcher:
     def language_model_search(self, query: list[str], k: int) -> DataFrame:
         return self.topk(self.lm_scores(query), k)
 
+    # ---- metadata-filtered search (beyond the reference) ---------------
+    def bm25_search_filtered(
+        self,
+        query: list[str],
+        k: int,
+        role: str | None = None,
+        conv_prefix: str | None = None,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """BM25 top-k restricted to turns matching metadata predicates
+        (role, conv_id prefix). Scoring semantics are unchanged (global
+        df/cf/avgdl — the standard 'filter, don't re-weight' search
+        convention); the candidate set is pre-filtered with a join
+        against the pruned docs scan, so the predicate pushes down to
+        the docs parquet and the postings scan stays term-pruned."""
+        scores = self.bm25_scores(query, k1=k1, b=b)
+        d = self.index.docs
+        if role is not None:
+            d = d.filter(F.col("role") == role)
+        if conv_prefix is not None:
+            d = d.filter(F.col("conv_id").startswith(conv_prefix))
+        filtered = scores.join(d.select("doc_id"), "doc_id", "left_semi")
+        return self.topk(filtered, k)
+
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(
         self,
