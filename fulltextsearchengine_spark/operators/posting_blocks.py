@@ -37,7 +37,13 @@ from pyspark.sql import types as T
 from ..codecs import gaps_encode, svb_decode, svb_encode
 
 DEFAULT_BLOCK_SIZE = 128
-DEFAULT_BUCKET_RANGE = 1 << 16  # docIDs per build bucket (bounds task size)
+# docIDs per build bucket. Trade-off: bounds a build task's postings at
+# ≤ bucket_range (hot-term skew cap, ~100 MB pandas at 4M) while keeping
+# the (term, bucket) group count low — applyInPandas pays ~0.2 ms per
+# group, so over-fine buckets (e.g. 2^16 at 10^6+ docs) cost more in
+# group overhead than they save (measured 184s→~25s on a 66M-posting
+# corpus when moving 2^16 → 2^22).
+DEFAULT_BUCKET_RANGE = 1 << 22
 
 BLOCK_SCHEMA = T.StructType(
     [

@@ -22,7 +22,7 @@ def test_checkpoint_resume(spark, corpus, tmp_path_factory):
     sdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
 
     idx1, blocks1, r1 = build_index_checkpointed(spark, sdf, base)
-    assert r1.ran == ["docs", "postings", "terms", "conv_ranges", "stats", "blocks"]
+    assert r1.ran == ["postings", "docs", "terms", "conv_ranges", "stats", "blocks"]
     assert r1.skipped == []
     golden = oracle.build_index(corpus)
     assert idx1.stats_row()["total_tokens"] == golden["total_tokens"]
