@@ -182,6 +182,19 @@ def main() -> None:
     timed("bm25_local_served", lambda: [local.search(qq, 10) for qq in big_queries for _ in range(20)])
     q["bm25_local_ms_per_query"] = round(q["bm25_local_served"] / (len(big_queries) * 20) * 1000, 3)
 
+    # index compression accounting (reference: final index ≈24% of raw,
+    # analysis2.tex:97). Raw = input parquet bytes; index = all tables;
+    # blocks = the compressed posting representation alone.
+    def du(p: str) -> int:
+        return sum(f.stat().st_size for f in Path(p).rglob("*") if f.is_file())
+
+    raw_bytes = du(str(corpus_path))
+    index_bytes = du(f"{workdir}/bigindex")
+    blocks_path = f"{workdir}/bigblocks"
+    build_posting_blocks(bigidx.postings, avgdl=bavgdl).write.mode("overwrite").parquet(blocks_path)
+    blocks_bytes = du(blocks_path)
+    postings_bytes = du(f"{workdir}/bigindex/postings")
+
     shutil.rmtree(workdir, ignore_errors=True)
     total = round(sum(q.values()), 3)
     print(
@@ -196,6 +209,10 @@ def main() -> None:
                 "bench_corpus_turns": bench_turns,
                 "index_build_turns_per_sec": round(turns_per_sec, 1),
                 "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
+                "raw_corpus_mb": round(raw_bytes / 1e6, 1),
+                "index_total_ratio_of_raw": round(index_bytes / raw_bytes, 3),
+                "flat_postings_ratio_of_raw": round(postings_bytes / raw_bytes, 3),
+                "compressed_blocks_ratio_of_raw": round(blocks_bytes / raw_bytes, 3),
             }
         )
     )
