@@ -66,9 +66,9 @@ docs AS (
 ),
 tok AS (SELECT doc_id, unnest(tokens) AS term FROM toksd),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
-terms AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY term),
+terms AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM postings GROUP BY term),
 gstats AS (
-  SELECT (SELECT sum(doc_len) FROM docs) AS total_tokens,
+  SELECT (SELECT CAST(sum(doc_len) AS BIGINT) FROM docs) AS total_tokens,
          (SELECT count(*) FROM terms) AS unique_terms,
          (SELECT count(*) FROM docs) AS num_docs,
          (SELECT count(*) FROM postings) AS num_pairs
