@@ -266,25 +266,33 @@ def _q_conv_search(spark, sf_dir):
 
 def _q_bm25_wand(spark, sf_dir):
     """BM25 through the compressed-block + block-max WAND path — the
-    physical perf path cross-checked against plain SQL BM25."""
-    from fulltextsearchengine_spark.operators.posting_blocks import build_posting_blocks
+    physical perf path (threshold-seeded bucket/chunk pruning, build-time
+    doc_len slabs, no docs-table access at query time) cross-checked
+    against plain SQL BM25."""
+    from fulltextsearchengine_spark.operators.posting_blocks import (
+        build_doc_len_slabs,
+        build_posting_blocks,
+    )
     from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
 
     idx = _index(spark, sf_dir)
     st = idx.stats_row()
     avgdl = st["total_tokens"] / st["num_docs"]
     bucket_range = 256
+    block_size = 64
     blocks = build_posting_blocks(
-        idx.postings, avgdl=avgdl, block_size=64, bucket_range=bucket_range
+        idx.postings, avgdl=avgdl, block_size=block_size, bucket_range=bucket_range
     )
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
     topk = bm25_topk_wand(
         blocks,
-        idx.docs.select("doc_id", "doc_len"),
+        slabs,
         Q_WAND,
         TOPK,
         n_docs=st["num_docs"],
         total_tokens=st["total_tokens"],
         bucket_range=bucket_range,
+        block_size=block_size,
     )
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in topk] or [], "doc_id long, score double"

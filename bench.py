@@ -32,7 +32,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from fulltextsearchengine_spark.operators.index_build import build_and_save_index, load_index  # noqa: E402
-from fulltextsearchengine_spark.operators.posting_blocks import build_posting_blocks  # noqa: E402
+from fulltextsearchengine_spark.operators.posting_blocks import (  # noqa: E402
+    build_doc_len_slabs,
+    build_posting_blocks,
+)
 from fulltextsearchengine_spark.operators.search import Searcher  # noqa: E402
 from fulltextsearchengine_spark.operators.wand import bm25_topk_wand  # noqa: E402
 from fulltextsearchengine_spark.session import get_spark  # noqa: E402
@@ -111,21 +114,26 @@ def main() -> None:
     timed("lnnltc_df", lambda: [searcher.vector_space_search(qq, 10).collect() for qq in BENCH_QUERIES])
     timed("lm_df", lambda: [searcher.language_model_search(qq, 10).collect() for qq in BENCH_QUERIES])
     timed("conv_search", lambda: [searcher.conv_search(qq, 10).collect() for qq in BENCH_QUERIES[:2]])
-    doc_lens = idx.docs.select("doc_id", "doc_len").cache()
-    doc_lens.count()
+    slabs = timed(
+        "doc_len_slabs_build",
+        lambda: build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range).cache(),
+    )
+    slabs.count()
     term_df = {r["term"]: r["df"] for r in idx.terms.collect()}
-    timed(
-        "bm25_wand",
-        lambda: [
-            bm25_topk_wand(
-                blocks, doc_lens, qq, 10,
+    wand_stats: list[dict] = []
+
+    def run_wand():
+        for qq in BENCH_QUERIES:
+            _, s = bm25_topk_wand(
+                blocks, slabs, qq, 10,
                 n_docs=st["num_docs"], total_tokens=st["total_tokens"],
                 bucket_range=bucket_range,
                 term_stats={t_: term_df.get(t_, 0) for t_ in qq},
+                return_stats=True,
             )
-            for qq in BENCH_QUERIES
-        ],
-    )
+            wand_stats.append(s)
+
+    timed("bm25_wand", run_wand)
 
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from fulltextsearchengine_spark.functions.textstats import with_lang_id, with_quality
@@ -209,6 +217,16 @@ def main() -> None:
                 "bench_corpus_turns": bench_turns,
                 "index_build_turns_per_sec": round(turns_per_sec, 1),
                 "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
+                "wand_block_skip_rate": round(
+                    sum(s["blocks_in_pruned_buckets"] for s in wand_stats)
+                    / max(sum(s["blocks_total"] for s in wand_stats), 1),
+                    4,
+                ),
+                "wand_bucket_skip_rate": round(
+                    sum(s["buckets_pruned"] for s in wand_stats)
+                    / max(sum(s["buckets_total"] for s in wand_stats), 1),
+                    4,
+                ),
                 "raw_corpus_mb": round(raw_bytes / 1e6, 1),
                 "index_total_ratio_of_raw": round(index_bytes / raw_bytes, 3),
                 "flat_postings_ratio_of_raw": round(postings_bytes / raw_bytes, 3),

@@ -3,30 +3,37 @@ performance query path (north_star: "BM25 top-k via posting-list
 traversal with block-max pruning and a bounded min-heap inside
 mapPartitions").
 
-Distribution strategy: posting blocks are already bucketed by contiguous
-doc_id range (posting_blocks.py). We repartition the (pruned, tiny)
-per-query block set by ``bucket``, so each task holds ALL query terms'
-blocks for its doc ranges and can score candidates without any further
-shuffle. Inside a task:
+Distributed pruning design (round 2 — replaces the unpruned r1 path):
 
-  1. buckets are processed in one vectorized pass per bucket;
-  2. bucket skip: Σ_t idf_t · max(block max_impact of t in bucket) — if
-     that upper bound can't beat the running k-th score, the bucket's
-     blocks are never decoded (block-max WAND's skipping, applied at
-     bucket granularity, then per block);
-  3. surviving blocks decode via branch-free Stream-VByte numpy and
-     accumulate scores with np.add.at on a doc_id-indexed dense slab
-     (bucket_range-bounded, so the slab is small);
-  4. a bounded top-k selection per task (np.argpartition — the bounded
-     min-heap analog), then a driver-side k-merge with the exact
-     reference tie-break (score desc, doc_id asc, ReviewSearch.java:
-     98-101).
+  0. BUILD TIME: ``build_doc_len_slabs`` (posting_blocks.py) packs the
+     docs table into one uint32 doc_len array per doc_id bucket. Queries
+     never touch the docs table again — no per-query corpus shuffle.
+  1. THRESHOLD SEED: decode the ``seed_blocks`` highest idf·max_impact
+     blocks (a driver-side numpy pass over a few KB), sum per-doc
+     contributions; the k-th best distinct partial sum is a valid lower
+     bound on the true k-th best total (BM25 contributions are
+     non-negative), nudged down a few ulps so float-order noise can
+     never over-prune. Broadcast as a static threshold θ.
+  2. BUCKET SKIP (Catalyst, metadata only): ub(bucket) =
+     Σ_t idf_t · max(max_impact of t's blocks in bucket); buckets with
+     ub < θ are dropped BEFORE their binary columns ever move — the
+     cogroup shuffles only surviving buckets' blocks + slab rows.
+  3. CHUNK SKIP (in-task): inside a surviving bucket, per-chunk upper
+     bounds (chunk = block_size doc_ids) gate each block's decode; a
+     block is decoded only if some chunk it overlaps could beat θ.
+     Survivors decode via branch-free Stream-VByte numpy and accumulate
+     with np.add.at on a dense bucket slab, in sorted-term order (float
+     adds match the oracle's order for every fully-scored doc).
+  4. Bounded per-bucket top-k (np.argpartition analog of the reference's
+     bounded min-heap), then a driver k-merge with the exact tie-break
+     (score desc, doc_id asc — ReviewSearch.java:98-101).
 
-The pruning is score-safe: skipped blocks can only contain docs whose
-total score is strictly below the current threshold, and the threshold
-only ever uses COMPLETE doc scores (a doc's postings never span tasks,
-because bucket ⊇ doc). Results are therefore exactly the unpruned BM25
-ranking — asserted against the DataFrame path + oracle in tests.
+Safety argument for skipping: ub bounds the TOTAL score of every doc in
+the skipped range, so a doc with total ≥ θ (hence every true top-k doc,
+since θ ≤ true k-th best) is never under-scored; under-scored docs all
+report < θ and therefore sort strictly below the true top-k at merge.
+Results are exactly the unpruned BM25 ranking — asserted against the
+DataFrame path + DuckDB oracle in tests and the correctness gate.
 """
 
 from __future__ import annotations
@@ -44,30 +51,40 @@ from ..codecs import svb_decode
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+_EMPTY = {"doc_id": "int64", "score": "float64"}
+
+
+def _contrib(w: float, tfs: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float):
+    return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+
 
 def bm25_topk_wand(
     blocks: DataFrame,
-    doc_lens: DataFrame,
+    slabs: DataFrame,
     query: list[str],
     k: int,
     n_docs: int,
     total_tokens: int,
     bucket_range: int,
+    block_size: int = 128,
     k1: float = BM25_K1,
     b: float = BM25_B,
     term_stats: dict[str, int] | None = None,
-) -> list[tuple[int, float]]:
-    """Exact BM25 top-k [(doc_id, score)] with block-max pruning.
-
-    ``doc_lens``: DataFrame (doc_id, doc_len) or the docs table — needed
-    because BM25's length norm uses the CANDIDATE doc's length; we join
-    it block-bucket-wise (doc_len slab per bucket) rather than carrying
-    doc_len per posting (blocks store only gaps+tfs).
-    ``term_stats``: optional {term: df} to skip a job.
+    seed_blocks: int = 32,
+    return_stats: bool = False,
+    explain_out: list | None = None,
+):
+    """Exact BM25 top-k [(doc_id, score)] with distributed block-max
+    pruning. ``slabs`` is the build-time doc_len sidecar
+    (posting_blocks.build_doc_len_slabs) — the docs table itself is
+    never read at query time. ``term_stats``: optional {term: df} to
+    skip a metadata job. With ``return_stats`` also returns
+    {"buckets_total", "buckets_pruned", "blocks_total",
+    "blocks_in_pruned_buckets", "threshold"}.
     """
     terms = sorted({t.lower() for t in query})
     if not terms or n_docs == 0:
-        return []
+        return ([], _zero_stats()) if return_stats else []
     qblocks = blocks.filter(F.col("term").isin(terms))
     if term_stats is None:
         term_stats = {
@@ -80,78 +97,156 @@ def bm25_topk_wand(
         if df > 0
     }
     if not idf:
-        return []
+        return ([], _zero_stats()) if return_stats else []
     avgdl = total_tokens / n_docs
-    idf_items = sorted(idf.items())
+    w_map = F.create_map(*[F.lit(x) for kv in sorted(idf.items()) for x in kv])
+    w_col = w_map[F.col("term")]
 
-    lens_b = doc_lens.select(
-        "doc_id",
-        "doc_len",
-        (((F.col("doc_id") - 1) / F.lit(bucket_range)).cast("long")).alias("bucket"),
+    # ---- 1. threshold seed: decode the hottest blocks on the driver ----
+    seed_rows = (
+        qblocks.withColumn("wimp", w_col * F.col("max_impact"))
+        .orderBy(F.desc("wimp"))
+        .limit(seed_blocks)
+        .collect()
     )
-    # co-locate: all of a bucket's blocks + its doc_len slab in one task,
-    # executed as cogrouped-by-bucket pandas (blocks ⋈ lens per bucket)
-    blocks_by_bucket = qblocks.repartition("bucket")
-    lens_by_bucket = lens_b.repartition("bucket")
+    theta = -math.inf
+    if seed_rows:
+        seed_buckets = sorted({int(r["bucket"]) for r in seed_rows})
+        slab_map = {
+            int(r["bucket"]): (int(r["base"]), np.frombuffer(r["lens"], dtype=np.uint32))
+            for r in slabs.filter(F.col("bucket").isin(seed_buckets)).collect()
+        }
+        acc: dict[int, float] = {}
+        for r in sorted(seed_rows, key=lambda r: r["term"]):  # oracle add order
+            w = idf.get(r["term"])
+            base, lens = slab_map[int(r["bucket"])]
+            gaps = svb_decode(r["gaps_ctrl"], r["gaps_data"], r["n"]).astype(np.int64)
+            ids = np.cumsum(gaps) + (int(r["first_doc_id"]) - 1)
+            tfs = svb_decode(r["tfs_ctrl"], r["tfs_data"], r["n"]).astype(np.float64)
+            dl = lens[ids - base].astype(np.float64)
+            for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
+                acc[d] = acc.get(d, 0.0) + c
+        if len(acc) >= k:
+            kth = float(np.partition(np.fromiter(acc.values(), dtype=np.float64), -k)[-k])
+            # nudge down a few ulps: the seed's add order may differ from
+            # the exact scorer's, so a hair of slack guards tie docs
+            theta = kth - abs(kth) * 1e-9 - 1e-300
+
+    # ---- 2. bucket-level skip from metadata only ----
+    meta = qblocks.select("term", "bucket", "max_impact")
+    bucket_ub = (
+        meta.groupBy("bucket", "term")
+        .agg(F.max("max_impact").alias("mi"))
+        .groupBy("bucket")
+        .agg(F.sum(w_map[F.col("term")] * F.col("mi")).alias("ub"))
+    )
+    ub_rows = bucket_ub.collect()
+    surviving = [int(r["bucket"]) for r in ub_rows if r["ub"] >= theta]
+    stats = {
+        "buckets_total": len(ub_rows),
+        "buckets_pruned": len(ub_rows) - len(surviving),
+        "threshold": theta,
+    }
+    if return_stats:
+        per_bucket_blocks = {
+            int(r["bucket"]): r["nb"]
+            for r in qblocks.groupBy("bucket").agg(F.count(F.lit(1)).alias("nb")).collect()
+        }
+        stats["blocks_total"] = sum(per_bucket_blocks.values())
+        surv_set = set(surviving)
+        stats["blocks_in_pruned_buckets"] = sum(
+            nb for bkt, nb in per_bucket_blocks.items() if bkt not in surv_set
+        )
+    if not surviving:
+        return ([], stats) if return_stats else []
+
+    blocks_surv = qblocks.filter(F.col("bucket").isin(surviving))
+    slabs_surv = slabs.filter(F.col("bucket").isin(surviving))
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("score", DoubleType())]
     )
+    idf_b = dict(idf)
+    theta_b = theta
+    chunk = block_size
+    n_chunks = -(-bucket_range // chunk)
 
-    idf_arr = dict(idf_items)
+    # ---- 3+4. surviving buckets: chunk-gated decode + bounded top-k ----
+    def cogroup_fn(blocks_pdf: pd.DataFrame, slab_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blocks_pdf.empty or slab_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
+        base = int(slab_pdf["base"].iat[0])
+        lens = np.frombuffer(slab_pdf["lens"].iat[0], dtype=np.uint32).astype(np.float64)
+        c0 = ((blocks_pdf["first_doc_id"].to_numpy(np.int64) - base) // chunk)
+        c1 = ((blocks_pdf["last_doc_id"].to_numpy(np.int64) - base) // chunk)
+        wimp = np.array(
+            [idf_b.get(t, 0.0) for t in blocks_pdf["term"]], dtype=np.float64
+        ) * blocks_pdf["max_impact"].to_numpy(np.float64)
+        # per-chunk ub = Σ_t max over t's blocks overlapping the chunk
+        ub = np.zeros(n_chunks, dtype=np.float64)
+        order = np.argsort(blocks_pdf["term"].to_numpy(), kind="mergesort")
+        tmax = np.zeros(n_chunks, dtype=np.float64)
+        prev_term = None
+        for i in order.tolist():
+            t = blocks_pdf["term"].iat[i]
+            if t != prev_term:
+                if prev_term is not None:
+                    ub += tmax
+                    tmax[:] = 0.0
+                prev_term = t
+            np.maximum(tmax[c0[i] : c1[i] + 1], wimp[i], out=tmax[c0[i] : c1[i] + 1])
+        ub += tmax
+        live = ub >= theta_b
 
-    def cogroup_fn(blocks_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        if blocks_pdf.empty:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-        bucket = int(blocks_pdf["bucket"].iat[0])
-        base = bucket * bucket_range + 1
-        lens = np.zeros(bucket_range, dtype=np.float64)
-        li = lens_pdf["doc_id"].to_numpy(np.int64) - base
-        lens[li] = lens_pdf["doc_len"].to_numpy(np.float64)
-        # bucket-level upper bound (cheap pre-check; per-task threshold
-        # state lives across cogroup calls via this closure's heap)
-        acc = np.zeros(bucket_range, dtype=np.float64)
-        touched = np.zeros(bucket_range, dtype=bool)
+        acc = np.zeros(len(lens), dtype=np.float64)
+        touched = np.zeros(len(lens), dtype=bool)
         for term, grp in blocks_pdf.groupby("term", sort=True):
-            w = idf_arr.get(term)
+            w = idf_b.get(term)
             if w is None:
                 continue
             for row in grp.itertuples(index=False):
-                n = row.n
-                gaps = svb_decode(row.gaps_ctrl, row.gaps_data, n).astype(np.int64)
+                lo = (int(row.first_doc_id) - base) // chunk
+                hi = (int(row.last_doc_id) - base) // chunk
+                if not live[lo : hi + 1].any():
+                    continue  # chunk-level block-max skip
+                gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
                 ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1) - base
-                tfs = svb_decode(row.tfs_ctrl, row.tfs_data, n).astype(np.float64)
-                dl = lens[ids]
-                contrib = w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
-                acc[ids] += contrib
+                tfs = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
+                acc[ids] += _contrib(w, tfs, lens[ids], avgdl, k1, b)
                 touched[ids] = True
-            # NOTE: ordered-term accumulation (sort=True) keeps float adds
-            # in the oracle's sorted-term order per doc.
+            # sorted-term accumulation keeps float adds in oracle order
         cand = np.nonzero(touched)[0]
         if cand.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
         scores = acc[cand]
         if cand.size > k:
-            # bounded selection: keep only this bucket's local top-k
-            # (score desc, doc_id asc) — the per-partition min-heap analog
             order = np.lexsort((cand, -scores))[:k]
             cand, scores = cand[order], scores[order]
         return pd.DataFrame({"doc_id": cand + base, "score": scores})
 
     local_topk = (
-        blocks_by_bucket.groupBy("bucket")
-        .cogroup(lens_by_bucket.groupBy("bucket"))
+        blocks_surv.groupBy("bucket")
+        .cogroup(slabs_surv.groupBy("bucket"))
         .applyInPandas(cogroup_fn, schema=out_schema)
     )
+    if explain_out is not None:
+        explain_out.append(local_topk)  # plan audit hook (scripts/explain_plans.py)
     # driver k-merge with exact tie-break (score desc, doc_id asc)
     rows = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    return [(r["doc_id"], r["score"]) for r in rows]
+    topk = [(r["doc_id"], r["score"]) for r in rows]
+    return (topk, stats) if return_stats else topk
+
+
+def _zero_stats():
+    return {
+        "buckets_total": 0,
+        "buckets_pruned": 0,
+        "blocks_total": 0,
+        "blocks_in_pruned_buckets": 0,
+        "threshold": -math.inf,
+    }
 
 
 def bm25_topk_wand_blockmax(
@@ -164,9 +259,10 @@ def bm25_topk_wand_blockmax(
     b: float = BM25_B,
 ) -> list[tuple[int, float]]:
     """Single-partition block-max scorer with explicit block skipping —
-    the kernel used for skip-rate micro-benchmarks (bench.py) and
-    property tests. ``doc_lens`` is indexed by doc_id (1-based slot 0
-    unused). Blocks must be doc_id-ascending per term (block_id order).
+    the kernel used for serving (local_query.py), skip-rate
+    micro-benchmarks (bench.py) and property tests. ``doc_lens`` is
+    indexed by doc_id (1-based slot 0 unused). Blocks must be
+    doc_id-ascending per term (block_id order).
 
     Processes doc-ranges in ascending order; before decoding the blocks
     overlapping a range, checks Σ idf·max_impact against the running
@@ -186,7 +282,7 @@ def bm25_topk_wand_blockmax(
             if w is None:
                 continue
             per_term_max[term] = max(per_term_max.get(term, 0.0), w * float(w_imp))
-        if sum(per_term_max.values()) <= threshold():
+        if sum(per_term_max.values()) < threshold():
             continue  # block-max skip: no doc here can beat the k-th score
         base = int(grp["first_doc_id"].min())
         span = int(grp["last_doc_id"].max()) - base + 1
@@ -202,8 +298,7 @@ def bm25_topk_wand_blockmax(
                 ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1) - base
                 tfs = svb_decode(row.tfs_ctrl, row.tfs_data, n).astype(np.float64)
                 dl = doc_lens[ids + base]
-                contrib = w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
-                acc[ids] += contrib  # ids are unique within a block
+                acc[ids] += _contrib(w, tfs, dl, avgdl, k1, b)  # ids unique per block
                 touched[ids] = True
         cand = np.nonzero(touched)[0]
         scores = acc[cand]

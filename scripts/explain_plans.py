@@ -61,6 +61,35 @@ def main() -> None:
     p = grab_plan(s.conv_search(["data", "table"], 10))
     sections.append(("conv_search (productSearch analog)", p, ["TakeOrderedAndProject", "!BatchEvalPython"]))
 
+    # WAND serving plan: blocks + doc_len slabs persisted at build time,
+    # query reads ONLY those (bucket-pruned) — never the docs table
+    from fulltextsearchengine_spark.operators.posting_blocks import (
+        build_doc_len_slabs,
+        build_posting_blocks,
+    )
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
+
+    st = s._stats
+    avgdl = st["total_tokens"] / st["num_docs"]
+    build_posting_blocks(idx.postings, avgdl=avgdl, block_size=64, bucket_range=256) \
+        .write.mode("overwrite").parquet(f"{wd}/wandidx/blocks")
+    build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), 256) \
+        .write.mode("overwrite").parquet(f"{wd}/wandidx/slabs")
+    wblocks = spark.read.parquet(f"{wd}/wandidx/blocks")
+    wslabs = spark.read.parquet(f"{wd}/wandidx/slabs")
+    hook: list = []
+    bm25_topk_wand(
+        wblocks, wslabs, ["spark", "join", "fast"], 10,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=256, block_size=64, explain_out=hook,
+    )
+    p = grab_plan(hook[0])
+    sections.append((
+        "BM25 WAND serving (blocks+slabs only, docs table untouched)", p,
+        ["wandidx/blocks", "wandidx/slabs", "In(bucket", "FlatMapCoGroupsInPandas",
+         "!/index/docs"],
+    ))
+
     from fulltextsearchengine_spark.operators.dedup import minhash_lsh_pairs
 
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -76,21 +76,58 @@ def test_wand_matches_oracle(ctx):
         sorted(golden["term_to_document_frequency"])[10:15],
         [sorted(golden["term_to_document_frequency"])[0], "zzznotaword"],
     ]
-    doc_lens = idx.docs.select("doc_id", "doc_len")
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
     for q in queries:
         exp = oracle.bm25_search(golden, q, 10)
-        got = bm25_topk_wand(
+        got, wstats = bm25_topk_wand(
             blocks,
-            doc_lens,
+            slabs,
             q,
             10,
             n_docs=stats["num_docs"],
             total_tokens=stats["total_tokens"],
             bucket_range=BUCKET_RANGE,
+            block_size=BLOCK_SIZE,
+            return_stats=True,
         )
         assert [g[0] for g in got] == [e[0] for e in exp], q
         for e, g in zip(exp, got):
             assert g[1] == pytest.approx(e[1], rel=1e-9)
+        assert wstats["buckets_pruned"] >= 0
+        assert wstats["blocks_in_pruned_buckets"] <= wstats["blocks_total"]
+
+
+def test_wand_distributed_prunes(spark):
+    """The distributed path must actually skip work. Skewed fixture: one
+    short doc with tf=10 dominates; every other bucket holds only tf=1
+    long docs whose metadata upper bound can't beat the seeded
+    threshold, so those buckets are pruned WITHOUT decoding."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+
+    n_docs, bucket_range = 1000, 128
+    rows = [("x", 1, 10, 10)]  # the winner: high tf, short doc
+    for d in range(150, 1000, 100):  # one weak posting per later bucket
+        rows.append(("x", d, 1, 100))
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf long, doc_len long")
+    docs = spark.createDataFrame(
+        [(d, 10 if d == 1 else 100) for d in range(1, n_docs + 1)],
+        "doc_id long, doc_len long",
+    )
+    total_tokens = 10 + 100 * (n_docs - 1)
+    avgdl = total_tokens / n_docs
+    blocks = build_posting_blocks(postings, avgdl=avgdl, block_size=16, bucket_range=bucket_range)
+    slabs = build_doc_len_slabs(docs, bucket_range)
+    got, wstats = bm25_topk_wand(
+        blocks, slabs, ["x"], 1,
+        n_docs=n_docs, total_tokens=total_tokens,
+        bucket_range=bucket_range, block_size=16, return_stats=True,
+    )
+    assert got[0][0] == 1  # the dominant doc wins
+    assert wstats["threshold"] > 0
+    assert wstats["buckets_pruned"] > 0  # weak buckets skipped via metadata
+    assert wstats["blocks_in_pruned_buckets"] > 0
 
 
 def test_blockmax_kernel_matches_oracle(ctx):
