@@ -393,6 +393,44 @@ def _q_simhash(spark, sf_dir):
     return simhash64(_docs_raw(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_raw(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash64: md5-half hex→uint32, 64 tf-weighted
+    bit votes, sign bit via two's-complement add (mirrors Spark's
+    shiftleft(1L, 63) wrap)."""
+
+    def hex2long(e: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(8), p -> "
+            f"CAST(strpos('0123456789abcdef', substring({e}, CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)"
+            " * CAST(power(16, 7 - p) AS BIGINT))) AS BIGINT)"
+        )
+
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h{1 if i < 32 else 2} >> {i % 32}) & 1) = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(64)
+    )
+    sig = " + ".join(
+        ["CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"]
+        + [f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(62, -1, -1)]
+    )
+    return (
+        f"WITH tokd AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents), "
+        "tok AS (SELECT doc_id, unnest(tokens) AS term FROM tokd), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+        "hx AS (SELECT doc_id, tf, md5(term) AS mh FROM tf), "
+        f"hh AS (SELECT doc_id, tf, {hex2long('substring(mh, 1, 8)')} AS h1, "
+        f"{hex2long('substring(mh, 9, 8)')} AS h2 FROM hx), "
+        f"v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id) "
+        f"SELECT doc_id, {sig} AS simhash FROM v"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -424,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _q_minhash_sigs,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_near_pairs": _q_simhash_pairs,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -571,6 +610,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_value_micro "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
         ),
-        # dedup_simhash: no oracle SQL — 64-bit bit-twiddling signature;
-        # rows-only check here, exactness locked in tests/test_dedup.py.
+        "dedup_simhash": _simhash_sql(),
+        # near pairs: DuckDB brute-forces all pairs (exact); the Spark side
+        # uses 4×16-bit pigeonhole banding, lossless for hamming ≤ 3
+        "dedup_simhash_near_pairs": (
+            f"WITH sigs AS ({_simhash_sql()}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
     }

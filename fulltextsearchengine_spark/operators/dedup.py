@@ -185,8 +185,11 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    h = tf.withColumn("h1", F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")) \
-          .withColumn("h2", F.conv(F.substring(F.md5(F.col("term")), 9, 8), 16, 10).cast("long"))
+    h = (
+        tf.withColumn("mh", F.md5(F.col("term")))  # aliased once, not re-derived per half
+        .withColumn("h1", F.conv(F.substring(F.col("mh"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring(F.col("mh"), 9, 8), 16, 10).cast("long"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
