@@ -129,14 +129,33 @@ def merge_segment_stats(spark: SparkSession, index_dir: str) -> dict:
 
 def compact_segments(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     """Fold all segments into one batch-shaped index (the Lucene-merge
-    analog of SPIMI's final k-way merge, SPIMIIndexer.java:58-86):
-    globalized docIDs are preserved, per-(term, doc_id) tfs re-aggregate
-    (duplicate keys cannot exist across segments — disjoint doc ranges —
-    so this is a pure union + layout rewrite), terms/stats/conv_ranges
+    analog of SPIMI's final k-way merge, SPIMIIndexer.java:58-86).
+
+    docIDs are RE-RANKED dense by (conv_id, turn_idx) — same order the
+    batch pipeline assigns (docid.assign_doc_ids) — because per-segment
+    doc_base offsets break conversation contiguity when a conversation
+    spans micro-batches (its turns land in different segments, so its
+    global ids are non-adjacent). conv_ranges stores [min, max] and
+    Searcher.conv_doc_ids expands that range (the reference's contiguity
+    invariant, ProductIdToDocIdMapper.java:142-151), so compaction must
+    restore it; after the re-rank the compacted index is IDENTICAL to a
+    from-scratch batch build over the concatenated input. Postings remap
+    via one doc_id join (offline, amortized). terms/stats/conv_ranges
     recomputed. The result is loadable by ``load_index`` and serves all
     scorers identically to a from-scratch batch build."""
-    p = merged_postings(spark, index_dir)
-    d = merged_docs(spark, index_dir)
+    from ..operators.docid import assign_doc_ids
+
+    p_old = merged_postings(spark, index_dir)
+    d_old = merged_docs(spark, index_dir).withColumnRenamed("doc_id", "_old_doc_id")
+    d_new = assign_doc_ids(d_old)  # dense rank over (conv_id, turn_idx)
+    mapping = d_new.select("_old_doc_id", F.col("doc_id").alias("_new_doc_id"))
+    d = d_new.drop("_old_doc_id")
+    p = (
+        p_old.withColumnRenamed("doc_id", "_old_doc_id")
+        .join(mapping, "_old_doc_id")
+        .drop("_old_doc_id")
+        .withColumnRenamed("_new_doc_id", "doc_id")
+    )
     (
         p.repartition(F.col("term"), (F.col("doc_id") / F.lit(1 << 20)).cast("long"))
         .sortWithinPartitions("term", "doc_id")

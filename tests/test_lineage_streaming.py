@@ -108,6 +108,58 @@ def test_streaming_incremental_index(spark, corpus, tmp_path_factory):
     assert post.count() == sum(golden["term_to_document_frequency"].values())
 
 
+def test_compaction_restores_conv_contiguity(spark, tmp_path_factory):
+    """A conversation whose turns arrive in DIFFERENT micro-batches gets
+    non-contiguous global doc_ids under per-segment doc_base offsets;
+    compaction must re-rank so conv_ranges' [min, max] expansion
+    (Searcher.conv_doc_ids) returns exactly the conv's docs again —
+    the reference contiguity invariant (ProductIdToDocIdMapper.java:
+    142-151, IndexReaderIntegrationTest.java:127-143)."""
+    import pandas as pd
+
+    from fulltextsearchengine_spark.operators.index_build import load_index
+    from fulltextsearchengine_spark.operators.search import Searcher
+    from fulltextsearchengine_spark.streaming.stream_index import (
+        compact_segments,
+        run_incremental_index,
+    )
+
+    def turns(rows):
+        return pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).astype({"turn_idx": "int32"})
+
+    base = tmp_path_factory.mktemp("convspan")
+    input_dir = str(base / "in")
+    # batch 1: conv_a turn 0, conv_b turn 0 | batch 2: conv_a turn 1 (SPANS)
+    b1 = turns([("conv_a", 0, "user", "alpha beta", None, None),
+                ("conv_b", 0, "user", "gamma delta", None, None)])
+    b2 = turns([("conv_a", 1, "assistant", "alpha gamma", None, None),
+                ("conv_c", 0, "user", "beta beta epsilon", None, None)])
+    spark.createDataFrame(b1, schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(b2, schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    run_incremental_index(spark, input_dir, str(base / "seg"), str(base / "ckpt"))
+    compact_segments(spark, str(base / "seg"), str(base / "out"))
+
+    idx = load_index(spark, str(base / "out"))
+    # contiguity invariant: every conv's range size equals its doc count
+    for r in idx.conv_ranges.collect():
+        assert r["to_doc_id"] - r["from_doc_id"] + 1 == r["n_docs"], r
+    # conv_doc_ids returns exactly conv_a's docs (no other conv's ids)
+    s = Searcher(idx)
+    got = sorted(x["doc_id"] for x in s.conv_doc_ids("conv_a").collect())
+    true_ids = sorted(
+        x["doc_id"] for x in idx.docs.filter("conv_id = 'conv_a'").collect()
+    )
+    assert got == true_ids and len(got) == 2
+    # and doc_ids are dense 1..N ranked by (conv_id, turn_idx) — identical
+    # to a from-scratch batch build over the concatenated input
+    meta = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in idx.docs.collect()}
+    assert meta == {
+        ("conv_a", 0): 1, ("conv_a", 1): 2, ("conv_b", 0): 3, ("conv_c", 0): 4
+    }
+
+
 def test_multimodal_plumbing(spark):
     from fulltextsearchengine_spark.operators.multimodal import (
         decode_images,
