@@ -378,6 +378,38 @@ def _q_ann_cosine(spark, sf_dir):
     return cosine_topk(emb, qvec, TOPK).select("vec_id", _micro("cosine", "cosine_micro"))
 
 
+_IVF_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """Persisted IVF layout (vectors partitionBy(centroid), sidecar
+    quantizer): with n_probe = n_centroids the probe set covers every
+    list, so the result is EXACTLY brute-force cosine top-k — the gate
+    cross-checks the whole build→partition→prune→re-rank plumbing
+    against plain SQL. Partial-probe recall is locked in pytest
+    (test_similarity.py::test_ivf_persisted_index)."""
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.similarity import IvfAnnIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="ftse_ivf_") + "/emb_by_centroid"
+        _IVF_CACHE[key] = IvfAnnIndex.build(emb, path, dim=64, n_centroids=8, seed=11)
+    idx = _IVF_CACHE[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    return idx.topk(qvec, TOPK, n_probe=8).select("vec_id", _micro("cosine", "cosine_micro"))
+
+
+def _q_emb_near_pairs(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_pairs(emb, threshold=0.3, exact_baseline=True)
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -468,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_ivf_topk": _q_ann_ivf,
+        "emb_near_pairs_exact": _q_emb_near_pairs,
         "events_hourly_agg": _q_events_hourly,
     }
 
@@ -604,6 +638,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) "
             f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
             f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
+        "ann_ivf_topk": (
+            "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+            "FROM embeddings WHERE vec_id = 1), "
+            "scored AS (SELECT e.vec_id, "
+            "list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) "
+            "/ (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN q) "
+            f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
+            f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
+        "emb_near_pairs_exact": (
+            "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(round(list_dot_product(a.u, b.u) * 1e6) AS BIGINT) AS cosine_micro "
+            "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.u, b.u) >= 0.3"
         ),
         "events_hourly_agg": (
             "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "

@@ -64,7 +64,7 @@ def test_cosine_near_pairs(emb):
 
     df, vecs = emb
     got = {(r["vec_a"], r["vec_b"]): r["cosine_micro"] for r in
-           cosine_near_pairs(df, threshold=0.95).collect()}
+           cosine_near_pairs(df, threshold=0.95, exact_baseline=True).collect()}
     v = vecs.astype(np.float64)
     unit = v / np.linalg.norm(v, axis=1, keepdims=True)
     sims = unit @ unit.T
@@ -77,6 +77,73 @@ def test_cosine_near_pairs(emb):
     assert (0, 150) in got and (1, 151) in got
     for k in got:
         assert abs(got[k] - exp[k]) <= 2  # float32->double path, ulp slack
+
+
+def test_cosine_near_pairs_bucketed_default(emb):
+    """Default path is SRP-bucketed: an equi-join on bucket (never a
+    cartesian), results ⊆ exact, and true near-dups (θ→0) are found."""
+    from fulltextsearchengine_spark.operators.similarity import cosine_near_pairs
+
+    df, vecs = emb
+    bucketed = cosine_near_pairs(df, threshold=0.95)  # default = bucketed
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["vec_a"], r["vec_b"]): r["cosine_micro"] for r in bucketed.collect()}
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine_micro"] for r in
+             cosine_near_pairs(df, threshold=0.95, exact_baseline=True).collect()}
+    assert set(got) <= set(exact)
+    # planted near-dups (cosine ≈ 0.9999, θ ≈ 0) collide at n_planes=8
+    assert (0, 150) in got and (1, 151) in got
+    for k in got:
+        assert got[k] == exact[k]
+
+
+def test_srp_persisted_index(emb, tmp_path_factory):
+    """SrpAnnIndex: build once partitioned by bucket; the query scan is
+    partition-PRUNED (PartitionFilters on bucket, not a full scan) and
+    results equal the on-the-fly srp_bucketed_topk."""
+    from fulltextsearchengine_spark.operators.similarity import (
+        SrpAnnIndex,
+        srp_bucketed_topk,
+    )
+
+    df, vecs = emb
+    path = str(tmp_path_factory.mktemp("srpidx") / "emb_by_bucket")
+    idx = SrpAnnIndex.build(df, path, dim=DIM, n_planes=8)
+    loaded = SrpAnnIndex.load(df.sparkSession, path)
+    for qi in range(3):
+        q = vecs[qi].tolist()
+        got_df = loaded.topk(q, 5, multiprobe_hamming=1)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+        got = [(r["vec_id"], r["cosine"]) for r in got_df.collect()]
+        exp = [(r["vec_id"], r["cosine"]) for r in
+               srp_bucketed_topk(df, q, 5, dim=DIM, n_planes=8, multiprobe_hamming=1).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp]
+    assert idx.meta == loaded.meta
+
+
+def test_ivf_persisted_index(emb, tmp_path_factory):
+    """IvfAnnIndex: centroids persist in the sidecar; queries prune to
+    n_probe partitions; full-probe equals exact brute force."""
+    from fulltextsearchengine_spark.operators.similarity import IvfAnnIndex, cosine_topk
+
+    df, vecs = emb
+    path = str(tmp_path_factory.mktemp("ivfidx") / "emb_by_centroid")
+    IvfAnnIndex.build(df, path, dim=DIM, n_centroids=8, seed=11)
+    idx = IvfAnnIndex.load(df.sparkSession, path)
+    assert idx.centroids.shape == (8, DIM)
+    q = vecs[3].tolist()
+    # probing ALL lists == exact brute force (plumbing is lossless)
+    got = [r["vec_id"] for r in idx.topk(q, 10, n_probe=8).collect()]
+    exp = [r["vec_id"] for r in cosine_topk(df, q, 10).collect()]
+    assert got == exp
+    # partial probe: pruned scan, query's own vector still found
+    part = idx.topk(q, 5, n_probe=3)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert 3 in [r["vec_id"] for r in part.collect()]
 
 
 def test_ivf_topk_recall(emb):
