@@ -165,14 +165,26 @@ def _conv_search_sql(query: list[str], k: int) -> str:
   SELECT p.doc_id, sum(q.w * (1.0 + log10(p.tf))) AS dot
   FROM postings p JOIN qw q USING (term) GROUP BY p.doc_id
 )
-, convn AS (SELECT conv_id, count(*) AS n_docs FROM docs GROUP BY conv_id)
-, rel AS (
-  SELECT d.conv_id, sum(s.dot) / max(n.n_docs) AS relevancy
-  FROM dots s JOIN docs d USING (doc_id) JOIN convn n ON n.conv_id = d.conv_id
-  GROUP BY d.conv_id
+, wdots AS (
+  SELECT d.conv_id, sum(s.dot) AS sum_dots,
+         sum((CASE WHEN d.role = 'user' THEN 1.0 WHEN d.role = 'assistant' THEN 0.5
+              ELSE 0.25 END) * s.dot) AS sum_wdots
+  FROM dots s JOIN docs d USING (doc_id) GROUP BY d.conv_id
 )
-SELECT conv_id, CAST(round(relevancy * 1e6) AS BIGINT) AS relevancy_micro
-FROM rel ORDER BY relevancy DESC, conv_id LIMIT {k}
+, convn AS (
+  SELECT conv_id, count(*) AS n_docs,
+         sum(CASE WHEN role = 'user' THEN 1.0 WHEN role = 'assistant' THEN 0.5
+             ELSE 0.25 END) AS sum_w
+  FROM docs GROUP BY conv_id
+)
+, rel AS (
+  SELECT w.conv_id, w.sum_dots / n.n_docs AS relevancy, w.sum_wdots / n.sum_w AS rnk
+  FROM wdots w JOIN convn n ON n.conv_id = w.conv_id
+)
+, s1 AS (SELECT * FROM rel ORDER BY relevancy DESC, conv_id LIMIT {k})
+SELECT conv_id, CAST(round(relevancy * 1e6) AS BIGINT) AS relevancy_micro,
+       CAST(round(rnk * 1e6) AS BIGINT) AS rank_micro
+FROM s1 ORDER BY rnk DESC, conv_id
 """
     )
 
@@ -261,7 +273,9 @@ def _q_bm25_batch(spark, sf_dir):
 
 def _q_conv_search(spark, sf_dir):
     s = Searcher(_index(spark, sf_dir))
-    return s.conv_search(Q_CONV, 10).select("conv_id", _micro("relevancy", "relevancy_micro"))
+    return s.conv_search(Q_CONV, 10).select(
+        "conv_id", _micro("relevancy", "relevancy_micro"), _micro("rank", "rank_micro")
+    )
 
 
 def _q_bm25_wand(spark, sf_dir):

@@ -287,26 +287,57 @@ class Searcher:
 
     # ---- conv-level search (productSearch analog) ----------------------
     def conv_search(self, query: list[str], k: int) -> DataFrame:
-        """(conv_id, relevancy, rank) — two-stage (ReviewSearch.java:
-        235-284): relevancy(conv) = Σ candidate dots / n_docs(conv);
-        stage 1 top-k by relevancy (tie conv_id asc — documented
-        deviation, reference tie order is nondeterministic); stage 2
-        re-sorts by rank desc (= mean dot over ALL conv docs; the
-        helpfulness-free getProductRank analog), tie conv_id asc."""
+        """(conv_id, relevancy, rank) — genuine two-stage re-rank
+        (ReviewSearch.java:235-284 structure):
+
+        stage 1: relevancy(conv) = Σ candidate dots / n_docs(conv);
+        top-k by relevancy (tie conv_id asc — documented deviation,
+        the reference's tie order is nondeterministic).
+
+        stage 2 re-ranks the k winners by a DISTINCT signal — the
+        getProductRank analog (ReviewSearch.java:203-229: helpfulness-
+        weighted mean score over ALL the product's reviews). Transcripts
+        have no helpfulness field; the role weight plays its part:
+        rank(conv) = Σ w(role)·dot / Σ w(role) over ALL conv turns
+        (non-candidate turns contribute 0 to the numerator but their
+        role weight counts in the denominator), w = user 1.0 /
+        assistant 0.5 / other 0.25. The stage-2 denominator scan is
+        semi-join-pruned to the k stage-1 winners."""
+        w_role = (
+            F.when(F.col("role") == "user", F.lit(1.0))
+            .when(F.col("role") == "assistant", F.lit(0.5))
+            .otherwise(F.lit(0.25))
+        )
         dots = self.vector_space_scores(query)
         per_conv = (
-            dots.join(self.index.docs.select("doc_id", "conv_id"), "doc_id")
+            dots.join(self.index.docs.select("doc_id", "conv_id", "role"), "doc_id")
             .groupBy("conv_id")
-            .agg(F.sum("score").alias("sum_dots"))
+            .agg(
+                F.sum("score").alias("sum_dots"),
+                F.sum(w_role * F.col("score")).alias("sum_wdots"),
+            )
             .join(self.index.conv_ranges.select("conv_id", "n_docs"), "conv_id")
             .select(
                 "conv_id",
+                "sum_wdots",
                 (F.col("sum_dots") / F.col("n_docs")).alias("relevancy"),
-                (F.col("sum_dots") / F.col("n_docs")).alias("rank"),
             )
         )
         stage1 = per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k)
-        return stage1.orderBy(F.desc("rank"), F.asc("conv_id"))
+        # stage 2: Σ w(role) over ALL turns, only for the k winners
+        # (left-semi against the tiny stage-1 frame → broadcast + prune)
+        denom = (
+            self.index.docs.select("conv_id", w_role.alias("w"))
+            .join(stage1.select("conv_id"), "conv_id", "left_semi")
+            .groupBy("conv_id")
+            .agg(F.sum("w").alias("sum_w"))
+        )
+        return (
+            stage1.join(denom, "conv_id")
+            .withColumn("rank", F.col("sum_wdots") / F.col("sum_w"))
+            .orderBy(F.desc("rank"), F.asc("conv_id"))
+            .select("conv_id", "relevancy", "rank")
+        )
 
     def _empty_scores(self) -> DataFrame:
         spark = self.index.postings.sparkSession

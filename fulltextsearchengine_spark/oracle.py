@@ -186,13 +186,22 @@ def bm25_search(
     return scored[:k]
 
 
+ROLE_WEIGHTS = {"user": 1.0, "assistant": 0.5}
+ROLE_WEIGHT_DEFAULT = 0.25
+
+
 def conv_search(index: dict, query: list[str], k: int) -> list[tuple[str, float, float]]:
-    """productSearch analog -> [(conv_id, relevancy, rank)] in final order."""
+    """productSearch analog -> [(conv_id, relevancy, rank)] in final
+    order. Stage 1: relevancy = Σ candidate dots / n_docs. Stage 2
+    re-ranks the k winners by the role-weighted mean dot over ALL conv
+    turns (getProductRank analog — role weight plays the part of the
+    reference's helpfulness weight, ReviewSearch.java:203-229)."""
     qvec = _query_ltc(index, query)
     doc_dots: dict[int, float] = {}
     for doc_id, lnn in _doc_lnns(index, query).items():
         doc_dots[doc_id] = sum(qvec.get(t, 0.0) * w for t, w in sorted(lnn.items()))
-    doc_conv = {d: m["conv_id"] for d, m in index["doc_to_meta"].items()}
+    meta = index["doc_to_meta"]
+    doc_conv = {d: m["conv_id"] for d, m in meta.items()}
     sum_dots: dict[str, float] = {}
     for doc_id, dot in doc_dots.items():
         cid = doc_conv[doc_id]
@@ -201,10 +210,14 @@ def conv_search(index: dict, query: list[str], k: int) -> list[tuple[str, float,
         cid: s / len(index["conv_to_doc_ids"][cid]) for cid, s in sum_dots.items()
     }
     stage1 = sorted(relevancy.items(), key=lambda x: (-x[1], x[0]))[:k]
-    # rank = mean dot over ALL the conv's docs (non-candidates contribute 0)
+
+    def w(d: int) -> float:
+        return ROLE_WEIGHTS.get(meta[d]["role"], ROLE_WEIGHT_DEFAULT)
+
     def rank(cid: str) -> float:
         ids = index["conv_to_doc_ids"][cid]
-        return sum(doc_dots.get(d, 0.0) for d in ids) / len(ids)
+        num = sum(w(d) * doc_dots.get(d, 0.0) for d in ids)
+        return num / sum(w(d) for d in ids)
 
     final = sorted(stage1, key=lambda x: (-rank(x[0]), x[0]))
     return [(cid, rel, rank(cid)) for cid, rel in final]

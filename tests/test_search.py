@@ -83,6 +83,47 @@ def test_conv_search_rank_identity(setup):
             assert e[2] == pytest.approx(g[2], rel=1e-9, abs=1e-300)
 
 
+def test_conv_search_two_stage_orders_differ(spark):
+    """Stage 2 is a REAL re-rank: a conv whose hits sit in assistant
+    turns wins stage 1 (higher mean dot) but loses stage 2 (role weight
+    0.5 vs 1.0) — mirrors the reference where getProductRank
+    (helpfulness-weighted) reorders the relevancy winners
+    (ReviewSearchTest.java:169-210)."""
+    import pandas as pd
+
+    from fulltextsearchengine_spark import oracle
+    from fulltextsearchengine_spark.operators.index_build import build_index
+    from fulltextsearchengine_spark.operators.search import Searcher
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("ca", 0, "user", "magic wand", None, None),
+        ("ca", 1, "assistant", "plain filler text", None, None),
+        ("cb", 0, "assistant", "magic magic wand wand", None, None),
+        ("cb", 1, "user", "plain filler text", None, None),
+        ("cc", 0, "user", "unrelated words entirely", None, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32"})
+    golden = oracle.build_index(pdf)
+    q = ["magic", "wand"]
+    exp = oracle.conv_search(golden, q, 2)
+    # stage-1 (relevancy) order: cb first; final (rank) order: ca first
+    assert sorted(exp, key=lambda x: -x[1])[0][0] == "cb"
+    assert [e[0] for e in exp] == ["ca", "cb"]
+
+    idx = build_index(spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA))
+    got = [
+        (r["conv_id"], r["relevancy"], r["rank"])
+        for r in Searcher(idx).conv_search(q, 2).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for e, g in zip(exp, got):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)
+        assert g[2] == pytest.approx(e[2], rel=1e-9)
+
+
 def test_empty_query_and_oov(setup):
     _, searcher, _ = setup
     assert searcher.bm25_search([], K).count() == 0
