@@ -333,10 +333,16 @@ def _q_shingles(spark, sf_dir):
     return doc_shingles(_docs_raw(spark, sf_dir), k=3)
 
 
+JACCARD_DF_CAP = 64  # > max shingle df at sf0.01 (7) and sf0.1 (25): the
+# capped path runs end-to-end yet stays value-identical to classic Jaccard
+
+
 def _q_jaccard(spark, sf_dir):
     from fulltextsearchengine_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_raw(spark, sf_dir), threshold=0.2, k=3)
+    return ngram_jaccard_pairs(
+        _docs_raw(spark, sf_dir), threshold=0.2, k=3, max_shingle_df=JACCARD_DF_CAP
+    )
 
 
 def _q_minhash_sigs(spark, sf_dir):
@@ -595,9 +601,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_shingles": f"WITH {shingle_cte} SELECT doc_id, shingle FROM sh",
         "dedup_ngram_jaccard": (
             f"WITH {shingle_cte}, "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            f"keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}), "
+            "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
             "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
-            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
             "GROUP BY a.doc_id, b.doc_id), "
             "j AS (SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard "
             "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "

@@ -87,17 +87,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_micro) for pairs with Jaccard(shingle sets)
-    ≥ threshold. Exact; candidate generation via the shared-shingle
-    inverted join, optionally dropping shingles with df > max_shingle_df
-    (stop-shingles dominate the join at scale and can't create high-
-    Jaccard pairs on their own)."""
-    sh = doc_shingles(df, k=k, id_col=id_col, text_col=text_col).cache()
+    ≥ threshold, via the shared-shingle inverted join.
+
+    ``max_shingle_df`` drops shingles with df > cap BEFORE the join
+    (stop-shingles make the join quadratic at scale — at 100 TB this cap
+    is MANDATORY, or gate candidates through MinHash-LSH instead).
+    Intersections AND set sizes are both computed over the SAME capped
+    shingle universe, so the score is the exact Jaccard of the capped
+    sets (not a mixed-universe underestimate); with the cap above the
+    corpus's max df it equals classic Jaccard exactly."""
+    sh = doc_shingles(df, k=k, id_col=id_col, text_col=text_col)
     if max_shingle_df is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh_j = sh.join(keep.select("shingle"), "shingle")
+        sh_j = sh.join(keep.select("shingle"), "shingle").cache()
     else:
-        sh_j = sh
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        sh_j = sh.cache()
+    sizes = sh_j.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh_j.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_j.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (

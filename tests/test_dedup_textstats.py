@@ -89,6 +89,52 @@ def test_shingles_and_jaccard(docs_df):
     assert (1, 2) in pairs and (1, 9) in pairs and (1, 3) in pairs
 
 
+def test_jaccard_df_cap_zipf_skew(spark):
+    """Zipf fixture: one stop-shingle shared by EVERY doc would make the
+    shared-shingle join quadratic (n·(n−1)/2 candidates). With the cap,
+    (a) the stop-shingle never enters the join, (b) intersections and
+    set sizes use the SAME capped universe (exact capped-Jaccard — the
+    r1 mixed-universe underestimate is gone), (c) true near-dups still
+    surface."""
+    from fulltextsearchengine_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 40
+    stop = "the end of message"  # 4 tokens → shingles "the end of", "end of message"
+    rows = [(i, f"unique{i} alpha{i} beta{i} {stop}") for i in range(1, n + 1)]
+    rows.append((n + 1, rows[0][1]))  # exact dup of doc 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    cap = 5  # stop-shingles (df = 41) are dropped; per-doc uniques stay
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, k=3, max_shingle_df=cap).collect()
+    }
+    # brute-force oracle over CAPPED shingle sets
+    shingle_df = Counter()
+    per_doc = {}
+    for did, text in rows:
+        s = _shingles(text)
+        per_doc[did] = s
+        shingle_df.update(s)
+    capped = {d: {s for s in ss if shingle_df[s] <= cap} for d, ss in per_doc.items()}
+    exp = {}
+    ids = sorted(per_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and inter / union >= 0.1:
+                exp[(a, b)] = round(inter / union * 1e6)
+    assert got == exp
+    assert (1, n + 1) in got and got[(1, n + 1)] == 1_000_000  # dup pair survives
+    # candidate explosion is gone: without the cap every doc pair shares
+    # the stop-shingles → ~n²/2 joined pairs; capped join touches only
+    # the dup pair's shingles
+    uncapped_cand = ngram_jaccard_pairs(df, threshold=0.0, k=3).count()
+    assert uncapped_cand == (n + 1) * n // 2  # quadratic blow-up (41 docs)
+    assert len(exp) == 1  # capped candidate space: just the dup pair
+
+
 def test_minhash_lsh_finds_exact_dups(docs_df):
     from fulltextsearchengine_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
