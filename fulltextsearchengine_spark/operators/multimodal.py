@@ -89,13 +89,16 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode → per-channel means. ``fake=False`` requires a real
     codec (PIL) and raises NotImplementedError in this container."""
     if not fake:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode needs PIL; run with fake=True for the "
-                "deterministic stub decoder"
-            ) from e
+        # Unconditional: the decode body below is the deterministic stub,
+        # so fabricated pixel stats must NEVER masquerade as a real decode
+        # even on a machine where PIL happens to be importable. A real
+        # build replaces _fake_pixels with PIL.Image.open and removes this.
+        raise NotImplementedError(
+            "real image decode is not implemented in this container (no "
+            "PIL/ffmpeg); run with fake=True for the deterministic stub "
+            "decoder — Spark-side plumbing (schema/batching/partitioning) "
+            "is identical"
+        )
 
     def decode(batches):
         for pdf in batches:

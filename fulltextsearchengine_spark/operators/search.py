@@ -120,19 +120,31 @@ class Searcher:
     def _query_ltc(self, query: list[str]) -> dict[str, float]:
         """ltc query vector, driver-side — exact ReviewSearch.queryLtc
         math (ReviewSearch.java:27-58): (1+log10 tf)·log10(N/df), df=0
-        dropped, cosine-normalized."""
+        dropped, cosine-normalized.
+
+        Reference parity detail: tf is counted over RAW-case query terms
+        (queryLtc counts before folding; only the dictionary lookup
+        lowercases, IndexReader.java:93,125) — a query with mixed-case
+        duplicates like ["Dog", "dog"] yields TWO unit-tf components
+        that both resolve to the same indexed term, not one tf=2
+        component. The returned vector is keyed by the folded term with
+        the variants' normalized weights summed (doc lnn depends only on
+        the folded term, so the dot product is identical to the
+        reference's per-variant accumulation)."""
         n = self.stats["num_docs"]
-        tf = Counter(normalize_query(query))
-        stats = self.term_stats(list(tf))
-        vec: dict[str, float] = {}
-        for term, f in tf.items():
-            df = stats.get(term, (0, 0))[0]
+        tf_raw = Counter(query)  # RAW terms — no folding before counting
+        stats = self.term_stats(sorted({v.lower() for v in tf_raw}))
+        vec_raw: dict[str, float] = {}
+        for variant, f in tf_raw.items():
+            df = stats.get(variant.lower(), (0, 0))[0]
             if df == 0:
                 continue
-            vec[term] = (1.0 + math.log10(f)) * math.log10(n / df)
-        norm = math.sqrt(sum(w * w for w in vec.values()))
-        if norm > 0:
-            vec = {t: w / norm for t, w in vec.items()}
+            vec_raw[variant] = (1.0 + math.log10(f)) * math.log10(n / df)
+        norm = math.sqrt(sum(w * w for w in vec_raw.values()))
+        vec: dict[str, float] = {}
+        for variant in sorted(vec_raw):  # deterministic fold-collapse order
+            t = variant.lower()
+            vec[t] = vec.get(t, 0.0) + (vec_raw[variant] / norm if norm > 0 else 0.0)
         return vec
 
     def vector_space_scores(self, query: list[str]) -> DataFrame:

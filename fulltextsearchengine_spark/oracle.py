@@ -111,25 +111,31 @@ def _postings_map(index: dict, term: str) -> dict[int, int]:
 
 
 def _query_ltc(index: dict, query: list[str]) -> dict[str, float]:
-    """ReviewSearch.queryLtc (ReviewSearch.java:27-58)."""
+    """ReviewSearch.queryLtc (ReviewSearch.java:27-58): tf over RAW-case
+    terms, df looked up on the folded term (lookup-time lowercasing,
+    IndexReader.java:93,125); normalized per-variant weights collapse
+    onto the folded key (doc lnn depends only on the folded term)."""
     n = index["num_docs"]
-    tf = Counter(query)
-    vec: dict[str, float] = {}
-    for term, f in tf.items():
-        df = index["term_to_document_frequency"].get(term, 0)
+    tf = Counter(query)  # RAW terms
+    vec_raw: dict[str, float] = {}
+    for variant, f in tf.items():
+        df = index["term_to_document_frequency"].get(variant.lower(), 0)
         if df == 0:
             continue  # df=0 terms dropped from the query vector
-        vec[term] = (1.0 + math.log10(f)) * math.log10(n / df)
-    norm = math.sqrt(sum(w * w for w in vec.values()))
-    if norm > 0:
-        vec = {t: w / norm for t, w in vec.items()}
+        vec_raw[variant] = (1.0 + math.log10(f)) * math.log10(n / df)
+    norm = math.sqrt(sum(w * w for w in vec_raw.values()))
+    vec: dict[str, float] = {}
+    for variant in sorted(vec_raw):
+        t = variant.lower()
+        vec[t] = vec.get(t, 0.0) + (vec_raw[variant] / norm if norm > 0 else 0.0)
     return vec
 
 
 def _doc_lnns(index: dict, query: list[str]) -> dict[int, dict[str, float]]:
-    """ReviewSearch.docLnns (ReviewSearch.java:65-82): OR candidates."""
+    """ReviewSearch.docLnns (ReviewSearch.java:65-82): OR candidates;
+    lookups fold case (IndexReader.java:93), keys are folded terms."""
     out: dict[int, dict[str, float]] = {}
-    for term in query:
+    for term in {t.lower() for t in query}:
         for doc_id, tf in _postings_map(index, term).items():
             out.setdefault(doc_id, {})[term] = 1.0 + math.log10(tf)
     return out

@@ -141,6 +141,23 @@ def test_case_folding(setup):
     assert a == b and len(a) > 0
 
 
+def test_lnnltc_mixed_case_duplicates(setup):
+    """Reference parity (ReviewSearch.queryLtc counts RAW-case terms,
+    folding happens only at dictionary lookup): ["Dog", "dog"] is TWO
+    unit-tf query components that collapse onto one indexed term —
+    scores come out √2× the single-term query, not the (1+log10 2)
+    folded-tf weighting."""
+    golden, searcher, _ = setup
+    term = max(golden["term_to_document_frequency"], key=golden["term_to_document_frequency"].get)
+    q = [term.upper(), term]
+    exp = oracle.vector_space_search(golden, q, K)
+    got = [(r["doc_id"], r["score"]) for r in searcher.vector_space_search(q, K).collect()]
+    _check_ranking(exp, got)
+    single = [(r["doc_id"], r["score"]) for r in searcher.vector_space_search([term], K).collect()]
+    assert got[0][0] == single[0][0]
+    assert got[0][1] == pytest.approx(single[0][1] * math.sqrt(2), rel=1e-12)
+
+
 def test_bm25_batch_matches_single(setup):
     """Batched multi-query BM25 (one job) == per-query results."""
     golden, searcher, queries = setup
