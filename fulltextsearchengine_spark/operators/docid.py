@@ -24,12 +24,23 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    storage_level: StorageLevel | None = None,
+) -> DataFrame:
     """Add a dense 1-based ``doc_id`` column ranked by (conv_id, turn_idx).
 
     At 100 TB this runs as: one range-exchange (sampled boundaries), one
     count job, and one narrow map with a per-partition sort — no global
     single-task window.
+
+    ``storage_level``: the ranged frame (the FULL corpus) is persisted
+    across the two passes. Default MEMORY_AND_DISK (spills under
+    pressure) is right when the corpus fits the cluster; pass
+    ``StorageLevel.DISK_ONLY`` for at-scale runs where caching the whole
+    input would evict everything else from executor memory for a
+    read-exactly-twice frame.
     """
     spark = transcripts.sparkSession
     if num_partitions is None:
@@ -39,7 +50,7 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
     ranged = (
         transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
     # pass 1: per-partition counts (tiny: P rows to the driver)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}

@@ -182,9 +182,11 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
     def decode_iter(batches):
         for pdf in batches:
             terms, ids, tfs = [], [], []
-            for _, row in pdf.iterrows():
-                d, t = decode_block(row)
-                terms.extend([row["term"]] * len(d))
+            for row in pdf.itertuples(index=False):
+                gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n)
+                d = np.cumsum(gaps.astype(np.int64)) + (int(row.first_doc_id) - 1)
+                t = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.int64)
+                terms.extend([row.term] * len(d))
                 ids.append(d)
                 tfs.append(t)
             if ids:
