@@ -439,6 +439,57 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_parse_blocks(spark, sf_dir):
+    """S1/S2/S4 parser gate: transcripts → block-format raw text →
+    parse_transcript_blocks; must reproduce the input table exactly
+    (reference parser stack, parsing/LinesMemoryParser.java:21-48,
+    parsing/Review.java:41-88). The oracle is the transcripts CTE itself
+    — the round-trip IS the assertion."""
+    from fulltextsearchengine_spark.sources.rawlog import (
+        format_transcript_blocks,
+        parse_transcript_blocks,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    parsed = parse_transcript_blocks(format_transcript_blocks(t))
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+def _q_parse_log_lines(spark, sf_dir):
+    """S3 regex-parser gate: transcripts → single-line log format →
+    parse_transcript_log_lines round-trip."""
+    from fulltextsearchengine_spark.sources.rawlog import parse_transcript_log_lines
+
+    t = transcripts_from_documents(spark, sf_dir)
+    lines = t.select(
+        F.format_string(
+            "%s | %s#%d | %s | tool=%s | %s",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.col("text"),
+        ).alias("value")
+    )
+    parsed = parse_transcript_log_lines(lines)
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from fulltextsearchengine_spark.operators.dedup import simhash64
 
@@ -508,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_lnnltc_topk": _q_lnnltc,
         "ftse_lm_topk": _q_lm,
         "ftse_conv_search": _q_conv_search,
+        "ftse_parse_blocks": _q_parse_blocks,
+        "ftse_parse_log_lines": _q_parse_log_lines,
         "dedup_exact": _q_dedup_exact,
         "dedup_shingles": _q_shingles,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -591,6 +644,16 @@ def oracle_sql() -> dict[str, str]:
         "ftse_lnnltc_topk": _lnnltc_sql(Q_LNN, TOPK),
         "ftse_lm_topk": _lm_sql(Q_LM, TOPK),
         "ftse_conv_search": _conv_search_sql(Q_CONV, 10),
+        "ftse_parse_blocks": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}) "
+            "SELECT conv_id, turn_idx, role, text, tool, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM transcripts"
+        ),
+        "ftse_parse_log_lines": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}) "
+            "SELECT conv_id, turn_idx, role, text, tool, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM transcripts"
+        ),
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(array_to_string(" + _TOKENS + ", ' ')) AS text_hash FROM documents) "
             "SELECT doc_id, text_hash, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_doc_id, "
