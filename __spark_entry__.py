@@ -439,6 +439,27 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    """Composed cleaning pipeline: quality+lang filters → exact dedup
+    first-wins; emits the surviving docs with their signals."""
+    from fulltextsearchengine_spark.operators.pipeline import clean_corpus
+
+    cleaned = clean_corpus(_docs_raw(spark, sf_dir))
+    return cleaned.select("doc_id", "lang_pred", "n_tokens", "uniq_ratio_micro")
+
+
+def _q_pipeline_report(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.pipeline import clean_corpus, corpus_report
+
+    return corpus_report(clean_corpus(_docs_raw(spark, sf_dir)))
+
+
+def _q_token_budget(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.pipeline import token_budget
+
+    return token_budget(_docs_raw(spark, sf_dir))
+
+
 def _q_parse_blocks(spark, sf_dir):
     """S1/S2/S4 parser gate: transcripts → block-format raw text →
     parse_transcript_blocks; must reproduce the input table exactly
@@ -561,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_conv_search": _q_conv_search,
         "ftse_parse_blocks": _q_parse_blocks,
         "ftse_parse_log_lines": _q_parse_log_lines,
+        "pipeline_clean_corpus": _q_pipeline_clean,
+        "pipeline_corpus_report": _q_pipeline_report,
+        "pipeline_token_budget": _q_token_budget,
         "dedup_exact": _q_dedup_exact,
         "dedup_shingles": _q_shingles,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -577,6 +601,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_pairs_exact": _q_emb_near_pairs,
         "events_hourly_agg": _q_events_hourly,
     }
+
+
+def _pipeline_sql(hits: dict, best: str, lang_case: str) -> str:
+    """Shared CTE mirroring operators/pipeline.clean_corpus: quality
+    signals → micro-threshold filters → lang filter → first-wins exact
+    dedup (QUALIFY on min doc_id per canonical hash)."""
+    hit_cols = ", ".join(f"{h} AS h_{c}" for c, h in sorted(hits.items()))
+    return (
+        "WITH t AS (SELECT doc_id, coalesce(text,'') AS text, " + _TOKENS + " AS tokens, "
+        "length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]', '', 'g')) AS alnum FROM documents), "
+        "sig AS (SELECT doc_id, text, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        "CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS uniq_ratio_micro, "
+        "CAST(CASE WHEN length(text) > 0 THEN round(CAST(length(text) - alnum AS DOUBLE) / length(text) * 1e6) ELSE 0 END AS BIGINT) AS punct_ratio_micro, "
+        f"{hit_cols} FROM t), "
+        f"lang AS (SELECT *, CASE WHEN {best} > 0 THEN CASE {lang_case} END ELSE 'und' END AS lang_pred FROM sig), "
+        "kept AS (SELECT * FROM lang WHERE n_tokens >= 20 AND uniq_ratio_micro >= 350000 "
+        "AND punct_ratio_micro <= 400000 AND lang_pred IN ('en')), "
+        "hashed AS (SELECT *, md5(array_to_string(tokens, ' ')) AS text_hash FROM kept), "
+        "cleaned AS (SELECT * FROM hashed QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text_hash)) "
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -644,6 +688,22 @@ def oracle_sql() -> dict[str, str]:
         "ftse_lnnltc_topk": _lnnltc_sql(Q_LNN, TOPK),
         "ftse_lm_topk": _lm_sql(Q_LM, TOPK),
         "ftse_conv_search": _conv_search_sql(Q_CONV, 10),
+        "pipeline_clean_corpus": _pipeline_sql(hits, best, lang_case)
+        + "SELECT doc_id, lang_pred, n_tokens, uniq_ratio_micro FROM cleaned",
+        "pipeline_corpus_report": _pipeline_sql(hits, best, lang_case)
+        + "SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(round(avg(n_tokens) * 1e6) AS BIGINT) AS mean_tokens_micro, "
+        "CAST(round(avg(uniq_ratio_micro)) AS BIGINT) AS mean_uniq_ratio_micro, "
+        "CAST(round(avg(punct_ratio_micro)) AS BIGINT) AS mean_punct_ratio_micro "
+        "FROM cleaned GROUP BY lang_pred",
+        "pipeline_token_budget": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') AS text, " + _TOKENS + " AS tokens FROM documents) "
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens, "
+            "CAST(sum(len(tokens)) AS BIGINT) AS alnum_tokens, "
+            "CAST(sum(length(text)) AS BIGINT) AS chars FROM t"
+        ),
         "ftse_parse_blocks": (
             f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}) "
             "SELECT conv_id, turn_idx, role, text, tool, "

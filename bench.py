@@ -148,11 +148,15 @@ def main() -> None:
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
 
-    # Arrow pandas-UDF tokenizer variant (input_hint path) vs the default
-    # JVM-expression tokenizer, same pipeline
+    # r1 pipeline variants for comparison: explode+groupBy with the
+    # Arrow tokenizer (the old fast path) and with the pure-Catalyst
+    # tokenizer; the headline index_build_sfdir is the map-side-invert
+    # single-shuffle pipeline (see build_and_save_index docstring)
     timed(
         "index_build_sfdir_pandas_udf",
-        lambda: build_and_save_index(t, f"{workdir}/index_pudf", use_pandas_tokenizer=True),
+        lambda: build_and_save_index(
+            t, f"{workdir}/index_pudf", use_pandas_tokenizer=True, map_side_invert=False
+        ),
     )
     timed(
         "bm25_batch_30q",
@@ -190,6 +194,43 @@ def main() -> None:
     timed("bm25_local_served", lambda: [local.search(qq, 10) for qq in big_queries for _ in range(20)])
     q["bm25_local_ms_per_query"] = round(q["bm25_local_served"] / (len(big_queries) * 20) * 1000, 3)
 
+    # ---- distributed WAND at scale: Zipf corpus, mixed hot+rare -------
+    # hot-only queries are WAND's worst case (every bucket holds the hot
+    # terms); the realistic mixed shape — two hot + one selective term —
+    # is where the threshold prunes. Finer buckets (2^12 ≈ 74 for 300k
+    # docs) give the bucket-level skip something to skip.
+    wand_bucket_range = 1 << 12
+    wblocks = build_posting_blocks(bigidx.postings, avgdl=bavgdl, bucket_range=wand_bucket_range).cache()
+    wblocks.count()
+    wslabs = build_doc_len_slabs(bigidx.docs.select("doc_id", "doc_len"), wand_bucket_range).cache()
+    wslabs.count()
+    bterm_df = {t_: d for t_, (d, _) in bsearcher._term_cache.items()}
+    rare_terms = [
+        r["term"]
+        for r in bigidx.terms.filter((F.col("df") >= 10) & (F.col("df") <= 30))
+        .orderBy("term")
+        .limit(5)
+        .collect()
+    ]
+    wand_big_queries = [
+        [big_terms[2 * i], big_terms[2 * i + 1], rare_terms[i % len(rare_terms)]]
+        for i in range(5)
+    ]
+    wand_big_stats: list[dict] = []
+
+    def run_wand_big():
+        for qq in wand_big_queries:
+            _, s = bm25_topk_wand(
+                wblocks, wslabs, qq, 10,
+                n_docs=bst["num_docs"], total_tokens=bst["total_tokens"],
+                bucket_range=wand_bucket_range,
+                term_stats={t_: bterm_df.get(t_, 0) for t_ in qq},
+                return_stats=True,
+            )
+            wand_big_stats.append(s)
+
+    timed("bm25_wand_big", run_wand_big)
+
     # index compression accounting (reference: final index ≈24% of raw,
     # analysis2.tex:97). Raw = input parquet bytes; index = all tables;
     # blocks = the compressed posting representation alone.
@@ -218,7 +259,7 @@ def main() -> None:
                 "index_build_turns_per_sec": round(turns_per_sec, 1),
                 "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
                 "wand_block_skip_rate": round(
-                    sum(s["blocks_in_pruned_buckets"] for s in wand_stats)
+                    sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_stats)
                     / max(sum(s["blocks_total"] for s in wand_stats), 1),
                     4,
                 ),
@@ -227,6 +268,18 @@ def main() -> None:
                     / max(sum(s["buckets_total"] for s in wand_stats), 1),
                     4,
                 ),
+                "wand_big_block_skip_rate": round(
+                    sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_big_stats)
+                    / max(sum(s["blocks_total"] for s in wand_big_stats), 1),
+                    4,
+                ),
+                "wand_big_bucket_skip_rate": round(
+                    sum(s["buckets_pruned"] for s in wand_big_stats)
+                    / max(sum(s["buckets_total"] for s in wand_big_stats), 1),
+                    4,
+                ),
+                "wand_big_blocks_decoded": sum(s["blocks_decoded"] for s in wand_big_stats),
+                "wand_big_blocks_total": sum(s["blocks_total"] for s in wand_big_stats),
                 "raw_corpus_mb": round(raw_bytes / 1e6, 1),
                 "index_total_ratio_of_raw": round(index_bytes / raw_bytes, 3),
                 "flat_postings_ratio_of_raw": round(postings_bytes / raw_bytes, 3),

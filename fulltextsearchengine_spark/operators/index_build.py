@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import tokenize_pandas_udf, tokens_col
+from ..functions.tokenize import term_freqs_pandas_udf, tokenize_pandas_udf, tokens_col
 from .docid import assign_doc_ids
 
 
@@ -120,6 +120,7 @@ def build_and_save_index(
     path: str,
     use_pandas_tokenizer: bool = False,
     num_partitions: int | None = None,
+    map_side_invert: bool = False,
 ) -> InvertedIndex:
     """The materializing build pipeline — each table derives from the
     PREVIOUS persisted stage, so docID assignment + tokenization run
@@ -130,38 +131,69 @@ def build_and_save_index(
     Stages (SURVEY.md §3.1 analog):
       1. docs_tokens: docID assign + tokenize, written once
          (tokens column kept only in this intermediate);
-      2. postings:    explode → groupBy(term, doc_id) [the one big
-         shuffle], written sorted by (term, doc_id) within term-hash
-         partitions → parquet min/max gives term-level file skipping;
+      2. postings: explode → groupBy(term, doc_id) [the one big
+         shuffle] → (term, doc_id-range)-salted layout repartition,
+         sorted (term, doc_id) within partitions → parquet min/max
+         gives term-level file skipping. ``map_side_invert=True``
+         switches to a single-shuffle variant that computes per-doc
+         (term, tf) pairs in one Arrow pass (``term_freqs_pandas_udf``,
+         the reference's per-doc invert, parsing/Review.java:93-100) —
+         value-identical (parity-tested), but MEASURED SLOWER (117 s vs
+         22 s on a 300k-turn corpus): Arrow conversion of the nested
+         list<struct<term,tf>> column costs far more than the extra
+         exchange saves. Kept as the documented negative result and for
+         corpora where shuffle, not CPU, is the bottleneck (very wide
+         docs, constrained network).
       3. docs/terms/conv_ranges/stats: cheap derivations, each reading
          only the columns it needs (column pruning does the rest).
     """
     spark = transcripts.sparkSession
-    tok = tokenize_pandas_udf(F.col("text")) if use_pandas_tokenizer else tokens_col(F.col("text"))
 
     with_ids = assign_doc_ids(transcripts, num_partitions=num_partitions)
-    turns = with_ids.withColumn("tokens", tok).withColumn(
-        "doc_len", F.size("tokens").cast("long")
-    )
-    # Two jobs over the persisted (range-partitioned) input; tokenize runs
-    # twice, which benchmarks faster than materializing a tokens-array
-    # intermediate (array-of-strings parquet encode dominates).
     # Final layout shuffle is salted with a doc_id range bucket: a
     # stopword at 10^12-turn scale has ~10^11 postings — hashing by term
     # alone would put them all in one reducer. (term, doc_id-range) keeps
     # per-reducer work bounded while sortWithinPartitions(term, doc_id)
     # still gives parquet min/max term pruning per file.
     salt = (F.col("doc_id") / F.lit(1 << 20)).cast("long")
-    (
-        turns.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len")  # partial agg map-side = SPIMI run invert
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("term", "doc_id", "tf", "doc_len")
-        .repartition(F.col("term"), salt)
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
+    if map_side_invert:
+        inv = with_ids.select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "doc_id",
+            term_freqs_pandas_udf(F.col("text")).alias("_tf"),
+        ).select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "doc_id",
+            F.col("_tf.doc_len").alias("doc_len"),
+            F.col("_tf.pairs").alias("_pairs"),
+        )
+        (
+            inv.select("doc_id", "doc_len", F.explode("_pairs").alias("p"))
+            .select("doc_id", "doc_len", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+            .select("term", "doc_id", "tf", "doc_len")
+            .repartition(F.col("term"), salt)
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        turns = inv  # docs columns below
+    else:
+        tok = tokenize_pandas_udf(F.col("text")) if use_pandas_tokenizer else tokens_col(F.col("text"))
+        turns = with_ids.withColumn("tokens", tok).withColumn(
+            "doc_len", F.size("tokens").cast("long")
+        )
+        # Two jobs over the persisted (range-partitioned) input; tokenize
+        # runs twice, which benchmarks faster than materializing a
+        # tokens-array intermediate (array-of-strings parquet encode
+        # dominates).
+        (
+            turns.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "doc_len")  # partial agg map-side = SPIMI run invert
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("term", "doc_id", "tf", "doc_len")
+            .repartition(F.col("term"), salt)
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
     postings = spark.read.parquet(f"{path}/postings")
 
     turns.select(

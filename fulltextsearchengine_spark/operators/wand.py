@@ -157,11 +157,21 @@ def bm25_topk_wand(
         stats["blocks_in_pruned_buckets"] = sum(
             nb for bkt, nb in per_bucket_blocks.items() if bkt not in surv_set
         )
+        stats["blocks_decoded"] = 0
+        stats["blocks_chunk_skipped"] = 0
     if not surviving:
         return ([], stats) if return_stats else []
 
     blocks_surv = qblocks.filter(F.col("bucket").isin(surviving))
     slabs_surv = slabs.filter(F.col("bucket").isin(surviving))
+
+    # executor-side skip counters: chunk-gate decisions are only
+    # observable in-task, so measure them with accumulators
+    acc_dec = acc_skip = None
+    if return_stats:
+        sc = blocks.sparkSession.sparkContext
+        acc_dec = sc.accumulator(0)
+        acc_skip = sc.accumulator(0)
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -210,7 +220,11 @@ def bm25_topk_wand(
                 lo = (int(row.first_doc_id) - base) // chunk
                 hi = (int(row.last_doc_id) - base) // chunk
                 if not live[lo : hi + 1].any():
+                    if acc_skip is not None:
+                        acc_skip.add(1)
                     continue  # chunk-level block-max skip
+                if acc_dec is not None:
+                    acc_dec.add(1)
                 gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
                 ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1) - base
                 tfs = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
@@ -236,6 +250,9 @@ def bm25_topk_wand(
     # driver k-merge with exact tie-break (score desc, doc_id asc)
     rows = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     topk = [(r["doc_id"], r["score"]) for r in rows]
+    if return_stats:
+        stats["blocks_decoded"] = acc_dec.value
+        stats["blocks_chunk_skipped"] = acc_skip.value
     return (topk, stats) if return_stats else topk
 
 
@@ -245,6 +262,8 @@ def _zero_stats():
         "buckets_pruned": 0,
         "blocks_total": 0,
         "blocks_in_pruned_buckets": 0,
+        "blocks_decoded": 0,
+        "blocks_chunk_skipped": 0,
         "threshold": -math.inf,
     }
 

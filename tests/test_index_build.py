@@ -82,3 +82,17 @@ def test_global_stats(built):
     assert s["unique_terms"] == golden["unique_tokens"]
     assert s["num_docs"] == golden["num_docs"]
     assert s["num_pairs"] == sum(golden["term_to_document_frequency"].values())
+
+
+def test_map_side_invert_parity(spark, tiny_transcripts_pdf, tmp_path):
+    """The single-shuffle Arrow-invert variant produces byte-identical
+    tables to the explode+groupBy default (see build_and_save_index
+    docstring — kept as a documented negative perf result)."""
+    from fulltextsearchengine_spark.operators.index_build import build_and_save_index
+
+    sdf = spark.createDataFrame(tiny_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    a = build_and_save_index(sdf, str(tmp_path / "a"))
+    b = build_and_save_index(sdf, str(tmp_path / "b"), map_side_invert=True)
+    for tbl in ("postings", "terms", "docs", "conv_ranges", "stats"):
+        x, y = getattr(a, tbl), getattr(b, tbl)
+        assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0, tbl
