@@ -460,6 +460,27 @@ def _q_token_budget(spark, sf_dir):
     return token_budget(_docs_raw(spark, sf_dir))
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP, PACK_BUDGET = 32, 8, 128
+
+
+def _q_chunk_documents(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs_raw(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def _q_pack_chunks(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _docs_raw(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).withColumn("shard", (F.col("doc_id") % 10).cast("long"))
+    packed = pack_chunks(chunks, budget_tokens=PACK_BUDGET, pack_key="shard")
+    return packed.select("doc_id", "chunk_idx", "n_chunk_tokens", "pack_id", "pack_ord")
+
+
 def _q_parse_blocks(spark, sf_dir):
     """S1/S2/S4 parser gate: transcripts → block-format raw text →
     parse_transcript_blocks; must reproduce the input table exactly
@@ -585,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_pipeline_clean,
         "pipeline_corpus_report": _q_pipeline_report,
         "pipeline_token_budget": _q_token_budget,
+        "chunk_documents": _q_chunk_documents,
+        "pack_chunks": _q_pack_chunks,
         "dedup_exact": _q_dedup_exact,
         "dedup_shingles": _q_shingles,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -601,6 +624,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_pairs_exact": _q_emb_near_pairs,
         "events_hourly_agg": _q_events_hourly,
     }
+
+
+def _chunk_sql() -> str:
+    """DuckDB twin of operators/chunking.chunk_documents at the gate's
+    (CHUNK_TOKENS, CHUNK_OVERLAP)."""
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    return (
+        "WITH toks AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents), "
+        "tn AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks), "
+        "nc AS (SELECT *, CASE WHEN n <= 0 THEN 0 ELSE 1 + "
+        f"CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0) / {step}.0) AS INT) END AS n_chunks FROM tn), "
+        "ex AS (SELECT doc_id, tokens, CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx FROM nc), "
+        f"sl AS (SELECT doc_id, chunk_idx, tokens[chunk_idx * {step} + 1 : chunk_idx * {step} + {CHUNK_TOKENS}] AS chunk FROM ex), "
+        "ch AS (SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens, "
+        "array_to_string(chunk, ' ') AS chunk_text FROM sl) "
+    )
 
 
 def _pipeline_sql(hits: dict, best: str, lang_case: str) -> str:
@@ -696,6 +735,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(avg(uniq_ratio_micro)) AS BIGINT) AS mean_uniq_ratio_micro, "
         "CAST(round(avg(punct_ratio_micro)) AS BIGINT) AS mean_punct_ratio_micro "
         "FROM cleaned GROUP BY lang_pred",
+        "chunk_documents": _chunk_sql() + "SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text FROM ch",
+        "pack_chunks": _chunk_sql()
+        + ", sh AS (SELECT *, CAST(doc_id % 10 AS BIGINT) AS shard FROM ch), "
+        "run AS (SELECT *, coalesce(sum(n_chunk_tokens) OVER ("
+        "PARTITION BY shard ORDER BY doc_id, chunk_idx "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rt FROM sh) "
+        f"SELECT doc_id, chunk_idx, n_chunk_tokens, "
+        f"concat(CAST(shard AS VARCHAR), '#', CAST(rt // {PACK_BUDGET} AS BIGINT)) AS pack_id, "
+        f"CAST(rt // {PACK_BUDGET} AS BIGINT) AS pack_ord FROM run",
         "pipeline_token_budget": (
             "WITH t AS (SELECT doc_id, coalesce(text,'') AS text, " + _TOKENS + " AS tokens FROM documents) "
             "SELECT count(*) AS n_docs, "

@@ -95,10 +95,18 @@ class LocalBM25:
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dl = self.doc_lens[ids]
-            # denominator precomputed; idf multiplied at query time in
-            # the oracle's exact association ((w·tf)·(k1+1))/denom
+            # idf-free contribution precomputed once per term:
+            # contrib0 = tf·(k1+1)/denom; the query does one fused
+            # multiply-add w·contrib0. Association differs from the
+            # analytic path's ((w·tf)·(k1+1))/denom by ≤ a few ulps —
+            # docs with equal (tf, doc_len) still get bit-equal scores,
+            # so doc_id tie-breaking is unaffected; cross-pair bit
+            # collisions at ulp scale are the only (measure-zero) rank
+            # risk. Locked by test_local_bm25_server (exact ranks,
+            # rel=1e-9 scores).
             denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-            dec[bkt] = (ids, tfs, denom, max(p[2] for p in parts))
+            contrib0 = tfs * (self.k1 + 1.0) / denom
+            dec[bkt] = (ids, contrib0, max(p[2] for p in parts))
         self._decoded[term] = dec
         return dec
 
@@ -119,22 +127,26 @@ class LocalBM25:
         if not idf:
             return []
         dec = {t: self._decoded_term(t) for t in sorted(idf)}
-        buckets = sorted({b for d in dec.values() for b in d})
+        # process buckets in DESCENDING upper-bound order: the heap
+        # fills with high scores first, so later low-ub buckets skip —
+        # classic impact-ordered traversal; results identical (skip
+        # fires only when ub can't beat the current k-th best)
+        ubs = {
+            bkt: sum(idf[t] * d[bkt][2] for t, d in dec.items() if bkt in d)
+            for bkt in {b for d in dec.values() for b in d}
+        }
         heap: list[tuple[float, int]] = []
-        for bkt in buckets:
-            ub = sum(idf[t] * d[bkt][3] for t, d in dec.items() if bkt in d)
-            if len(heap) >= k and ub <= heap[0][0]:
-                continue  # block-max skip
+        for bkt in sorted(ubs, key=lambda b_: -ubs[b_]):
+            if len(heap) >= k and ubs[bkt] <= heap[0][0]:
+                break  # block-max skip; ubs descending → all the rest skip too
             parts = [(t, *d[bkt]) for t, d in sorted(dec.items()) if bkt in d]
             base = min(int(p[1][0]) for p in parts)
             hi = max(int(p[1][-1]) for p in parts)
             acc = np.zeros(hi - base + 1, dtype=np.float64)
-            touched = np.zeros(hi - base + 1, dtype=bool)
-            for t, ids, tfs, denom, _ in parts:
-                w = idf[t]
-                acc[ids - base] += w * tfs * (self.k1 + 1.0) / denom
-                touched[ids - base] = True
-            cand = np.nonzero(touched)[0]
+            for t, ids, contrib0, _ in parts:
+                acc[ids - base] += idf[t] * contrib0
+            # contributions are strictly positive → acc>0 ⟺ touched
+            cand = np.nonzero(acc)[0]
             scores = acc[cand]
             if cand.size > k:
                 keep = np.lexsort((cand, -scores))[:k]
