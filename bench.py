@@ -188,6 +188,7 @@ def main() -> None:
     local = LocalBM25(
         bblocks, bigidx.docs, bst["num_docs"], bst["total_tokens"],
         term_df={t_: d for t_, (d, _) in bsearcher._term_cache.items()},
+        bucket_range=1 << 14,
     )
     for qq in big_queries:
         local.search(qq, 10)  # warm the per-term block cache

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .wand import BM25_B, BM25_K1, bm25_topk_wand_blockmax
+from .wand import BM25_B, BM25_K1, bm25_topk_wand_blockmax, topk_select
 
 _BLOCK_COLS = [
     "term", "bucket", "block_id", "n", "first_doc_id", "last_doc_id",
@@ -42,12 +42,17 @@ class LocalBM25:
         term_df: dict[str, int],
         k1: float = BM25_K1,
         b: float = BM25_B,
+        bucket_range: int | None = None,
     ):
         self.blocks = blocks
         self.n_docs = n_docs
         self.avgdl = total_tokens / n_docs if n_docs else 1.0
         self.term_df = term_df
         self.k1, self.b = k1, b
+        # must match the build_posting_blocks bucket_range (bucket =
+        # (doc_id-1)//range); asserted at decode. Inferred lazily from
+        # the blocks metadata when not given.
+        self.bucket_range = bucket_range
         # doc_len slab indexed by doc_id (the fixed-record-store analog,
         # storage/FixedRecordStorage.java:89-101 — O(1) length lookup)
         lens = docs.select("doc_id", "doc_len").collect()
@@ -78,6 +83,22 @@ class LocalBM25:
             return pd.DataFrame(columns=_BLOCK_COLS)
         return pd.concat(frames, ignore_index=True)
 
+    def _infer_bucket_range(self, pdf: pd.DataFrame) -> None:
+        if self.bucket_range is not None or pdf.empty:
+            return
+        # smallest power of two r with (doc_id-1)//r == bucket for every block
+        r = 1
+        while True:
+            ok = ((pdf["first_doc_id"] - 1) // r == pdf["bucket"]).all() and (
+                (pdf["last_doc_id"] - 1) // r == pdf["bucket"]
+            ).all()
+            if ok:
+                self.bucket_range = r
+                return
+            r <<= 1
+            if r > 1 << 40:
+                raise ValueError("cannot infer bucket_range from blocks; pass it explicitly")
+
     def _decoded_term(self, term: str) -> dict[int, tuple[np.ndarray, np.ndarray, float]]:
         if term in self._decoded:
             return self._decoded[term]
@@ -85,6 +106,7 @@ class LocalBM25:
 
         out: dict[int, list] = {}
         pdf = self._fetch_blocks([term])
+        self._infer_bucket_range(pdf)
         for row in pdf.itertuples(index=False):
             gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
             ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1)
@@ -106,7 +128,16 @@ class LocalBM25:
             # rel=1e-9 scores).
             denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
             contrib0 = tfs * (self.k1 + 1.0) / denom
-            dec[bkt] = (ids, contrib0, max(p[2] for p in parts))
+            # bucket-relative ids precomputed once (query-time scatter
+            # needs no subtraction); asserts the bucket_range contract
+            base = bkt * self.bucket_range + 1
+            ids_rel = ids - base
+            if ids_rel[0] < 0 or ids_rel[-1] >= self.bucket_range:
+                raise ValueError(
+                    f"blocks bucket_range mismatch (got bucket {bkt} with doc_ids "
+                    f"[{ids[0]}, {ids[-1]}] vs assumed range {self.bucket_range})"
+                )
+            dec[bkt] = (ids_rel, contrib0, max(p[2] for p in parts))
         self._decoded[term] = dec
         return dec
 
@@ -136,21 +167,26 @@ class LocalBM25:
             for bkt in {b for d in dec.values() for b in d}
         }
         heap: list[tuple[float, int]] = []
+        span = self.bucket_range
         for bkt in sorted(ubs, key=lambda b_: -ubs[b_]):
             if len(heap) >= k and ubs[bkt] <= heap[0][0]:
                 break  # block-max skip; ubs descending → all the rest skip too
             parts = [(t, *d[bkt]) for t, d in sorted(dec.items()) if bkt in d]
-            base = min(int(p[1][0]) for p in parts)
-            hi = max(int(p[1][-1]) for p in parts)
-            acc = np.zeros(hi - base + 1, dtype=np.float64)
-            for t, ids, contrib0, _ in parts:
-                acc[ids - base] += idf[t] * contrib0
+            base = bkt * span + 1
+            acc = np.zeros(span, dtype=np.float64)
+            for t, ids_rel, contrib0, _ in parts:
+                # bincount's sequential accumulate beats fancy-index
+                # scatter ~4× on dense terms (ids unique per term-bucket,
+                # so both are bit-identical); sparse terms keep the
+                # scatter (bincount pays O(span) regardless)
+                if ids_rel.size * 4 >= span:
+                    acc += np.bincount(ids_rel, weights=contrib0, minlength=span) * idf[t]
+                else:
+                    acc[ids_rel] += idf[t] * contrib0
             # contributions are strictly positive → acc>0 ⟺ touched
             cand = np.nonzero(acc)[0]
             scores = acc[cand]
-            if cand.size > k:
-                keep = np.lexsort((cand, -scores))[:k]
-                cand, scores = cand[keep], scores[keep]
+            cand, scores = topk_select(cand, scores, k)
             for d_, s in zip((cand + base).tolist(), scores.tolist()):
                 item = (s, -d_)
                 if len(heap) < k:

