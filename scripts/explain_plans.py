@@ -96,6 +96,20 @@ def main() -> None:
     p = grab_plan(minhash_lsh_pairs(docs_raw, bands=4, rows_per_band=2))
     sections.append(("MinHash LSH pairs", p, ["HashAggregate"]))
 
+    from fulltextsearchengine_spark.operators.chunking import chunk_documents
+    from fulltextsearchengine_spark.operators.pipeline import clean_corpus
+
+    p = grab_plan(clean_corpus(docs_raw))
+    sections.append((
+        "Cleaning pipeline (quality→lang→dedup fused)", p,
+        ["!BatchEvalPython", "Window"],
+    ))
+    pc = grab_plan(chunk_documents(docs_raw, chunk_tokens=32, overlap=8))
+    sections.append((
+        "Document chunking (shuffle-free)", pc,
+        ["!Exchange", "!BatchEvalPython", "Generate"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
