@@ -461,6 +461,17 @@ def _q_token_budget(spark, sf_dir):
 
 
 CHUNK_TOKENS, CHUNK_OVERLAP, PACK_BUDGET = 32, 8, 128
+CONTAM_K, CONTAM_BENCH_MOD = 3, 97  # benchmark = docs with doc_id % 97 == 0
+
+
+def _q_contamination(spark, sf_dir):
+    """Decontamination report: corpus k-gram overlap vs a benchmark
+    (derived deterministically as every 97th doc); broadcast-join shape."""
+    from fulltextsearchengine_spark.operators.contamination import contamination_report
+
+    docs = _docs_raw(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return contamination_report(docs, bench, k=CONTAM_K)
 
 
 def _q_chunk_documents(spark, sf_dir):
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget": _q_token_budget,
         "chunk_documents": _q_chunk_documents,
         "pack_chunks": _q_pack_chunks,
+        "contamination_report": _q_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_shingles": _q_shingles,
         "dedup_ngram_jaccard": _q_jaccard,
@@ -735,6 +747,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(avg(uniq_ratio_micro)) AS BIGINT) AS mean_uniq_ratio_micro, "
         "CAST(round(avg(punct_ratio_micro)) AS BIGINT) AS mean_punct_ratio_micro "
         "FROM cleaned GROUP BY lang_pred",
+        "contamination_report": (
+            f"WITH {shingle_cte}, "
+            f"bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id), "
+            "shared AS (SELECT sh.doc_id, count(*) AS shared_ngrams FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(shared_ngrams, 0) AS BIGINT) AS shared_ngrams, "
+            "CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+            "CAST(CASE WHEN coalesce(shared_ngrams, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated "
+            "FROM documents d LEFT JOIN sizes USING (doc_id) LEFT JOIN shared USING (doc_id)"
+        ),
         "chunk_documents": _chunk_sql() + "SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text FROM ch",
         "pack_chunks": _chunk_sql()
         + ", sh AS (SELECT *, CAST(doc_id % 10 AS BIGINT) AS shard FROM ch), "
