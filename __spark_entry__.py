@@ -439,6 +439,75 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _stream_source_dir(src_file: str) -> str:
+    """FileStreamSource requires a DIRECTORY; the testdata tables are
+    single parquet files — expose one via a tempdir symlink."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ftse_stream_src_")
+    os.symlink(src_file, os.path.join(d, "part-00000.parquet"))
+    return d
+
+
+def _run_available_now(out, name_prefix: str):
+    """Drive a streaming DataFrame through a REAL Structured Streaming
+    query (availableNow trigger → memory sink) and return the sink table."""
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def _q_stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup gate (VERDICT r2 #7): documents replayed as
+    a file stream → streaming_exact_dedup → memory sink. WHICH row of a
+    duplicate group survives is order-dependent, so the gate emits only
+    group-invariant columns (text_hash, token count) — the survivor SET
+    is deterministic and fully DuckDB-oracled."""
+    from fulltextsearchengine_spark.functions.tokenize import tokens_col
+    from fulltextsearchengine_spark.streaming.stream_dedup import streaming_exact_dedup
+
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_source_dir(src))
+    surv = streaming_exact_dedup(stream)
+    out = surv.select(
+        "text_hash", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    return _run_available_now(out, "stream_dedup_exact")
+
+
+def _q_stream_dedup_simhash(spark, sf_dir):
+    """Streaming SimHash dedup gate at max_hamming=0: survivors are
+    exactly one row per distinct 64-bit signature (same sig → same
+    prefix group → suppressed), so the signature set is order-independent
+    and matches SELECT DISTINCT simhash of the batch oracle. Exercises
+    the full applyInPandasWithState path (state store, popcount scan).
+    Tokenless docs are filtered first: the batch simhash64 emits no row
+    for them while the per-row streaming UDF would emit sig 0."""
+    from fulltextsearchengine_spark.functions.tokenize import tokens_col
+    from fulltextsearchengine_spark.streaming.stream_dedup import streaming_simhash_dedup
+
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_source_dir(src))
+        .where(F.size(tokens_col(F.col("text"))) > 0)
+    )
+    surv = streaming_simhash_dedup(stream, max_hamming=0, prefix_bits=8)
+    return _run_available_now(surv.select("simhash"), "stream_dedup_simhash")
+
+
 def _q_pipeline_clean(spark, sf_dir):
     """Composed cleaning pipeline: quality+lang filters → exact dedup
     first-wins; emits the surviving docs with their signals."""
@@ -635,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "emb_near_pairs_exact": _q_emb_near_pairs,
         "events_hourly_agg": _q_events_hourly,
+        "stream_dedup_exact": _q_stream_dedup_exact,
+        "stream_dedup_simhash": _q_stream_dedup_simhash,
     }
 
 
@@ -790,6 +861,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY text_hash) AS group_size, "
             "CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY text_hash) THEN 1 ELSE 0 END AS is_dup "
             "FROM h"
+        ),
+        "stream_dedup_exact": (
+            "WITH h AS (SELECT md5(array_to_string(" + _TOKENS + ", ' ')) AS text_hash, "
+            "CAST(len(" + _TOKENS + ") AS INT) AS n_tokens FROM documents) "
+            "SELECT DISTINCT text_hash, n_tokens FROM h"
+        ),
+        "stream_dedup_simhash": (
+            f"SELECT DISTINCT simhash FROM ({_simhash_sql()})"
         ),
         "dedup_shingles": f"WITH {shingle_cte} SELECT doc_id, shingle FROM sh",
         "dedup_ngram_jaccard": (

@@ -34,10 +34,18 @@ Produced tables (§7.0 star schema):
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Output parquet codec. zstd over the default snappy: ~30-40% smaller
+# postings/docs files, which directly shrinks the build's NON-SCALING
+# term on disk-bandwidth-bound hosts (the Amdahl serial tail measured in
+# BENCH/BASELINE.md) — compression CPU is parallel, disk writes are not.
+PARQUET_CODEC = os.environ.get("FTSE_PARQUET_CODEC", "zstd")
 
 from ..functions.tokenize import term_freqs_pandas_udf, tokenize_pandas_udf, tokens_col
 from .docid import assign_doc_ids
@@ -172,6 +180,7 @@ def build_and_save_index(
             .repartition(F.col("term"), salt)
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
+            .option("compression", PARQUET_CODEC)
             .parquet(f"{path}/postings")
         )
         turns = inv  # docs columns below
@@ -192,25 +201,26 @@ def build_and_save_index(
             .repartition(F.col("term"), salt)
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
+            .option("compression", PARQUET_CODEC)
             .parquet(f"{path}/postings")
         )
     postings = spark.read.parquet(f"{path}/postings")
 
     turns.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"
-    ).write.mode("overwrite").parquet(f"{path}/docs")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/docs")
     if hasattr(with_ids, "_ftse_persisted"):
         with_ids._ftse_persisted.unpersist()
     postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").parquet(f"{path}/terms")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/terms")
     docs = spark.read.parquet(f"{path}/docs")
     terms = spark.read.parquet(f"{path}/terms")
     docs.groupBy("conv_id").agg(
         F.min("doc_id").alias("from_doc_id"),
         F.max("doc_id").alias("to_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
-    ).write.mode("overwrite").parquet(f"{path}/conv_ranges")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/conv_ranges")
     docs.agg(
         F.sum("doc_len").alias("total_tokens"),
         F.count(F.lit(1)).alias("num_docs"),
@@ -219,23 +229,24 @@ def build_and_save_index(
         terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
     ).select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len").coalesce(
         1
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/stats")
     return load_index(spark, path)
 
 
 def save_index(index: InvertedIndex, path: str) -> None:
     """Persist an already-built logical index (recomputes lineage per
     table — prefer build_and_save_index for full builds)."""
-    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    index.docs.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/docs")
     (
         index.postings.repartition(F.col("term"), (F.col("doc_id") / F.lit(1 << 20)).cast("long"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
         .parquet(f"{path}/postings")
     )
-    index.terms.write.mode("overwrite").parquet(f"{path}/terms")
-    index.conv_ranges.write.mode("overwrite").parquet(f"{path}/conv_ranges")
-    index.stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    index.terms.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/terms")
+    index.conv_ranges.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/conv_ranges")
+    index.stats.coalesce(1).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/stats")
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

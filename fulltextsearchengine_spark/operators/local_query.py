@@ -36,7 +36,7 @@ class LocalBM25:
     def __init__(
         self,
         blocks: DataFrame,
-        docs: DataFrame,
+        slabs: DataFrame,
         n_docs: int,
         total_tokens: int,
         term_df: dict[str, int],
@@ -44,21 +44,54 @@ class LocalBM25:
         b: float = BM25_B,
         bucket_range: int | None = None,
     ):
+        """``slabs`` is the build-time doc_len sidecar
+        (posting_blocks.build_doc_len_slabs output) — the SAME table the
+        distributed WAND path reads, so one sidecar serves both
+        (VERDICT r2 #5). The serving shard holds its doc-range's slab
+        rows (8 B/doc net); the docs table itself is never collected."""
         self.blocks = blocks
         self.n_docs = n_docs
         self.avgdl = total_tokens / n_docs if n_docs else 1.0
         self.term_df = term_df
         self.k1, self.b = k1, b
-        # must match the build_posting_blocks bucket_range (bucket =
-        # (doc_id-1)//range); asserted at decode. Inferred lazily from
-        # the blocks metadata when not given.
-        self.bucket_range = bucket_range
-        # doc_len slab indexed by doc_id (the fixed-record-store analog,
-        # storage/FixedRecordStorage.java:89-101 — O(1) length lookup)
-        lens = docs.select("doc_id", "doc_len").collect()
+        # doc_len array indexed by doc_id (the fixed-record-store analog,
+        # storage/FixedRecordStorage.java:89-101 — O(1) length lookup),
+        # assembled from the packed per-bucket slabs
+        slab_rows = slabs.select("bucket", "base", "n", "lens").collect()
         self.doc_lens = np.zeros(n_docs + 1, dtype=np.float64)
-        for r in lens:
-            self.doc_lens[r["doc_id"]] = r["doc_len"]
+        for r in slab_rows:
+            arr = np.frombuffer(r["lens"], dtype=np.uint32)
+            self.doc_lens[r["base"] : r["base"] + len(arr)] = arr
+        # bucket_range must match the build_posting_blocks value
+        # (bucket = (doc_id-1)//range). Derive it from slab metadata:
+        # base = bucket*range + 1 pins range exactly for any bucket ≥ 1
+        # (no power-of-two assumption — the old blocks-based inference
+        # could lock in an undersized guess from a bucket-0-only term).
+        # The per-term decode assert below remains the backstop.
+        if bucket_range is None:
+            ranges = {
+                (int(r["base"]) - 1) // int(r["bucket"])
+                for r in slab_rows
+                if int(r["bucket"]) >= 1
+            }
+            if len(ranges) > 1:
+                raise ValueError(f"inconsistent slab bases imply ranges {ranges}")
+            if ranges:
+                bucket_range = ranges.pop()
+                bad = [
+                    r
+                    for r in slab_rows
+                    if int(r["base"]) != int(r["bucket"]) * bucket_range + 1
+                ]
+                if bad:
+                    raise ValueError("slab bases inconsistent with derived bucket_range")
+            else:
+                # everything lives in bucket 0: any range covering the
+                # corpus satisfies the (doc_id-1)//range == 0 contract
+                bucket_range = max(
+                    [n_docs] + [int(r["n"]) for r in slab_rows]
+                )
+        self.bucket_range = bucket_range
         self._cache: dict[str, pd.DataFrame] = {}
         # decoded hot-posting cache: term → {bucket: (ids, impact, ub)}
         # with impact = precomputed idf-free BM25 tf-side contribution —
@@ -83,34 +116,17 @@ class LocalBM25:
             return pd.DataFrame(columns=_BLOCK_COLS)
         return pd.concat(frames, ignore_index=True)
 
-    def _infer_bucket_range(self, pdf: pd.DataFrame) -> None:
-        if self.bucket_range is not None or pdf.empty:
-            return
-        # smallest power of two r with (doc_id-1)//r == bucket for every block
-        r = 1
-        while True:
-            ok = ((pdf["first_doc_id"] - 1) // r == pdf["bucket"]).all() and (
-                (pdf["last_doc_id"] - 1) // r == pdf["bucket"]
-            ).all()
-            if ok:
-                self.bucket_range = r
-                return
-            r <<= 1
-            if r > 1 << 40:
-                raise ValueError("cannot infer bucket_range from blocks; pass it explicitly")
-
     def _decoded_term(self, term: str) -> dict[int, tuple[np.ndarray, np.ndarray, float]]:
         if term in self._decoded:
             return self._decoded[term]
-        from ..codecs import svb_decode
+        from ..codecs import svb_decode, tf_decode
 
         out: dict[int, list] = {}
         pdf = self._fetch_blocks([term])
-        self._infer_bucket_range(pdf)
         for row in pdf.itertuples(index=False):
             gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
             ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1)
-            tfs = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
+            tfs = tf_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
             out.setdefault(int(row.bucket), []).append((ids, tfs, float(row.max_impact)))
         dec: dict[int, tuple] = {}
         for bkt, parts in out.items():

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codecs import gaps_encode, svb_decode, svb_encode
+from ..codecs import gaps_encode, svb_decode, svb_encode, tf_decode, tf_encode
 
 DEFAULT_BLOCK_SIZE = 128
 # docIDs per build bucket. Trade-off: bounds a build task's postings at
@@ -96,7 +96,7 @@ def build_posting_blocks(
             # docIDs are 10^12-scale; absolute base is the first_doc_id col.
             gaps = gaps_encode(ids, prev=int(ids[0]) - 1)
             g_ctrl, g_data = svb_encode(gaps)
-            t_ctrl, t_data = svb_encode(tfs[s:e])
+            t_ctrl, t_data = tf_encode(tfs[s:e])
             out.append(
                 (
                     term,
@@ -171,7 +171,7 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
     n = row["n"]
     gaps = svb_decode(row["gaps_ctrl"], row["gaps_data"], n)
     doc_ids = np.cumsum(gaps.astype(np.int64)) + (int(row["first_doc_id"]) - 1)
-    tfs = svb_decode(row["tfs_ctrl"], row["tfs_data"], n).astype(np.int64)
+    tfs = tf_decode(row["tfs_ctrl"], row["tfs_data"], n)
     return doc_ids, tfs
 
 
@@ -185,7 +185,7 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n)
                 d = np.cumsum(gaps.astype(np.int64)) + (int(row.first_doc_id) - 1)
-                t = svb_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.int64)
+                t = tf_decode(row.tfs_ctrl, row.tfs_data, row.n)
                 terms.extend([row.term] * len(d))
                 ids.append(d)
                 tfs.append(t)

@@ -133,8 +133,10 @@ LOG_LINE_RE = (
 
 def parse_transcript_log_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     """Parse ``ts | conv#idx | role | tool=x | text`` lines into the
-    transcript schema; malformed lines (no regex match) coerce to
-    defaults rather than dropping (Review.fromFields policy)."""
+    transcript schema. Lines WITHOUT a parseable conv_id (regex no-match
+    or empty conv field) are discarded — a record can't exist without
+    its key; only field-LEVEL malformations (bad ts, bad role, …) coerce
+    to defaults (Review.fromFields policy, webdata/Review.java)."""
     c = F.col(col)
     raw = lines.select(
         F.regexp_extract(c, LOG_LINE_RE, 2).alias("conv_id_raw"),

@@ -98,11 +98,16 @@ def _popcount64(arr):
     return np.unpackbits(arr.astype(np.uint64).view(np.uint8)).reshape(len(arr), 64).sum(axis=1)
 
 
-def _simhash_state_fn(max_hamming: int, out_cols: list[str]):
+def _simhash_state_fn(max_hamming: int, out_cols: list[str], max_state: int | None):
     import numpy as np
 
     def fn(key, pdf_iter, state):
+        # prior-batch signatures stay in ONE immutable numpy array
+        # (vectorized scan); within-batch accepts accumulate in a Python
+        # list and concatenate ONCE at the end — np.append per row was
+        # O(n²) reallocation over the group's lifetime (r2 ADVICE)
         seen = np.array(state.get[0] if state.exists else [], dtype=np.int64)
+        new: list[int] = []
         out = []
         for pdf in pdf_iter:
             sigs = pdf["simhash"].to_numpy("int64")
@@ -113,10 +118,16 @@ def _simhash_state_fn(max_hamming: int, out_cols: list[str]):
                     if (d <= max_hamming).any():
                         keep[i] = False
                         continue
-                seen = np.append(seen, np.int64(s))
+                if any(((s ^ t) & (_U64 - 1)).bit_count() <= max_hamming for t in new):
+                    keep[i] = False
+                    continue
+                new.append(s)
             if keep.any():
                 out.append(pdf.loc[keep, out_cols])
-        state.update((seen.tolist(),))
+        merged = seen.tolist() + new
+        if max_state is not None and len(merged) > max_state:
+            merged = merged[-max_state:]  # FIFO: oldest signatures age out
+        state.update((merged,))
         if out:
             yield pd.concat(out)
 
@@ -129,6 +140,7 @@ def streaming_simhash_dedup(
     prefix_bits: int = 8,
     text_col: str = "text",
     timeout: str = "NoTimeout",
+    max_state_per_group: int | None = None,
 ) -> DataFrame:
     """Near-dup suppression on a stream: drop a turn whose SimHash is
     within ``max_hamming`` of any previously-seen turn sharing the top
@@ -138,6 +150,10 @@ def streaming_simhash_dedup(
     differing inside the prefix lands in different state groups and is
     missed — bounded recall loss, acceptable for corpus thinning;
     exactness needs the batch pigeonhole (dedup.simhash_near_pairs).
+
+    ``max_state_per_group`` caps each prefix group's seen-set (oldest
+    signatures age out FIFO) so hot groups stay O(cap) per candidate on
+    long-running streams; None keeps exact unbounded state.
     """
     sh = stream.withColumn("simhash", _simhash_udf(F.col(text_col))).withColumn(
         "sh_prefix", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
@@ -146,7 +162,7 @@ def streaming_simhash_dedup(
     out_schema = T.StructType([sh.schema[c] for c in out_cols])
     state_schema = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
     return sh.groupBy("sh_prefix").applyInPandasWithState(
-        _simhash_state_fn(max_hamming, out_cols),
+        _simhash_state_fn(max_hamming, out_cols, max_state_per_group),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

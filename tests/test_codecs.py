@@ -125,3 +125,37 @@ def test_front_coding_roundtrip(terms):
     terms = sorted(set(terms))
     stream, plens, slens = front_code(terms)
     assert front_decode(stream, plens, slens) == terms
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=300))
+def test_tfcodec_roundtrip(vals):
+    from fulltextsearchengine_spark.codecs import tf_decode, tf_encode
+
+    ctrl, data = tf_encode(vals)
+    assert tf_decode(ctrl, data, len(vals)).tolist() == vals
+
+
+def test_tfcodec_modes():
+    """Mode selection: constant blocks cost 5+0 bytes; small-range blocks
+    bit-pack; high-entropy blocks fall back to Stream-VByte."""
+    import numpy as np
+
+    from fulltextsearchengine_spark.codecs import tf_decode, tf_encode
+
+    ctrl, data = tf_encode([1] * 128)  # the tf≈1 majority case
+    assert ctrl[0] == 1 and len(ctrl) == 5 and data == b""
+    assert tf_decode(ctrl, data, 128).tolist() == [1] * 128
+
+    rng = np.random.RandomState(7)
+    small = rng.randint(1, 4, size=128).tolist()  # range 1..3 → 2 bits/val
+    ctrl, data = tf_encode(small)
+    assert ctrl[0] == 2 and len(data) == (128 * 2 + 7) // 8
+    assert tf_decode(ctrl, data, 128).tolist() == small
+
+    # skewed: one huge outlier forces 31-bit packing (~500 B) while SVB
+    # spends 1 byte on each small value (~165 B) → SVB mode must win
+    skewed = [1] * 127 + [2**31]
+    ctrl, data = tf_encode(skewed)
+    assert ctrl[0] == 0
+    assert tf_decode(ctrl, data, 128).tolist() == skewed

@@ -186,6 +186,30 @@ def test_simhash(docs_df):
     assert pairs.get((1, 9)) == 0 and pairs.get((1, 2)) == 0
 
 
+def test_simhash_banding_lossless_any_hamming(docs_df):
+    """VERDICT r2 #3: band count derives from max_hamming, so recall is
+    lossless beyond d=3 too — every brute-force pair within d must be
+    found (and nothing beyond d reported)."""
+    import pytest
+
+    from fulltextsearchengine_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(docs_df).collect()}
+    ids = sorted(sigs)
+    for d in (0, 4, 7):
+        brute = {
+            (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        }
+        expected = {p: h for p, h in brute.items() if h <= d}
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+               simhash_near_pairs(docs_df, max_hamming=d).collect()}
+        assert got == expected, d
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs_df, max_hamming=64)
+
+
 def test_lang_id(docs_df):
     from fulltextsearchengine_spark.functions.textstats import LANG_STOPWORDS, with_lang_id
 

@@ -161,11 +161,16 @@ def test_local_bm25_server(ctx):
     including cache-warm repeat queries and OOV terms."""
     from fulltextsearchengine_spark.operators.local_query import LocalBM25
 
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+
     golden, idx, blocks, stats = ctx
     term_df = dict(golden["term_to_document_frequency"])
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE)
+    # bucket_range deliberately NOT passed: derived from slab metadata
     local = LocalBM25(
-        blocks, idx.docs, stats["num_docs"], stats["total_tokens"], term_df=term_df
+        blocks, slabs, stats["num_docs"], stats["total_tokens"], term_df=term_df
     )
+    assert local.bucket_range == BUCKET_RANGE
     terms_sorted = sorted(term_df)
     queries = [terms_sorted[:3], terms_sorted[20:24], [terms_sorted[5]], ["zzznotaword"], []]
     for q in queries:
