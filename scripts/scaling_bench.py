@@ -21,6 +21,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+PIN_CORES = os.environ.get("FTSE_SCALING_PIN", "1") == "1"
+
+
 def _spin(_):
     import time as _t
 
@@ -32,10 +35,15 @@ def _spin(_):
     return x
 
 
+def _pin_affinity(nproc: int):
+    if PIN_CORES:
+        os.sched_setaffinity(0, set(range(nproc)))
+
+
 def _spin_mops(nproc: int) -> float:
     import multiprocessing as mp
 
-    with mp.Pool(nproc) as pool:
+    with mp.Pool(nproc, initializer=_pin_affinity, initargs=(nproc,)) as pool:
         return sum(pool.map(_spin, range(nproc))) / 2e6
 
 
@@ -47,7 +55,13 @@ def make_pkg_zip(dest: Path) -> None:
 
 def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
     out = Path(tempfile.mkstemp(suffix=".json")[1])
-    cmd = [
+    # Pin each config to exactly its core count (cluster-size proxy
+    # fidelity): an UNPINNED local[8] on a 32-core host borrows the idle
+    # 24 cores for GC/JIT/OS threads and enjoys 4x the per-thread memory
+    # bandwidth a real 8-core executor set would have — overstating the
+    # small-cluster baseline and so understating N->4N efficiency.
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if PIN_CORES else []
+    cmd = pin + [
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
@@ -99,6 +113,13 @@ def main() -> None:
         f"{r_n['n_turns']:,} transcript turns; sandbox proxy for N vs 4N executors is",
         f"local[{n_cores}] vs local[{n_cores * 4}] (one JVM, shared page cache — a conservative",
         "proxy: a real cluster adds network shuffle but also 4× memory bandwidth).",
+        (
+            f"Each config is PINNED (taskset) to exactly its core count — an unpinned "
+            f"local[{n_cores}] borrows the idle cores' memory bandwidth and GC/JIT threads, "
+            "overstating the small-cluster baseline vs a real N-core executor set."
+            if PIN_CORES
+            else "Configs run UNPINNED (FTSE_SCALING_PIN=0)."
+        ),
         "",
         "| config | build sec | build turns/sec | BM25 p-avg latency (s) |",
         "|---|---|---|---|",
