@@ -314,6 +314,62 @@ def _q_bm25_wand(spark, sf_dir):
     return out.select("doc_id", _micro("score", "score_micro"))
 
 
+_BATCH_QUERIES = {"qa": Q_BM25, "qb": Q_LNN, "qc": Q_LM, "qd": Q_WAND}
+
+
+def _q_bm25_wand_batch(spark, sf_dir):
+    """Many queries through the batch WAND path — TWO Spark jobs for the
+    whole set (metadata + cogroup), blocks decoded once per bucket across
+    queries; rank/score-identical to per-query BM25 (the oracle below)."""
+    from fulltextsearchengine_spark.operators.posting_blocks import (
+        build_doc_len_slabs,
+        build_posting_blocks,
+    )
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand_batch
+
+    idx = _index(spark, sf_dir)
+    st = idx.stats_row()
+    avgdl = st["total_tokens"] / st["num_docs"]
+    bucket_range, block_size = 256, 64
+    blocks = build_posting_blocks(
+        idx.postings, avgdl=avgdl, block_size=block_size, bucket_range=bucket_range
+    )
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
+    res = bm25_topk_wand_batch(
+        blocks, slabs, _BATCH_QUERIES, TOPK,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=bucket_range, block_size=block_size,
+    )
+    rows = [
+        (qid, int(d), float(s)) for qid, topk in res.items() for d, s in topk
+    ]
+    out = spark.createDataFrame(rows or [], "qid string, doc_id long, score double")
+    return out.select("qid", "doc_id", _micro("score", "score_micro"))
+
+
+def _bm25_batch_sql(queries: dict[str, list[str]], k: int) -> str:
+    """Per-query BM25 CTEs unioned with a qid column — the DuckDB twin of
+    bm25_topk_wand_batch."""
+    ctes, selects = [], []
+    for i, (qid, q) in enumerate(sorted(queries.items())):
+        ctes.append(
+            f"qt_{i} AS (SELECT unnest({_sql_list(q)}) AS term), "
+            f"sc_{i} AS ("
+            "  SELECT p.doc_id,"
+            "         sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)"
+            "              * p.tf * 2.2"
+            "              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len"
+            "                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score"
+            f"  FROM postings p JOIN qt_{i} q USING (term) JOIN terms t USING (term)"
+            "  JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id), "
+            f"top_{i} AS (SELECT '{qid}' AS qid, doc_id, "
+            "CAST(round(score * 1e6) AS BIGINT) AS score_micro "
+            f"FROM sc_{i} ORDER BY score DESC, doc_id LIMIT {k})"
+        )
+        selects.append(f"SELECT * FROM top_{i}")
+    return PRELUDE + ", " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 # --- training-data pipeline ops over the raw documents/embeddings/events ---
 
 
@@ -678,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_batch": _q_bm25_batch,
         "ftse_bm25_filtered": _q_bm25_filtered,
         "ftse_bm25_wand_topk": _q_bm25_wand,
+        "ftse_bm25_wand_batch": _q_bm25_wand_batch,
         "ftse_lnnltc_topk": _q_lnnltc,
         "ftse_lm_topk": _q_lm,
         "ftse_conv_search": _q_conv_search,
@@ -807,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro, rank "
         "FROM brank WHERE rank <= 10",
         "ftse_bm25_wand_topk": _bm25_sql(Q_WAND, TOPK),
+        "ftse_bm25_wand_batch": _bm25_batch_sql(_BATCH_QUERIES, TOPK),
         "ftse_lnnltc_topk": _lnnltc_sql(Q_LNN, TOPK),
         "ftse_lm_topk": _lm_sql(Q_LM, TOPK),
         "ftse_conv_search": _conv_search_sql(Q_CONV, 10),

@@ -165,6 +165,20 @@ def main() -> None:
 
     timed("bm25_wand", run_wand, repeat=reps)
 
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand_batch
+
+    bqueries = {f"q{i}": qq for i, qq in enumerate(BENCH_QUERIES)}
+    batch_stats = {t_: term_df.get(t_, 0) for qq in BENCH_QUERIES for t_ in qq}
+    timed(
+        "bm25_wand_batch_5q",
+        lambda: bm25_topk_wand_batch(
+            blocks, slabs, bqueries, 10,
+            n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+            bucket_range=bucket_range, term_stats=batch_stats,
+        ),
+        repeat=reps,
+    )
+
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from fulltextsearchengine_spark.functions.textstats import with_lang_id, with_quality
     from fulltextsearchengine_spark.operators.dedup import exact_dedup, minhash_lsh_pairs

@@ -414,3 +414,275 @@ def bm25_topk_wand_blockmax(
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
     return [(-nd, s) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+
+
+def bm25_topk_wand_batch(
+    blocks: DataFrame,
+    slabs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int,
+    n_docs: int,
+    total_tokens: int,
+    bucket_range: int,
+    block_size: int = 128,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    term_stats: dict[str, int] | None = None,
+    seed_blocks: int = 32,
+) -> dict[str, list[tuple[int, float]]]:
+    """Exact BM25 top-k for MANY queries in TWO Spark jobs total — the
+    high-throughput shape for 10^12-doc serving backfills (one query =
+    2 jobs, so Q queries through ``bm25_topk_wand`` cost 2Q jobs; this
+    path amortizes both jobs across the whole batch and decodes every
+    surviving block ONCE per bucket regardless of how many queries
+    share its term).
+
+    Job 1 (metadata): per-term df (unless ``term_stats``), per-term
+    top-``seed_blocks`` candidate blocks with payload (ranked by
+    max_impact — idf is constant within a term, so the per-term order
+    needs no weights; a broadcast semi-join fetches payloads without
+    shuffling them), per-(bucket, term) max impact + block counts, and
+    doc_len slabs of every candidate seed bucket — one unionByName
+    collect. Per query, the driver then seeds θ_q from the top blocks
+    of ITS terms (a subset of the per-term pools) and prunes buckets
+    with Σ_t idf_t·mi(bucket,t) < θ_q.
+
+    Job 2 (cogroup): buckets in the union of the queries' surviving
+    sets; inside a bucket, per-term chunk-max arrays are built once,
+    each query gates on its own θ_q, blocks decode at most once, and
+    per-query dense accumulators emit per-bucket (qid, doc_id, score)
+    top-k rows (float adds in sorted-term order — oracle-identical).
+    Driver k-merges per qid with the exact (score desc, doc_id asc)
+    tie-break. Memory note: the in-task accumulator costs
+    8·bucket_range bytes PER ACTIVE QUERY — size batches accordingly
+    (e.g. ≤64 queries at bucket_range 2^22).
+
+    Returns ``{qid: [(doc_id, score), ...]}``; rank-identical to
+    per-query ``bm25_topk_wand`` (pytest-locked).
+    """
+    qterms = {qid: sorted({t.lower() for t in q}) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    out: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
+    if not all_terms or n_docs == 0:
+        return out
+    qblocks = blocks.filter(F.col("term").isin(all_terms))
+    avgdl = total_tokens / n_docs
+
+    # ---- job 1: one metadata collect --------------------------------
+    from pyspark.sql.window import Window
+
+    meta_small = qblocks.select("term", "bucket", "block_id", "max_impact", "n")
+    ranked = meta_small.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("max_impact"), F.asc("block_id"))
+        ),
+    ).filter(F.col("rk") <= seed_blocks)
+    seed_keys = ranked.select("term", "block_id")
+    seed_sel = qblocks.join(
+        F.broadcast(seed_keys), ["term", "block_id"], "left_semi"
+    ).select(
+        F.lit("seed").alias("kind"), "term", "bucket", "n", "max_impact",
+        "first_doc_id", "gaps_ctrl", "gaps_data", "tfs_ctrl", "tfs_data",
+    )
+    slab_sel = slabs.join(
+        F.broadcast(ranked.select("bucket").distinct()), "bucket", "left_semi"
+    ).select(F.lit("slab").alias("kind"), "bucket", "base", "lens")
+    ubt_sel = (
+        meta_small.groupBy("bucket", "term")
+        .agg(F.max("max_impact").alias("mi"), F.count(F.lit(1)).alias("nb"))
+        .select(F.lit("ubt").alias("kind"), "bucket", "term", "mi", "nb")
+    )
+    meta = seed_sel.unionByName(slab_sel, allowMissingColumns=True).unionByName(
+        ubt_sel, allowMissingColumns=True
+    )
+    if term_stats is None:
+        meta = meta.unionByName(
+            meta_small.groupBy("term")
+            .agg(F.sum("n").alias("dfv"))
+            .select(F.lit("df").alias("kind"), "term", "dfv"),
+            allowMissingColumns=True,
+        )
+    meta_rows = meta.collect()
+
+    seed_rows = [r for r in meta_rows if r["kind"] == "seed"]
+    slab_map = {
+        int(r["bucket"]): (int(r["base"]), np.frombuffer(r["lens"], dtype=np.uint32))
+        for r in meta_rows
+        if r["kind"] == "slab"
+    }
+    ubt_rows = [r for r in meta_rows if r["kind"] == "ubt"]
+    if term_stats is None:
+        term_stats = {r["term"]: r["dfv"] for r in meta_rows if r["kind"] == "df"}
+    idf = {
+        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for t, df in term_stats.items()
+        if df > 0
+    }
+
+    # per-term seed pools, decoded once and shared across queries
+    seeds_by_term: dict[str, list] = {}
+    for r in seed_rows:
+        seeds_by_term.setdefault(r["term"], []).append(r)
+    decoded_seed_cache: dict[tuple[str, int], tuple] = {}
+
+    def _decode_seed(r) -> tuple | None:
+        key = (r["term"], int(r["first_doc_id"]))
+        if key not in decoded_seed_cache:
+            sl = slab_map.get(int(r["bucket"]))
+            if sl is None:
+                return None
+            base, lens = sl
+            gaps = svb_decode(r["gaps_ctrl"], r["gaps_data"], r["n"]).astype(np.int64)
+            ids = np.cumsum(gaps) + (int(r["first_doc_id"]) - 1)
+            tfs = tf_decode(r["tfs_ctrl"], r["tfs_data"], r["n"]).astype(np.float64)
+            dl = lens[ids - base].astype(np.float64)
+            decoded_seed_cache[key] = (ids, tfs, dl)
+        return decoded_seed_cache[key]
+
+    # per-query thresholds (same seeding rule as the single-query path)
+    thetas: dict[str, float] = {}
+    for qid, terms in qterms.items():
+        pool = [
+            (idf[r["term"]] * float(r["max_impact"]), r)
+            for t in terms
+            if t in idf
+            for r in seeds_by_term.get(t, [])
+        ]
+        pool.sort(key=lambda x: (-x[0], x[1]["term"], int(x[1]["first_doc_id"])))
+        acc: dict[int, float] = {}
+        for _, r in sorted(pool[:seed_blocks], key=lambda x: x[1]["term"]):
+            dec = _decode_seed(r)
+            if dec is None:
+                continue
+            ids, tfs, dl = dec
+            w = idf[r["term"]]
+            for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
+                acc[d] = acc.get(d, 0.0) + c
+        theta = -math.inf
+        if len(acc) >= k:
+            kth = float(np.partition(np.fromiter(acc.values(), dtype=np.float64), -k)[-k])
+            theta = kth - abs(kth) * 1e-9 - 1e-300
+        thetas[qid] = theta
+
+    # per-query surviving buckets from the (bucket, term) upper bounds
+    mi_by_bucket: dict[int, dict[str, float]] = {}
+    for r in ubt_rows:
+        mi_by_bucket.setdefault(int(r["bucket"]), {})[r["term"]] = float(r["mi"])
+    surv_by_query: dict[str, set[int]] = {}
+    for qid, terms in qterms.items():
+        tset = [t for t in terms if t in idf]
+        surv_by_query[qid] = {
+            bkt
+            for bkt, mis in mi_by_bucket.items()
+            if sum(idf[t] * mis[t] for t in tset if t in mis) >= thetas[qid]
+        }
+    union_surv = sorted(set().union(*surv_by_query.values())) if surv_by_query else []
+    if not union_surv:
+        return out
+
+    if len(union_surv) <= 1024:
+        blocks_surv = qblocks.filter(F.col("bucket").isin(union_surv))
+        slabs_surv = slabs.filter(F.col("bucket").isin(union_surv))
+    else:
+        surv_df = blocks.sparkSession.createDataFrame(
+            [(int(b_),) for b_ in union_surv], "bucket long"
+        )
+        blocks_surv = qblocks.join(F.broadcast(surv_df), "bucket", "left_semi")
+        slabs_surv = slabs.join(F.broadcast(surv_df), "bucket", "left_semi")
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    idf_b = dict(idf)
+    qterms_b = {qid: [t for t in ts if t in idf] for qid, ts in qterms.items()}
+    thetas_b = dict(thetas)
+    surv_b = {qid: s for qid, s in surv_by_query.items()}
+    chunk = block_size
+    n_chunks = -(-bucket_range // chunk)
+    kk = k
+
+    def cogroup_fn(blocks_pdf: pd.DataFrame, slab_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+            {"qid": "object", "doc_id": "int64", "score": "float64"}
+        )
+        if blocks_pdf.empty or slab_pdf.empty:
+            return empty
+        bkt = int(blocks_pdf["bucket"].iat[0])
+        active = [qid for qid, s in surv_b.items() if bkt in s]
+        if not active:
+            return empty
+        base = int(slab_pdf["base"].iat[0])
+        lens = np.frombuffer(slab_pdf["lens"].iat[0], dtype=np.uint32).astype(np.float64)
+        # per-term chunk-max impact arrays, built once, shared by queries
+        c0 = (blocks_pdf["first_doc_id"].to_numpy(np.int64) - base) // chunk
+        c1 = (blocks_pdf["last_doc_id"].to_numpy(np.int64) - base) // chunk
+        tmax: dict[str, np.ndarray] = {}
+        for i, t in enumerate(blocks_pdf["term"]):
+            arr = tmax.get(t)
+            if arr is None:
+                arr = tmax[t] = np.zeros(n_chunks, dtype=np.float64)
+            mi = float(blocks_pdf["max_impact"].iat[i])
+            np.maximum(arr[c0[i] : c1[i] + 1], mi, out=arr[c0[i] : c1[i] + 1])
+        live: dict[str, np.ndarray] = {}
+        for qid in active:
+            ub = np.zeros(n_chunks, dtype=np.float64)
+            for t in qterms_b[qid]:
+                if t in tmax:
+                    ub += idf_b[t] * tmax[t]
+            live[qid] = ub >= thetas_b[qid]
+        queries_of_term: dict[str, list[str]] = {}
+        for qid in active:
+            for t in qterms_b[qid]:
+                queries_of_term.setdefault(t, []).append(qid)
+
+        accs = {qid: np.zeros(len(lens), dtype=np.float64) for qid in active}
+        touched = {qid: np.zeros(len(lens), dtype=bool) for qid in active}
+        for term, grp in blocks_pdf.groupby("term", sort=True):
+            w = idf_b.get(term)
+            qids = queries_of_term.get(term)
+            if w is None or not qids:
+                continue
+            for row in grp.itertuples(index=False):
+                lo = (int(row.first_doc_id) - base) // chunk
+                hi = (int(row.last_doc_id) - base) // chunk
+                takers = [q for q in qids if live[q][lo : hi + 1].any()]
+                if not takers:
+                    continue  # chunk-level skip for EVERY query
+                gaps = svb_decode(row.gaps_ctrl, row.gaps_data, row.n).astype(np.int64)
+                ids = np.cumsum(gaps) + (int(row.first_doc_id) - 1) - base
+                tfs = tf_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
+                contrib = _contrib(w, tfs, lens[ids], avgdl, k1, b)
+                for q_ in takers:  # decode once, scatter per taker
+                    accs[q_][ids] += contrib
+                    touched[q_][ids] = True
+        frames = []
+        for qid in active:
+            cand = np.nonzero(touched[qid])[0]
+            if cand.size == 0:
+                continue
+            cand, scores = topk_select(cand, accs[qid][cand], kk)
+            frames.append(
+                pd.DataFrame({"qid": qid, "doc_id": cand + base, "score": scores})
+            )
+        return pd.concat(frames) if frames else empty
+
+    rows = (
+        blocks_surv.groupBy("bucket")
+        .cogroup(slabs_surv.groupBy("bucket"))
+        .applyInPandas(cogroup_fn, schema=out_schema)
+        .collect()
+    )
+    per_q: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
+    for r in rows:
+        per_q[r["qid"]].append((r["doc_id"], r["score"]))
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        out[qid] = lst[:k]
+    return out

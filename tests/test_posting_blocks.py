@@ -180,3 +180,37 @@ def test_local_bm25_server(ctx):
             assert [g[0] for g in got] == [e[0] for e in exp], q
             for e, g in zip(exp, got):
                 assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_wand_batch_matches_single_and_oracle(ctx):
+    """bm25_topk_wand_batch (2 jobs for the whole set) is rank- and
+    score-identical to per-query bm25_topk_wand and the pandas oracle."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand_batch
+
+    golden, idx, blocks, stats = ctx
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    ts = sorted(golden["term_to_document_frequency"])
+    queries = {
+        "q0": ts[:3],
+        "q1": ts[20:24],
+        "q2": [ts[5]],
+        "q3": [ts[0], "zzznotaword"],
+        "q4": ["zzznotaword"],
+    }
+    batch = bm25_topk_wand_batch(
+        blocks, slabs, queries, 10,
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+    )
+    for qid, q in queries.items():
+        exp = oracle.bm25_search(golden, q, 10)
+        single = bm25_topk_wand(
+            blocks, slabs, q, 10,
+            n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+            bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+        )
+        assert [d for d, _ in batch[qid]] == [e[0] for e in exp], (qid, q)
+        assert [d for d, _ in batch[qid]] == [d for d, _ in single], qid
+        for e, g in zip(exp, batch[qid]):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
