@@ -22,6 +22,15 @@ sys.path.insert(0, str(REPO))
 
 
 PIN_CORES = os.environ.get("FTSE_SCALING_PIN", "1") == "1"
+# Put shuffle spill dirs + the built index on tmpfs (/dev/shm). The
+# sandbox VM has ONE contended virtual disk; a real N-executor cluster
+# has N node-local NVMe drives — local scratch is precisely the resource
+# that scales with cluster size, so letting the single-VM proxy bottleneck
+# on it understates the engine's cluster scaling. Corpus INPUT still
+# reads from the real filesystem. Disable with FTSE_SCALE_TMPFS=0 to
+# measure the disk-bound variant.
+USE_TMPFS = os.environ.get("FTSE_SCALE_TMPFS", "1") == "1"
+REPS = int(os.environ.get("FTSE_SCALING_REPS", "3"))
 
 
 def _spin(_):
@@ -47,6 +56,37 @@ def _spin_mops(nproc: int) -> float:
         return sum(pool.map(_spin, range(nproc))) / 2e6
 
 
+def _triad(_):
+    """STREAM-triad-style loop: bytes moved through DRAM in 2 s."""
+    import time as _t
+
+    import numpy as np
+
+    n = 16 * 1024 * 1024  # 128 MB per array — far beyond LLC
+    a = np.ones(n)
+    bb = np.ones(n)
+    c = np.empty(n)
+    t0 = _t.perf_counter()
+    iters = 0
+    while _t.perf_counter() - t0 < 2.0:
+        np.multiply(a, 1.000001, out=c)
+        np.add(c, bb, out=c)
+        iters += 1
+    return iters * 5 * n * 8  # 5 array streams of n float64 per iter
+
+
+def _membw_gbps(nproc: int) -> float:
+    """Aggregate DRAM bandwidth at nproc pinned processes — the control
+    the pure-CPU spin can't see: a shuffle-heavy build is memory-bound
+    long before it is ALU-bound, and one VM's single memory bus is the
+    resource that does NOT grow 4x when local[N] becomes local[4N]
+    (a real 4N-executor cluster's aggregate DRAM does)."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc, initializer=_pin_affinity, initargs=(nproc,)) as pool:
+        return sum(pool.map(_triad, range(nproc))) / 2.0 / 1e9
+
+
 def make_pkg_zip(dest: Path) -> None:
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
         for p in (REPO / "fulltextsearchengine_spark").rglob("*.py"):
@@ -61,6 +101,13 @@ def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
     # bandwidth a real 8-core executor set would have — overstating the
     # small-cluster baseline and so understating N->4N efficiency.
     pin = ["taskset", "-c", f"0-{cores - 1}"] if PIN_CORES else []
+    env = dict(os.environ)
+    tmpfs_confs = []
+    if USE_TMPFS:
+        scratch = Path("/dev/shm/ftse_scale")
+        scratch.mkdir(parents=True, exist_ok=True)
+        env["TMPDIR"] = str(scratch)  # bench_job workdir (index output)
+        tmpfs_confs = ["--conf", f"spark.local.dir={scratch}"]
     cmd = pin + [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -68,12 +115,13 @@ def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
+        *tmpfs_confs,
         "--py-files", str(pkg),
         str(REPO / "scripts" / "bench_job.py"),
         str(corpus), str(out),
     ]
     print("+", " ".join(cmd), file=sys.stderr)
-    subprocess.run(cmd, check=True, stdout=sys.stderr, stderr=sys.stderr)
+    subprocess.run(cmd, check=True, stdout=sys.stderr, stderr=sys.stderr, env=env)
     return json.loads(out.read_text())
 
 
@@ -87,22 +135,27 @@ def main() -> None:
     pkg = Path(tempfile.mkstemp(suffix=".zip")[1])
     make_pkg_zip(pkg)
 
-    # best-of-2 per config: the sandbox VM shows transient external CPU
-    # contention (observed a 30 s job take 252 s); min is the honest
-    # estimate of the machine's capability
-    def best_of(cores: int, reps: int = 2) -> dict:
-        runs = [run_at(cores, pkg, corpus) for _ in range(reps)]
-        return min(runs, key=lambda r: r["build_sec"])
-
     # environment control: pure-CPU aggregate throughput at N vs 4N
     # processes. If the MACHINE can't scale (shared host, bandwidth
     # caps), no Spark job on it can — this line lets a reader separate
     # environment limits from code limits.
     cpu_n, cpu_4n = _spin_mops(n_cores), _spin_mops(n_cores * 4)
     cpu_scaling = cpu_4n / cpu_n / 4.0
+    bw_n, bw_4n = _membw_gbps(n_cores), _membw_gbps(n_cores * 4)
+    bw_scaling = bw_4n / bw_n / 4.0
 
-    r_n = best_of(n_cores)
-    r_4n = best_of(n_cores * 4)
+    # INTERLEAVED best-of-REPS: the VM shows transient external
+    # contention in multi-minute windows (observed a 30 s job take
+    # 252 s); alternating configs per rep stops one contention window
+    # from biasing a single config, and min is the honest estimate of
+    # the machine's capability.
+    runs_n: list[dict] = []
+    runs_4n: list[dict] = []
+    for _ in range(REPS):
+        runs_n.append(run_at(n_cores, pkg, corpus))
+        runs_4n.append(run_at(n_cores * 4, pkg, corpus))
+    r_n = min(runs_n, key=lambda r: r["build_sec"])
+    r_4n = min(runs_4n, key=lambda r: r["build_sec"])
 
     eff_build = (r_n["build_sec"] / r_4n["build_sec"]) / 4.0
     lines = [
@@ -120,6 +173,20 @@ def main() -> None:
             if PIN_CORES
             else "Configs run UNPINNED (FTSE_SCALING_PIN=0)."
         ),
+        (
+            "Shuffle scratch + index output live on tmpfs (/dev/shm): the sandbox's "
+            "single contended virtual disk is the one resource a real cluster "
+            "multiplies per node (node-local NVMe), so leaving it in the loop "
+            "measures the disk, not the engine. Corpus input still reads from the "
+            "real filesystem."
+            if USE_TMPFS
+            else "Scratch + output on the root disk (FTSE_SCALE_TMPFS=0)."
+        ),
+        "",
+        f"Interleaved best-of-{REPS} per config (alternating N/4N so one "
+        "contention window can't bias a single config). All reps (build sec): "
+        f"local[{n_cores}] {[r['build_sec'] for r in runs_n]}, "
+        f"local[{n_cores * 4}] {[r['build_sec'] for r in runs_4n]}.",
         "",
         "| config | build sec | build turns/sec | BM25 p-avg latency (s) |",
         "|---|---|---|---|",
@@ -133,8 +200,13 @@ def main() -> None:
         f"**{eff_build / min(cpu_scaling, 1.0):.3f}** "
         f"(job efficiency ÷ control scaling, capped at 1.0).",
         "",
-        f"Environment control (pure-CPU aggregate, N vs 4N processes): "
-        f"{cpu_n:,.0f} → {cpu_4n:,.0f} Mops, scaling {cpu_scaling:.2f}. "
+        f"Environment controls (N vs 4N pinned processes): pure-CPU "
+        f"{cpu_n:,.0f} → {cpu_4n:,.0f} Mops (scaling {cpu_scaling:.2f}); "
+        f"DRAM bandwidth {bw_n:.1f} → {bw_4n:.1f} GB/s (scaling {bw_scaling:.2f}). "
+        "A shuffle-heavy build streams data through memory: when the "
+        "bandwidth control stops scaling, the single shared memory bus — "
+        "which a real 4N-executor cluster multiplies by 4 — is the binding "
+        "resource, not the job structure. "
         "The sandbox VM shows transient external contention (the same job has "
         "measured 34 s and 252 s within minutes); best-of-2 per config is "
         "reported. When the control line itself is << 1.0, the run is "
@@ -155,6 +227,12 @@ def main() -> None:
                 "cpu_spin_mops_n": round(cpu_n, 1),
                 "cpu_spin_mops_4n": round(cpu_4n, 1),
                 "cpu_spin_scaling": round(cpu_scaling, 3),
+                "membw_gbps_n": round(bw_n, 1),
+                "membw_gbps_4n": round(bw_4n, 1),
+                "membw_scaling": round(bw_scaling, 3),
+                "all_reps_n": [r["build_sec"] for r in runs_n],
+                "all_reps_4n": [r["build_sec"] for r in runs_4n],
+                "tmpfs": USE_TMPFS,
                 "efficiency_normalized": round(eff_build / min(cpu_scaling, 1.0), 3),
             }
         )
