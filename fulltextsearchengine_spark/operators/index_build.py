@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,26 @@ from pyspark.sql import functions as F
 # term on disk-bandwidth-bound hosts (the Amdahl serial tail measured in
 # BENCH/BASELINE.md) — compression CPU is parallel, disk writes are not.
 PARQUET_CODEC = os.environ.get("FTSE_PARQUET_CODEC", "zstd")
+
+# Overlap independent derivation writes (docs ∥ terms, then
+# conv_ranges ∥ stats) by submitting their jobs from two driver threads.
+# The small aggregation jobs have few tasks and can't fill the cluster
+# alone; running two at once hides scheduler + commit latency that does
+# NOT shrink with executor count (the Amdahl serial tail in
+# BENCH/BASELINE.md). Spark schedules concurrent jobs from one
+# application fine (FIFO pools interleave task sets).
+OVERLAP_WRITES = os.environ.get("FTSE_OVERLAP_WRITES", "1") == "1"
+
+
+def _run_jobs(*fns) -> None:
+    """Run write-job thunks, concurrently when OVERLAP_WRITES."""
+    if OVERLAP_WRITES and len(fns) > 1:
+        with ThreadPoolExecutor(len(fns)) as ex:
+            for fut in [ex.submit(f) for f in fns]:
+                fut.result()
+    else:
+        for f in fns:
+            f()
 
 from ..functions.tokenize import term_freqs_pandas_udf, tokenize_pandas_udf, tokens_col
 from .docid import assign_doc_ids
@@ -129,6 +150,7 @@ def build_and_save_index(
     use_pandas_tokenizer: bool = False,
     num_partitions: int | None = None,
     map_side_invert: bool = False,
+    timings: dict | None = None,
 ) -> InvertedIndex:
     """The materializing build pipeline — each table derives from the
     PREVIOUS persisted stage, so docID assignment + tokenization run
@@ -154,8 +176,15 @@ def build_and_save_index(
          docs, constrained network).
       3. docs/terms/conv_ranges/stats: cheap derivations, each reading
          only the columns it needs (column pruning does the rest).
+
+    ``timings``: optional dict filled with per-stage wall seconds
+    (keys: postings, docs_terms, ranges_stats) — the scaling bench uses
+    it to show which stage carries the non-parallel tail.
     """
+    import time as _time
+
     spark = transcripts.sparkSession
+    _t0 = _time.perf_counter()
 
     with_ids = assign_doc_ids(transcripts, num_partitions=num_partitions)
     # Final layout shuffle is salted with a doc_id range bucket: a
@@ -205,31 +234,56 @@ def build_and_save_index(
             .parquet(f"{path}/postings")
         )
     postings = spark.read.parquet(f"{path}/postings")
+    if timings is not None:
+        timings["postings"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
-    turns.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"
-    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/docs")
+    # docs scans the persisted ranged input (second tokenize pass); terms
+    # scans the postings just written — disjoint inputs, so the two small
+    # jobs overlap cleanly.
+    _run_jobs(
+        lambda: turns.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"
+        ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/docs"),
+        lambda: postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
+        .parquet(f"{path}/terms"),
+    )
     if hasattr(with_ids, "_ftse_persisted"):
         with_ids._ftse_persisted.unpersist()
-    postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/terms")
+    if timings is not None:
+        timings["docs_terms"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
     docs = spark.read.parquet(f"{path}/docs")
     terms = spark.read.parquet(f"{path}/terms")
-    docs.groupBy("conv_id").agg(
-        F.min("doc_id").alias("from_doc_id"),
-        F.max("doc_id").alias("to_doc_id"),
-        F.count(F.lit(1)).alias("n_docs"),
-    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/conv_ranges")
-    docs.agg(
-        F.sum("doc_len").alias("total_tokens"),
-        F.count(F.lit(1)).alias("num_docs"),
-        F.avg("doc_len").alias("avg_doc_len"),
-    ).crossJoin(
-        terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
-    ).select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len").coalesce(
-        1
-    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{path}/stats")
+    _run_jobs(
+        lambda: docs.groupBy("conv_id")
+        .agg(
+            F.min("doc_id").alias("from_doc_id"),
+            F.max("doc_id").alias("to_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
+        .parquet(f"{path}/conv_ranges"),
+        lambda: docs.agg(
+            F.sum("doc_len").alias("total_tokens"),
+            F.count(F.lit(1)).alias("num_docs"),
+            F.avg("doc_len").alias("avg_doc_len"),
+        )
+        .crossJoin(
+            terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
+        )
+        .select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
+        .parquet(f"{path}/stats"),
+    )
+    if timings is not None:
+        timings["ranges_stats"] = _time.perf_counter() - _t0
     return load_index(spark, path)
 
 

@@ -188,6 +188,11 @@ def main() -> None:
         f"local[{n_cores}] {[r['build_sec'] for r in runs_n]}, "
         f"local[{n_cores * 4}] {[r['build_sec'] for r in runs_4n]}.",
         "",
+        f"Best-rep stage walls (sec) — local[{n_cores}]: {r_n.get('stage_times', {})}; "
+        f"local[{n_cores * 4}]: {r_4n.get('stage_times', {})} "
+        "(postings = the one big shuffle; docs_terms and ranges_stats are the "
+        "small derivation jobs, submitted pairwise-concurrently).",
+        "",
         "| config | build sec | build turns/sec | BM25 p-avg latency (s) |",
         "|---|---|---|---|",
         f"| local[{r_n['cores']}] | {r_n['build_sec']} | {r_n['build_turns_per_sec']:,} | {r_n['bm25_latency_sec']} |",

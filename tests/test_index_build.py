@@ -84,6 +84,22 @@ def test_global_stats(built):
     assert s["num_pairs"] == sum(golden["term_to_document_frequency"].values())
 
 
+def test_overlapped_writes_parity(spark, tiny_transcripts_pdf, tmp_path, monkeypatch):
+    """Concurrent derivation writes (docs ∥ terms, conv_ranges ∥ stats —
+    the Amdahl serial-tail fix) produce tables identical to the
+    sequential path."""
+    from fulltextsearchengine_spark.operators import index_build
+
+    sdf = spark.createDataFrame(tiny_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    monkeypatch.setattr(index_build, "OVERLAP_WRITES", False)
+    a = index_build.build_and_save_index(sdf, str(tmp_path / "seq"))
+    monkeypatch.setattr(index_build, "OVERLAP_WRITES", True)
+    b = index_build.build_and_save_index(sdf, str(tmp_path / "ovl"))
+    for tbl in ("postings", "terms", "docs", "conv_ranges", "stats"):
+        x, y = getattr(a, tbl), getattr(b, tbl)
+        assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0, tbl
+
+
 def test_map_side_invert_parity(spark, tiny_transcripts_pdf, tmp_path):
     """The single-shuffle Arrow-invert variant produces byte-identical
     tables to the explode+groupBy default (see build_and_save_index
