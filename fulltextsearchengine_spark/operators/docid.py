@@ -6,20 +6,31 @@ NOT be `monotonically_increasing_id` (not dense) nor a single global
 `row_number()` window (serializes all data through one task at scale).
 
 Scalable two-pass design (§7.1 step 3):
-  1. range-partition by (conv_id, turn_idx) → P sorted partitions;
-  2. count rows per partition (one tiny job over the persisted frame);
-  3. driver prefix-sum → per-partition offsets (P entries, broadcast);
-  4. row_number within partition + offset.
+  1. range-partition by (conv_id, turn_idx), sort WITHIN partitions
+     (narrow — no extra exchange), stamp `monotonically_increasing_id`
+     (consecutive per partition: pid·2³³ + row index) → persist;
+  2. per-partition (min id, count) — one tiny job, P rows to driver;
+  3. driver prefix-sum → per-partition adjustment (P entries, literal map);
+  4. doc_id = stamped id + adjustment[pid] — a PURE PROJECTION.
+
+Earlier revisions ranked with `row_number() OVER (PARTITION BY _pid)`,
+which forces a second full-corpus hash exchange + sort in every
+consuming job (Catalyst can't prove range partitioning satisfies the
+window's clustering) — measured as a non-scaling chunk of the build's
+postings stage (BENCH/BASELINE.md). The stamped-id form keeps pass 2
+narrow: zero exchanges downstream of the persist.
 
 The output is deterministic regardless of where the range partitioner
 draws boundaries, because (conv_id, turn_idx) is a unique key: doc_id is
-the global rank in that total order. Correctness is oracle-checked
-against a single `ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx)`.
+the global rank in that total order (the in-partition sort is
+deterministic, so the stamped ids are too, even on cache recompute).
+Correctness is oracle-checked against a single
+`ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx)`.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -49,27 +60,32 @@ def assign_doc_ids(
 
     ranged = (
         transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
-    # pass 1: per-partition counts (tiny: P rows to the driver)
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        offset_expr = offset_map[F.col("_pid")].cast("long")
+    # pass 1: per-partition (min stamped id, count) — P rows to the driver.
+    # pid is recoverable from the stamp itself (high 31 bits), so no extra
+    # spark_partition_id column is carried on the wide frame.
+    part_rows = (
+        ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.min("_mid").alias("mn"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    # driver prefix-sum over range-ordered pids → per-partition adjustment
+    # mapping the stamped id run [mn, mn+cnt) onto [offset+1, offset+cnt].
+    adj, acc = {}, 0
+    for r in sorted(part_rows, key=lambda r: r["_pid"]):
+        adj[r["_pid"]] = acc + 1 - r["mn"]
+        acc += r["cnt"]
+    if adj:
+        adj_map = F.create_map(*[F.lit(x) for kv in adj.items() for x in kv])
+        adj_expr = adj_map[F.shiftright("_mid", 33)].cast("long")
     else:  # empty input: untyped map() literal would fail analysis
-        offset_expr = F.lit(0).cast("long")
+        adj_expr = F.lit(1).cast("long")
 
-    # pass 2: rank within each range partition. The window's partitionBy
-    # keeps parallelism at P tasks; ordering only sorts within a partition.
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    out = ranged.withColumn(
-        "doc_id", (F.row_number().over(w).cast("long") + offset_expr)
-    ).drop("_pid")
+    # pass 2: a pure projection — no window, no exchange, no sort.
+    out = ranged.withColumn("doc_id", F.col("_mid") + adj_expr).drop("_mid")
     # expose the persisted frame so callers can unpersist once consumed
     out._ftse_persisted = ranged
     return out
