@@ -127,7 +127,15 @@ def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # Default N=4 → 4N=16, NOT 8→32: a 4N config that saturates every
+    # host vCPU measures the hypervisor, not the engine. On the 32-vCPU
+    # sandbox (2026-08-17), pinned local[32] ran the identical build 3×
+    # SLOWER than local[8] across all interleaved reps (136/152/165 s vs
+    # 47/52/52 s) while the pure-CPU spin control itself collapsed to
+    # 0.78 scaling and aggregate DRAM bandwidth read 10.7 GB/s — steal/
+    # throttle at full saturation. Leave headroom for the OS + JVM
+    # service threads, as a real cluster's executors do.
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
     from bench import ensure_bench_corpus
 
@@ -182,6 +190,11 @@ def main() -> None:
             if USE_TMPFS
             else "Scratch + output on the root disk (FTSE_SCALE_TMPFS=0)."
         ),
+        "Configs whose 4N level saturates every host vCPU are excluded "
+        "(measured: pinned local[32] on the 32-vCPU sandbox ran the same "
+        "build 3× slower than local[8] in every rep while the pure-CPU "
+        "control collapsed to 0.78 — hypervisor steal at full saturation, "
+        "not engine behavior).",
         "",
         f"Interleaved best-of-{REPS} per config (alternating N/4N so one "
         "contention window can't bias a single config). All reps (build sec): "
