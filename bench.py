@@ -50,13 +50,47 @@ BENCH_QUERIES = [
 ]
 
 
+BULK_BASE_TURNS = 1_200_000
+
+
 def ensure_bench_corpus(n_turns: int, cache_dir: Path) -> Path:
-    """Seeded synthetic corpus, written once as 32-file parquet."""
+    """Seeded synthetic corpus, written once as 32-file parquet.
+
+    Corpora larger than ``BULK_BASE_TURNS`` are tiled from the cached
+    base: each replica rewrites conv_id with an ``r{k}_`` prefix, so doc
+    and conv cardinalities scale exactly while per-doc work (tokenize,
+    invert, shuffle bytes) keeps the identical shape. Pandas generation
+    of the base is CPU-minutes; pyarrow tiling is seconds — and a
+    scaling benchmark only needs MORE of the same workload, not more
+    entropy. Fully deterministic either way.
+    """
     path = cache_dir / f"transcripts_{n_turns}.parquet"
     if path.exists():
         return path
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    if n_turns > BULK_BASE_TURNS and n_turns % BULK_BASE_TURNS == 0:
+        base = ensure_bench_corpus(BULK_BASE_TURNS, cache_dir)
+        k = n_turns // BULK_BASE_TURNS
+        tmp = Path(str(path) + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        parts = sorted(base.glob("part-*.parquet"))
+        for rep in range(k):
+            for i, part in enumerate(parts):
+                tbl = pq.read_table(part)
+                conv = pc.binary_join_element_wise(
+                    pa.scalar(f"r{rep}"), tbl["conv_id"], pa.scalar("_")
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("conv_id"), "conv_id", conv
+                )
+                pq.write_table(tbl, tmp / f"part-{rep:02d}-{i:05d}.parquet")
+        tmp.rename(path)
+        return path
 
     from fulltextsearchengine_spark.datagen import make_transcripts_bulk
 
