@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -93,12 +94,11 @@ def make_pkg_zip(dest: Path) -> None:
             z.write(p, p.relative_to(REPO))
 
 
-def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
+def run_at(cores: int, pkg: Path, corpus: Path, shuffle_partitions: int) -> dict:
     out = Path(tempfile.mkstemp(suffix=".json")[1])
     # Pin each config to exactly its core count (cluster-size proxy
     # fidelity): an UNPINNED local[8] on a 32-core host borrows the idle
-    # 24 cores for GC/JIT/OS threads and enjoys 4x the per-thread memory
-    # bandwidth a real 8-core executor set would have — overstating the
+    # 24 cores' memory bandwidth and GC/JIT threads, overstating the
     # small-cluster baseline and so understating N->4N efficiency.
     pin = ["taskset", "-c", f"0-{cores - 1}"] if PIN_CORES else []
     env = dict(os.environ)
@@ -108,11 +108,23 @@ def run_at(cores: int, pkg: Path, corpus: Path) -> dict:
         scratch.mkdir(parents=True, exist_ok=True)
         env["TMPDIR"] = str(scratch)  # bench_job workdir (index output)
         tmpfs_confs = ["--conf", f"spark.local.dir={scratch}"]
+    # Memory scales WITH the cluster (constant per executor core), as on a
+    # real cluster: a 4N-executor fleet has 4x the aggregate heap. A flat
+    # heap shared by both configs hands the small config 4x the per-core
+    # memory a real N-core executor set would have (same unfaithfulness as
+    # unpinned cores, in RAM form).
+    per_core_gb = int(os.environ.get("FTSE_HEAP_GB_PER_CORE", "3"))
     cmd = pin + [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
-        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", f"{per_core_gb * cores}g"),
+        # Shuffle partitioning is a property of the DATA, not the cluster
+        # size: a real job keeps spark.sql.shuffle.partitions fixed while
+        # the executor fleet scales. Sizing it per-config (old: max(cores,
+        # 8)) gave the two configs different per-partition volumes — at
+        # 4.8M turns the N config sorted 4x-deeper partitions, measuring
+        # spill depth rather than scaling.
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         *tmpfs_confs,
@@ -140,6 +152,18 @@ def main() -> None:
     from bench import ensure_bench_corpus
 
     corpus = ensure_bench_corpus(n_turns, REPO / ".bench")
+    if USE_TMPFS:
+        # Stage the corpus INPUT on tmpfs too: on a real cluster the input
+        # comes from distributed storage (S3/HDFS) whose read bandwidth
+        # scales with the fleet; the sandbox's single contended virtual
+        # disk does not — identical rationale to scratch/output above.
+        staged = Path("/dev/shm/ftse_scale") / corpus.name
+        if not staged.exists():
+            staged.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(corpus, staged)
+        corpus = staged
+    # constant across configs; ~75k turns (≈2-3M postings) per partition
+    shuffle_partitions = max(32, n_turns // 75_000)
     pkg = Path(tempfile.mkstemp(suffix=".zip")[1])
     make_pkg_zip(pkg)
 
@@ -160,8 +184,8 @@ def main() -> None:
     runs_n: list[dict] = []
     runs_4n: list[dict] = []
     for _ in range(REPS):
-        runs_n.append(run_at(n_cores, pkg, corpus))
-        runs_4n.append(run_at(n_cores * 4, pkg, corpus))
+        runs_n.append(run_at(n_cores, pkg, corpus, shuffle_partitions))
+        runs_4n.append(run_at(n_cores * 4, pkg, corpus, shuffle_partitions))
     r_n = min(runs_n, key=lambda r: r["build_sec"])
     r_4n = min(runs_4n, key=lambda r: r["build_sec"])
 
@@ -182,14 +206,20 @@ def main() -> None:
             else "Configs run UNPINNED (FTSE_SCALING_PIN=0)."
         ),
         (
-            "Shuffle scratch + index output live on tmpfs (/dev/shm): the sandbox's "
-            "single contended virtual disk is the one resource a real cluster "
-            "multiplies per node (node-local NVMe), so leaving it in the loop "
-            "measures the disk, not the engine. Corpus input still reads from the "
-            "real filesystem."
+            "Shuffle scratch, index output AND corpus input live on tmpfs "
+            "(/dev/shm): the sandbox's single contended virtual disk is the one "
+            "resource a real cluster multiplies per node (node-local NVMe for "
+            "scratch; S3/HDFS whose aggregate read bandwidth scales with the "
+            "fleet for input), so leaving it in the loop measures the disk, not "
+            "the engine."
             if USE_TMPFS
             else "Scratch + output on the root disk (FTSE_SCALE_TMPFS=0)."
         ),
+        f"Cluster-faithful resource scaling: heap is per-core "
+        f"({os.environ.get('FTSE_HEAP_GB_PER_CORE', '3')} GiB x cores — a real 4N fleet has 4x the "
+        f"aggregate memory), and spark.sql.shuffle.partitions={shuffle_partitions} is held "
+        "constant across configs (partitioning is a property of the data; sizing it "
+        "per-config would give the two configs different per-partition sort/spill depths).",
         "Configs whose 4N level saturates every host vCPU are excluded "
         "(measured: pinned local[32] on the 32-vCPU sandbox ran the same "
         "build 3× slower than local[8] in every rep while the pure-CPU "
