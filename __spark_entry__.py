@@ -264,6 +264,30 @@ def _q_bm25_filtered(spark, sf_dir):
     )
 
 
+def _q_merge_compact(spark, sf_dir):
+    """Incremental-ingest contract as a gate: split the corpus in two by
+    conv_id hash parity, build each half into its OWN index (each with a
+    private dense docID space), offline-merge with
+    stream_index.merge_indexes — the merged postings must equal the
+    from-scratch batch postings row-for-row (same oracle SQL as
+    ftse_postings), because the fold re-ranks docIDs dense over the
+    global (conv_id, turn_idx) order."""
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.index_build import (
+        build_and_save_index,
+        load_index,
+    )
+    from fulltextsearchengine_spark.streaming.stream_index import merge_indexes
+
+    t = transcripts_from_documents(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ftse_merge_gate_")
+    build_and_save_index(t.where(F.crc32("conv_id") % 2 == 0), f"{base}/ia")
+    build_and_save_index(t.where(F.crc32("conv_id") % 2 == 1), f"{base}/ib")
+    merge_indexes(spark, [f"{base}/ia", f"{base}/ib"], f"{base}/merged")
+    return load_index(spark, f"{base}/merged").postings.select("term", "doc_id", "tf")
+
+
 def _q_bm25_batch(spark, sf_dir):
     s = Searcher(_index(spark, sf_dir))
     return s.bm25_search_batch(Q_BATCH, 10).select(
@@ -733,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_topk": _q_bm25,
         "ftse_bm25_batch": _q_bm25_batch,
         "ftse_bm25_filtered": _q_bm25_filtered,
+        "ftse_merge_compact": _q_merge_compact,
         "ftse_bm25_wand_topk": _q_bm25_wand,
         "ftse_bm25_wand_batch": _q_bm25_wand_batch,
         "ftse_lnnltc_topk": _q_lnnltc,
@@ -834,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ftse_docs": PRELUDE + "SELECT doc_id, conv_id, turn_idx, role, tool, doc_len FROM docs",
         "ftse_postings": PRELUDE + "SELECT term, doc_id, tf FROM postings",
+        # merged two half-builds must equal the batch postings exactly
+        "ftse_merge_compact": PRELUDE + "SELECT term, doc_id, tf FROM postings",
         "ftse_terms": PRELUDE + "SELECT term, df, cf FROM terms",
         "ftse_stats": PRELUDE + "SELECT total_tokens, unique_terms, num_docs, num_pairs FROM gstats",
         "ftse_conv_ranges": PRELUDE

@@ -143,37 +143,86 @@ def compact_segments(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     via one doc_id join (offline, amortized). terms/stats/conv_ranges
     recomputed. The result is loadable by ``load_index`` and serves all
     scorers identically to a from-scratch batch build."""
-    from ..operators.docid import assign_doc_ids
+    _fold(
+        merged_postings(spark, index_dir),
+        merged_docs(spark, index_dir),
+        out_dir,
+    )
 
-    p_old = merged_postings(spark, index_dir)
-    d_old = merged_docs(spark, index_dir).withColumnRenamed("doc_id", "_old_doc_id")
+
+def merge_indexes(spark: SparkSession, index_paths: list[str], out_dir: str) -> None:
+    """Offline N-way merge of independently-built batch indexes into one
+    (the incremental-ingest fold: build today's increment alone, merge
+    with the standing index — no re-tokenization of the standing 100 TB).
+
+    Unlike streaming segments there is no manifest: each input index has
+    its own dense 1-based docID space, so doc_ids collide across inputs.
+    They are disambiguated positionally (offset by the cumulative
+    num_docs of the preceding inputs — one tiny count job per input,
+    num_docs is in each stats table) and then re-ranked dense by
+    (conv_id, turn_idx) exactly like segment compaction, so the result
+    is IDENTICAL to a from-scratch batch build over the concatenated
+    corpora (pytest-asserted table equality + ftse_merge_compact gate).
+    Postings remap through one doc_id join; text is never re-read."""
+    p_all, d_all, base = None, None, 0
+    for path in index_paths:
+        n = spark.read.parquet(f"{path}/stats").collect()[0]["num_docs"]
+        p = spark.read.parquet(f"{path}/postings").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        d = spark.read.parquet(f"{path}/docs").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        p_all = p if p_all is None else p_all.unionByName(p)
+        d_all = d if d_all is None else d_all.unionByName(d)
+        base += int(n)
+    _fold(p_all, d_all, out_dir)
+
+
+def _fold(p_old: DataFrame, d_old: DataFrame, out_dir: str) -> None:
+    """Shared fold core: re-rank docIDs dense by (conv_id, turn_idx),
+    remap postings via one join, rewrite the four derived tables in the
+    batch layout (salted (term, doc_id-bucket) postings, zstd)."""
+    from ..operators.docid import assign_doc_ids
+    from ..operators.index_build import PARQUET_CODEC
+
+    d_old = d_old.withColumnRenamed("doc_id", "_old_doc_id")
     d_new = assign_doc_ids(d_old)  # dense rank over (conv_id, turn_idx)
     mapping = d_new.select("_old_doc_id", F.col("doc_id").alias("_new_doc_id"))
-    d = d_new.drop("_old_doc_id")
+    d = d_new.drop("_old_doc_id").select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "doc_len"
+    )  # canonical batch layout
     p = (
         p_old.withColumnRenamed("doc_id", "_old_doc_id")
         .join(mapping, "_old_doc_id")
         .drop("_old_doc_id")
         .withColumnRenamed("_new_doc_id", "doc_id")
+        .select("term", "doc_id", "tf", "doc_len")  # canonical batch layout
     )
+    spark = p_old.sparkSession
     (
         p.repartition(F.col("term"), (F.col("doc_id") / F.lit(1 << 20)).cast("long"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
         .parquet(f"{out_dir}/postings")
     )
-    d.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    d.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{out_dir}/docs")
+    if hasattr(d_new, "_ftse_persisted"):
+        d_new._ftse_persisted.unpersist()
     postings = spark.read.parquet(f"{out_dir}/postings")
     postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").parquet(f"{out_dir}/terms")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(f"{out_dir}/terms")
     docs = spark.read.parquet(f"{out_dir}/docs")
     terms = spark.read.parquet(f"{out_dir}/terms")
     docs.groupBy("conv_id").agg(
         F.min("doc_id").alias("from_doc_id"),
         F.max("doc_id").alias("to_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/conv_ranges")
+    ).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(
+        f"{out_dir}/conv_ranges"
+    )
     docs.agg(
         F.sum("doc_len").alias("total_tokens"),
         F.count(F.lit(1)).alias("num_docs"),
@@ -182,4 +231,6 @@ def compact_segments(spark: SparkSession, index_dir: str, out_dir: str) -> None:
         terms.agg(F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs"))
     ).select(
         "total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    ).coalesce(1).write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(
+        f"{out_dir}/stats"
+    )

@@ -275,3 +275,36 @@ def test_segment_compaction(spark, corpus, tmp_path_factory):
     assert set(got_scores) == set(exp_scores)
     for kk in exp_scores:
         assert got_scores[kk] == pytest.approx(exp_scores[kk], rel=1e-9)
+
+
+def test_merge_indexes_equals_batch_build(spark, corpus, tmp_path_factory):
+    """merge_indexes over two independently-built half indexes is
+    TABLE-IDENTICAL to a from-scratch batch build over the concatenated
+    corpus: the fold re-ranks docIDs dense by (conv_id, turn_idx) — the
+    same total order assign_doc_ids gives the batch build — so postings,
+    docs, terms, conv_ranges and stats all match row-for-row. This is
+    the incremental-ingest contract: build the increment alone, merge,
+    never re-tokenize the standing corpus."""
+    from fulltextsearchengine_spark.operators.index_build import (
+        build_and_save_index,
+        load_index,
+    )
+    from fulltextsearchengine_spark.streaming.stream_index import merge_indexes
+
+    base = tmp_path_factory.mktemp("merge")
+    half = len(corpus) // 2
+    a = spark.createDataFrame(corpus.iloc[:half], schema=TRANSCRIPT_SCHEMA)
+    b = spark.createDataFrame(corpus.iloc[half:], schema=TRANSCRIPT_SCHEMA)
+    full = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+
+    build_and_save_index(a, str(base / "ia"))
+    build_and_save_index(b, str(base / "ib"))
+    build_and_save_index(full, str(base / "ifull"))
+    merge_indexes(spark, [str(base / "ia"), str(base / "ib")], str(base / "imerged"))
+
+    m, f = load_index(spark, str(base / "imerged")), load_index(spark, str(base / "ifull"))
+    for tbl in ("postings", "docs", "terms", "conv_ranges"):
+        got = sorted(map(tuple, getattr(m, tbl).collect()))
+        exp = sorted(map(tuple, getattr(f, tbl).collect()))
+        assert got == exp, f"{tbl} differs after merge"
+    assert m.stats_row() == f.stats_row()
