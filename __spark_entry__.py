@@ -264,6 +264,38 @@ def _q_bm25_filtered(spark, sf_dir):
     )
 
 
+def _q_segmented_bm25(spark, sf_dir):
+    """Search-while-ingesting as a gate: two parquet drops ingested as
+    separate availableNow micro-batches (two segments with doc_base
+    offsets), queried DIRECTLY via load_segmented_index — BM25 top-k
+    keyed by (conv_id, turn_idx) (segment docIDs are arrival-ordered,
+    not global-rank-ordered) must match the batch-oracle scores."""
+    import tempfile
+
+    from fulltextsearchengine_spark.streaming.stream_index import (
+        load_segmented_index,
+        run_incremental_index,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ftse_seg_gate_")
+    inp, seg, ckpt = f"{base}/in", f"{base}/seg", f"{base}/ckpt"
+    t.where(F.crc32("conv_id") % 2 == 0).write.mode("append").parquet(inp)
+    run_incremental_index(spark, inp, seg, ckpt)
+    t.where(F.crc32("conv_id") % 2 == 1).write.mode("append").parquet(inp)
+    run_incremental_index(spark, inp, seg, ckpt)
+
+    idx = load_segmented_index(spark, seg)
+    s = Searcher(idx)
+    scores = s.bm25_scores(Q_BM25)
+    return (
+        scores.join(idx.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(TOPK)
+        .select("conv_id", "turn_idx", _micro("score", "score_micro"))
+    )
+
+
 def _q_merge_compact(spark, sf_dir):
     """Incremental-ingest contract as a gate: split the corpus in two by
     conv_id hash parity, build each half into its OWN index (each with a
@@ -758,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_batch": _q_bm25_batch,
         "ftse_bm25_filtered": _q_bm25_filtered,
         "ftse_merge_compact": _q_merge_compact,
+        "ftse_segmented_bm25": _q_segmented_bm25,
         "ftse_bm25_wand_topk": _q_bm25_wand,
         "ftse_bm25_wand_batch": _q_bm25_wand_batch,
         "ftse_lnnltc_topk": _q_lnnltc,
@@ -861,6 +894,14 @@ def oracle_sql() -> dict[str, str]:
         "ftse_postings": PRELUDE + "SELECT term, doc_id, tf FROM postings",
         # merged two half-builds must equal the batch postings exactly
         "ftse_merge_compact": PRELUDE + "SELECT term, doc_id, tf FROM postings",
+        # segment-store query (no compaction) keyed by (conv_id, turn_idx)
+        "ftse_segmented_bm25": _bm25_sql(Q_BM25, TOPK).replace(
+            "SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro\n"
+            "FROM scored ORDER BY score DESC, doc_id LIMIT",
+            "SELECT d.conv_id, d.turn_idx, CAST(round(score * 1e6) AS BIGINT) AS score_micro\n"
+            "FROM scored JOIN docs d USING (doc_id) "
+            "ORDER BY score DESC, d.conv_id, d.turn_idx LIMIT",
+        ),
         "ftse_terms": PRELUDE + "SELECT term, df, cf FROM terms",
         "ftse_stats": PRELUDE + "SELECT total_tokens, unique_terms, num_docs, num_pairs FROM gstats",
         "ftse_conv_ranges": PRELUDE

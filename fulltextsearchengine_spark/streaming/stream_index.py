@@ -127,6 +127,52 @@ def merge_segment_stats(spark: SparkSession, index_dir: str) -> dict:
     return row.asDict()
 
 
+def load_segmented_index(spark: SparkSession, index_dir: str):
+    """Query the segment store DIRECTLY — no compaction pass: an
+    `InvertedIndex` whose tables are lazy unions over the live segments
+    (search-while-ingesting; run `compact_segments` when the segment
+    count grows). df/cf/stats re-aggregate across segments exactly like
+    the SPIMI run merge, so every per-turn scorer (BM25 / lnn.ltc / LM /
+    WAND over rebuilt blocks) is rank-identical to the same query on the
+    compacted or from-scratch index (pytest-asserted).
+
+    Caveat (the reason compaction exists): conv_ranges stores [min, max]
+    doc_id per conversation and `Searcher.conv_doc_ids` expands the
+    range (ProductIdToDocIdMapper.java:142-151 contract). Segment-local
+    doc_base offsets keep each segment contiguous, so ranges are exact
+    while no conversation spans a segment boundary; a spanning
+    conversation's range also covers unrelated docs between its
+    fragments, inflating conv_search candidates (scores stay correct —
+    the extra docs score 0 term overlap unless they genuinely match).
+    Compaction restores the strict invariant."""
+    from ..operators.index_build import InvertedIndex
+
+    p = merged_postings(spark, index_dir)
+    d = merged_docs(spark, index_dir)
+    terms = p.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    conv_ranges = d.groupBy("conv_id").agg(
+        F.min("doc_id").alias("from_doc_id"),
+        F.max("doc_id").alias("to_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    stats = (
+        d.agg(
+            F.sum("doc_len").alias("total_tokens"),
+            F.count(F.lit(1)).alias("num_docs"),
+            F.avg("doc_len").alias("avg_doc_len"),
+        )
+        .crossJoin(
+            terms.agg(
+                F.count(F.lit(1)).alias("unique_terms"), F.sum("df").alias("num_pairs")
+            )
+        )
+        .select("total_tokens", "unique_terms", "num_docs", "num_pairs", "avg_doc_len")
+    )
+    return InvertedIndex(docs=d, postings=p, terms=terms, conv_ranges=conv_ranges, stats=stats)
+
+
 def compact_segments(spark: SparkSession, index_dir: str, out_dir: str) -> None:
     """Fold all segments into one batch-shaped index (the Lucene-merge
     analog of SPIMI's final k-way merge, SPIMIIndexer.java:58-86).

@@ -308,3 +308,38 @@ def test_merge_indexes_equals_batch_build(spark, corpus, tmp_path_factory):
         exp = sorted(map(tuple, getattr(f, tbl).collect()))
         assert got == exp, f"{tbl} differs after merge"
     assert m.stats_row() == f.stats_row()
+
+
+def test_segmented_index_search_matches_batch(spark, corpus, tmp_path_factory):
+    """load_segmented_index queries the live segment store with NO
+    compaction pass: BM25 scores over the segment union are identical
+    (by (conv_id, turn_idx) doc identity) to a from-scratch batch build,
+    and global stats agree."""
+    from fulltextsearchengine_spark.operators.index_build import build_index
+    from fulltextsearchengine_spark.operators.search import Searcher
+    from fulltextsearchengine_spark.streaming.stream_index import (
+        load_segmented_index,
+        run_incremental_index,
+    )
+
+    base = tmp_path_factory.mktemp("segq")
+    input_dir = str(base / "in")
+    half = len(corpus) // 2
+    spark.createDataFrame(corpus.iloc[:half], schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(corpus.iloc[half:], schema=TRANSCRIPT_SCHEMA).write.mode("append").parquet(input_dir)
+    run_incremental_index(spark, input_dir, str(base / "seg"), str(base / "ckpt"))
+
+    seg_idx = load_segmented_index(spark, str(base / "seg"))
+    batch_idx = build_index(spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA))
+    assert seg_idx.stats_row() == batch_idx.stats_row()
+
+    q = ["hash", "sort"]
+    def by_key(idx, scores):
+        id2key = {r["doc_id"]: (r["conv_id"], r["turn_idx"]) for r in idx.docs.collect()}
+        return {id2key[r["doc_id"]]: r["score"] for r in scores}
+
+    got = by_key(seg_idx, Searcher(seg_idx).bm25_scores(q).collect())
+    exp = by_key(batch_idx, Searcher(batch_idx).bm25_scores(q).collect())
+    assert set(got) == set(exp)
+    for kk in exp:
+        assert got[kk] == pytest.approx(exp[kk], rel=1e-12)
