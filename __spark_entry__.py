@@ -502,6 +502,86 @@ def _q_fingerprint(spark, sf_dir):
     return with_fingerprint(_docs_raw(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+REPETITION_NS = (2, 3)
+
+
+def _q_repetition(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.repetition import with_repetition_stats
+
+    cols = [
+        c
+        for n in REPETITION_NS
+        for c in (f"top_{n}gram_char_frac_micro", f"dup_{n}gram_char_frac_micro")
+    ]
+    return with_repetition_stats(_docs_raw(spark, sf_dir), ns=REPETITION_NS).select(
+        "doc_id", *cols
+    )
+
+
+def _pii_text_col():
+    """Deterministic synthetic-PII column (the test corpus contains no
+    real PII): text + one email, one IPv4, one phone per doc, all
+    derived from doc_id so Spark and the oracle build the same string."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" reach user"), d, F.lit("@example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" call 555-123-4567"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.pii import redact_pii
+
+    docs = _docs_raw(spark, sf_dir).withColumn("pii_text", _pii_text_col())
+    return redact_pii(docs, text_col="pii_text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+# training-mix rates for the stratified-sample gates; sources not listed
+# fall back to SAMPLE_DEFAULT_RATE
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def _q_strat_sample(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs_raw(spark, sf_dir), "source", SAMPLE_RATES, "doc_id", SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "source")
+
+
+def _q_sample_report(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.sampling import sample_report
+
+    return sample_report(
+        _docs_raw(spark, sf_dir), "source", SAMPLE_RATES, "doc_id", SAMPLE_DEFAULT_RATE
+    )
+
+
+def _lsh_pairs_034(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_raw(spark, sf_dir), bands=4, rows_per_band=2, k=3)
+
+
+def _q_dedup_groups(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_groups
+
+    return dedup_groups(_docs_raw(spark, sf_dir), _lsh_pairs_034(spark, sf_dir))
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
+
+    return dedup_canonical(
+        _docs_raw(spark, sf_dir), _lsh_pairs_034(spark, sf_dir)
+    ).select("doc_id")
+
+
 def _q_ann_cosine(spark, sf_dir):
     from fulltextsearchengine_spark.operators.similarity import cosine_topk
 
@@ -815,6 +895,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_repetition": _q_repetition,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_strat_sample,
+        "sample_report": _q_sample_report,
+        "dedup_groups": _q_dedup_groups,
+        "dedup_canonical": _q_dedup_canonical,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_topk": _q_ann_ivf,
         "emb_near_pairs_exact": _q_emb_near_pairs,
@@ -857,6 +943,109 @@ def _pipeline_sql(hits: dict, best: str, lang_case: str) -> str:
         "AND punct_ratio_micro <= 400000 AND lang_pred IN ('en')), "
         "hashed AS (SELECT *, md5(array_to_string(tokens, ' ')) AS text_hash FROM kept), "
         "cleaned AS (SELECT * FROM hashed QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text_hash)) "
+    )
+
+
+def _repetition_sql() -> str:
+    """DuckDB twin of functions/repetition.with_repetition_stats at
+    REPETITION_NS: per-n gram explode → count → char-mass aggregate.
+    (The Spark side does the same math row-locally in one aggregate HOF;
+    the oracle's explode/groupBy states the semantics plainly.)"""
+    ctes = ["toks AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents)"]
+    outer_cols = []
+    joins = []
+    for n in REPETITION_NS:
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, array_to_string("
+            f"tokens[CAST(i AS INT): CAST(i AS INT) + {n - 1}], ' ') AS gram "
+            f"FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens) - {n} + 2)) AS i "
+            f"FROM toks WHERE len(tokens) >= {n}))"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen "
+            f"FROM g{n} GROUP BY doc_id, gram)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT doc_id, max(cnt * glen) AS best, "
+            f"sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup, "
+            f"sum(cnt * glen) AS total FROM c{n} GROUP BY doc_id)"
+        )
+        outer_cols.append(
+            f"CAST(coalesce(round(a{n}.best / a{n}.total * 1e6), 0) AS BIGINT) "
+            f"AS top_{n}gram_char_frac_micro"
+        )
+        outer_cols.append(
+            f"CAST(coalesce(round(a{n}.dup / a{n}.total * 1e6), 0) AS BIGINT) "
+            f"AS dup_{n}gram_char_frac_micro"
+        )
+        joins.append(f"LEFT JOIN a{n} ON a{n}.doc_id = d.doc_id")
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT d.doc_id, " + ", ".join(outer_cols)
+        + " FROM documents d " + " ".join(joins)
+    )
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of functions/pii.redact_pii over the synthetic-PII
+    column — identical pattern strings (Java/RE2-shared subset),
+    progressive redaction order preserved."""
+    from fulltextsearchengine_spark.functions.pii import PII_PATTERNS
+
+    sql = (
+        "t0 AS (SELECT doc_id, coalesce(text, '') || ' reach user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 10.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || "
+        "' call 555-123-4567' AS t FROM documents)"
+    )
+    ctes = [sql]
+    carried = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev = f"t{i}"
+        carry = ", ".join(carried) + (", " if carried else "")
+        ctes.append(
+            f"t{i + 1} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+    last = f"t{len(PII_PATTERNS)}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {', '.join(carried)}, t AS text_redacted FROM {last}"
+    )
+
+
+def _sample_keep_sql() -> str:
+    """The stratified-sample keep predicate, thresholds shared with
+    operators/sampling.rate_threshold."""
+    from fulltextsearchengine_spark.operators.sampling import rate_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+        f"(CASE source {cases} ELSE '{rate_threshold(SAMPLE_DEFAULT_RATE)}' END)"
+    )
+
+
+def _dedup_groups_sql(shingle_cte: str, minhash_aggs: str, band_selects: str, final: str) -> str:
+    """Connected components over the SAME MinHash-LSH candidate pairs as
+    the dedup_minhash_lsh_pairs oracle, via a recursive CTE (min doc_id
+    reachable = group id)."""
+    return (
+        "WITH RECURSIVE " + shingle_cte + ", "
+        f"sigs AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id), "
+        f"buckets AS ({band_selects}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT a AS node, a AS r FROM edges "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node), "
+        "comp AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node) "
+        + final
     )
 
 
@@ -1047,6 +1236,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fingerprint": (
             "SELECT doc_id, md5(array_to_string(" + _TOKENS + ", ' ')) AS fingerprint FROM documents"
+        ),
+        "text_repetition": _repetition_sql(),
+        "pii_redact": _pii_sql(),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + _sample_keep_sql()
+        ),
+        "sample_report": (
+            "WITH k AS (SELECT source AS stratum, count(*) AS n_total, "
+            "sum(CASE WHEN " + _sample_keep_sql() + " THEN 1 ELSE 0 END) AS kept "
+            "FROM documents GROUP BY source) "
+            "SELECT stratum, n_total, CAST(kept AS BIGINT) AS n_kept, "
+            "CAST(round(kept / n_total * 1e6) AS BIGINT) AS kept_frac_micro, "
+            "CASE WHEN kept > 0 THEN CAST(round(n_total / kept * 1e6) AS BIGINT) "
+            "ELSE 0 END AS weight_micro FROM k"
+        ),
+        "dedup_groups": _dedup_groups_sql(
+            shingle_cte, minhash_aggs, band_selects,
+            "SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id "
+            "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id",
+        ),
+        "dedup_canonical": _dedup_groups_sql(
+            shingle_cte, minhash_aggs, band_selects,
+            "SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.node = d.doc_id "
+            "WHERE coalesce(c.group_id, d.doc_id) = d.doc_id",
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "

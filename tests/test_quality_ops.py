@@ -1,0 +1,238 @@
+"""Tests for the round-3 training-pipeline additions: repetition stats,
+PII redaction, stratified sampling, near-dup connected components."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------- repetition ----------
+
+def _py_repetition(text: str, n: int) -> tuple[int, int]:
+    """Reference implementation: (top_frac_micro, dup_frac_micro)."""
+    toks = [t.lower() for t in re.findall(r"[A-Za-z0-9]+", text)]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0, 0
+    c = Counter(grams)
+    total = sum(len(g) for g in grams)
+    best = max(cnt * len(g) for g, cnt in c.items())
+    dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+    # Python round() is banker's; Spark/DuckDB round half away from zero
+    import decimal
+
+    r = lambda x: int(
+        decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    )
+    return r(best / total * 1e6), r(dup / total * 1e6)
+
+
+REP_TEXTS = [
+    "",                                     # empty
+    "one",                                  # shorter than any n
+    "a b",                                  # exactly one 2-gram
+    "spam spam spam spam spam",             # maximal repetition
+    "the cat sat on the cat sat again",     # overlapping repeats
+    "x y x y x y z",                        # alternating
+    "Hello, WORLD! hello world",            # case folding + punctuation
+    "a a a b b c d e f g h",                # mixed run lengths
+]
+
+
+def test_repetition_stats_vs_python(spark):
+    from fulltextsearchengine_spark.functions.repetition import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REP_TEXTS)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(df, ns=(2, 3)).collect()
+    }
+    for i, t in enumerate(REP_TEXTS):
+        for n in (2, 3):
+            top, dup = _py_repetition(t, n)
+            assert rows[i][f"top_{n}gram_char_frac_micro"] == top, (i, n, t)
+            assert rows[i][f"dup_{n}gram_char_frac_micro"] == dup, (i, n, t)
+
+
+def test_repetition_filter_drops_spam(spark):
+    from fulltextsearchengine_spark.functions.repetition import repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in repetition_filter(df).select("doc_id").collect()]
+    assert kept == [2]
+
+
+def test_repetition_zero_shuffle_plan(spark):
+    from fulltextsearchengine_spark.functions.repetition import with_repetition_stats
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------- PII ----------
+
+def test_pii_redact_and_counts(spark):
+    from fulltextsearchengine_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 today"),
+            (4, "none of the above"),
+            (5, None),
+            (6, "a@b.co hits 1.2.3.4 at 999-888-7777"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["text_redacted"] == "mail <EMAIL> now"
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["text_redacted"] == "server <IP> and <IP> up"
+    assert rows[3]["n_phone"] == 1 and rows[3]["text_redacted"] == "call <PHONE> today"
+    assert rows[4]["text_redacted"] == "none of the above"
+    assert rows[5]["text_redacted"] == ""
+    assert (rows[6]["n_email"], rows[6]["n_ipv4"], rows[6]["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_redaction_idempotent(spark):
+    from fulltextsearchengine_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "x a@b.co 1.2.3.4 555-123-4567 y")], "doc_id long, text string"
+    )
+    once = redact_pii(df).select(F.col("text_redacted").alias("text"))
+    twice = redact_pii(once).collect()[0]
+    assert twice["text_redacted"] == twice["text"]
+    assert twice["n_email"] == twice["n_ipv4"] == twice["n_phone"] == 0
+
+
+def test_pii_email_not_double_counted_as_ip(spark):
+    # digits-and-dots inside an email must not count as IPv4 after the
+    # email is redacted first
+    from fulltextsearchengine_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "u1@10.2.3.4.example.com")], "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_ipv4"] == 0
+
+
+# ---------- stratified sampling ----------
+
+def _sample_docs(spark):
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from fulltextsearchengine_spark.operators.sampling import stratified_sample
+
+    df = _sample_docs(spark)
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    out1 = sorted(r["doc_id"] for r in stratified_sample(df, "source", rates, "doc_id", 0.1).collect())
+    out2 = sorted(r["doc_id"] for r in stratified_sample(df, "source", rates, "doc_id", 0.1).collect())
+    assert out1 == out2  # deterministic
+    per = Counter(i % 4 for i in out1)
+    assert per[0] == 100           # rate 1.0 keeps everything
+    assert per[2] == 0             # rate 0.0 drops everything
+    assert 30 <= per[1] <= 70      # ~50 of 100
+    assert 1 <= per[3] <= 25       # default 0.1 → ~10 of 100
+
+
+def test_stratified_sample_nested(spark):
+    # raising a rate strictly grows the sample (hash thresholding)
+    from fulltextsearchengine_spark.operators.sampling import stratified_sample
+
+    df = _sample_docs(spark)
+    lo = {r["doc_id"] for r in stratified_sample(df, "source", {"s1": 0.2}, "doc_id").collect()}
+    hi = {r["doc_id"] for r in stratified_sample(df, "source", {"s1": 0.6}, "doc_id").collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+
+def test_sample_report_consistent_with_sample(spark):
+    from fulltextsearchengine_spark.operators.sampling import (
+        sample_report,
+        stratified_sample,
+    )
+
+    df = _sample_docs(spark)
+    rates = {"s0": 0.5, "s1": 0.25}
+    kept = stratified_sample(df, "source", rates, "doc_id", 0.05).groupBy("source").count()
+    kept_map = {r["source"]: r["count"] for r in kept.collect()}
+    rep = {r["stratum"]: r for r in sample_report(df, "source", rates, "doc_id", 0.05).collect()}
+    for s in ("s0", "s1", "s2", "s3"):
+        assert rep[s]["n_total"] == 100
+        assert rep[s]["n_kept"] == kept_map.get(s, 0)
+        if rep[s]["n_kept"]:
+            assert rep[s]["weight_micro"] == round(100 / rep[s]["n_kept"] * 1e6)
+
+
+def test_rate_threshold_bounds():
+    from fulltextsearchengine_spark.operators.sampling import rate_threshold
+
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(1.0) == "g"
+    assert rate_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+# ---------- connected components / canonical dedup ----------
+
+def test_connected_components_chain_and_islands(spark):
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["group_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_groups_includes_singletons(spark):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_id"] for r in dedup_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+def test_dedup_canonical_keeps_min_per_component(spark):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 4)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in dedup_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 2]
+    # schema passes through untouched
+    assert dedup_canonical(docs, pairs).columns == ["doc_id", "text"]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # worst-case diameter: a 40-node path; must converge (min label
+    # propagates via doubling-free scan — iterations = diameter)
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["group_id"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
