@@ -313,13 +313,27 @@ class Searcher:
         rank(conv) = Σ w(role)·dot / Σ w(role) over ALL conv turns
         (non-candidate turns contribute 0 to the numerator but their
         role weight counts in the denominator), w = user 1.0 /
-        assistant 0.5 / other 0.25. The stage-2 denominator scan is
-        semi-join-pruned to the k stage-1 winners."""
+        assistant 0.5 / other 0.25.
+
+        Execution: exactly TWO Spark jobs. Job 1 materializes the k
+        stage-1 winners on the driver (k rows, the same driver-side
+        top-k pattern as WAND's k-merge) together with their
+        ``conv_ranges`` doc_id spans. Job 2 computes the stage-2
+        denominators over ``docs`` restricted to the union of those k
+        [from,to] doc_id ranges — a predicate parquet prunes by row-group
+        min/max because docs is written doc_id-sorted (conv docs are
+        contiguous by construction, the same invariant J4 expansion
+        relies on). The previous lazy formulation re-ran the entire
+        stage-1 pipeline twice (the stage-1 frame fed two downstream
+        consumers with no materialization) and full-scanned docs."""
         w_role = (
             F.when(F.col("role") == "user", F.lit(1.0))
             .when(F.col("role") == "assistant", F.lit(0.5))
             .otherwise(F.lit(0.25))
         )
+        spark = self.index.docs.sparkSession
+        conv_type = self.index.docs.schema["conv_id"].dataType.simpleString()
+        out_schema = f"conv_id {conv_type}, relevancy double, rank double"
         dots = self.vector_space_scores(query)
         per_conv = (
             dots.join(self.index.docs.select("doc_id", "conv_id", "role"), "doc_id")
@@ -328,28 +342,50 @@ class Searcher:
                 F.sum("score").alias("sum_dots"),
                 F.sum(w_role * F.col("score")).alias("sum_wdots"),
             )
-            .join(self.index.conv_ranges.select("conv_id", "n_docs"), "conv_id")
+            .join(
+                self.index.conv_ranges.select(
+                    "conv_id", "n_docs", "from_doc_id", "to_doc_id"
+                ),
+                "conv_id",
+            )
             .select(
                 "conv_id",
                 "sum_wdots",
+                "from_doc_id",
+                "to_doc_id",
                 (F.col("sum_dots") / F.col("n_docs")).alias("relevancy"),
             )
         )
-        stage1 = per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k)
-        # stage 2: Σ w(role) over ALL turns, only for the k winners
-        # (left-semi against the tiny stage-1 frame → broadcast + prune)
-        denom = (
-            self.index.docs.select("conv_id", w_role.alias("w"))
-            .join(stage1.select("conv_id"), "conv_id", "left_semi")
+        winners = (
+            per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k).collect()
+        )
+        if not winners:
+            return spark.createDataFrame([], out_schema)
+        pred = None
+        for r in winners:
+            c = (F.col("doc_id") >= r["from_doc_id"]) & (
+                F.col("doc_id") <= r["to_doc_id"]
+            )
+            pred = c if pred is None else (pred | c)
+        sum_w = {
+            r["conv_id"]: r["sum_w"]
+            for r in self.index.docs.where(pred)
             .groupBy("conv_id")
-            .agg(F.sum("w").alias("sum_w"))
+            .agg(F.sum(w_role).alias("sum_w"))
+            .collect()
+        }
+        rows = sorted(
+            (
+                (
+                    r["conv_id"],
+                    float(r["relevancy"]),
+                    float(r["sum_wdots"]) / sum_w[r["conv_id"]],
+                )
+                for r in winners
+            ),
+            key=lambda t: (-t[2], t[0]),
         )
-        return (
-            stage1.join(denom, "conv_id")
-            .withColumn("rank", F.col("sum_wdots") / F.col("sum_w"))
-            .orderBy(F.desc("rank"), F.asc("conv_id"))
-            .select("conv_id", "relevancy", "rank")
-        )
+        return spark.createDataFrame(rows, out_schema)
 
     def _empty_scores(self) -> DataFrame:
         spark = self.index.postings.sparkSession
