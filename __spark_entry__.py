@@ -582,6 +582,60 @@ def _q_dedup_canonical(spark, sf_dir):
     ).select("doc_id")
 
 
+TRAIN_ORDER_SEED = 7
+
+
+def _q_training_order(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.ordering import training_order
+
+    return training_order(
+        _docs_raw(spark, sf_dir), key_col="doc_id", seed=TRAIN_ORDER_SEED
+    ).select("doc_id", "epoch_pos")
+
+
+def _q_dedup_canonical_best(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
+
+    return dedup_canonical(
+        _docs_raw(spark, sf_dir), _lsh_pairs_034(spark, sf_dir), score_col="n_chars"
+    ).select("doc_id")
+
+
+def _q_dedup_snapshot_exact(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.snapshot import (
+        dedup_against_snapshot,
+        snapshot_fingerprints,
+    )
+
+    docs = _docs_raw(spark, sf_dir)
+    snap = snapshot_fingerprints(docs.where(F.col("source") == "src0"))
+    return dedup_against_snapshot(docs.where(F.col("source") != "src0"), snap).select(
+        "doc_id"
+    )
+
+
+def _q_dedup_snapshot_simhash(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.snapshot import simhash_against_snapshot
+
+    docs = _docs_raw(spark, sf_dir)
+    return simhash_against_snapshot(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        max_hamming=3,
+    ).select("doc_id")
+
+
+def _q_ann_int8(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return quantized_dot_topk(quantize_embeddings(emb), qvec, TOPK)
+
+
 def _q_ann_cosine(spark, sf_dir):
     from fulltextsearchengine_spark.operators.similarity import cosine_topk
 
@@ -901,6 +955,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_report": _q_sample_report,
         "dedup_groups": _q_dedup_groups,
         "dedup_canonical": _q_dedup_canonical,
+        "dedup_canonical_best": _q_dedup_canonical_best,
+        "dedup_snapshot_exact": _q_dedup_snapshot_exact,
+        "dedup_snapshot_simhash": _q_dedup_snapshot_simhash,
+        "training_order": _q_training_order,
+        "ann_int8_topk": _q_ann_int8,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_topk": _q_ann_ivf,
         "emb_near_pairs_exact": _q_emb_near_pairs,
@@ -1261,6 +1320,44 @@ def oracle_sql() -> dict[str, str]:
             shingle_cte, minhash_aggs, band_selects,
             "SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.node = d.doc_id "
             "WHERE coalesce(c.group_id, d.doc_id) = d.doc_id",
+        ),
+        "dedup_canonical_best": _dedup_groups_sql(
+            shingle_cte, minhash_aggs, band_selects,
+            ", g AS (SELECT d.doc_id, d.n_chars, coalesce(c.group_id, d.doc_id) AS gid "
+            "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id), "
+            "r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY gid "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM g) "
+            "SELECT doc_id FROM r WHERE rn = 1",
+        ),
+        "dedup_snapshot_exact": (
+            f"WITH fp AS (SELECT doc_id, source, md5(array_to_string({_TOKENS}, ' ')) "
+            "AS fingerprint FROM documents) "
+            "SELECT doc_id FROM fp WHERE source <> 'src0' AND fingerprint NOT IN "
+            "(SELECT fingerprint FROM fp WHERE source = 'src0')"
+        ),
+        "dedup_snapshot_simhash": (
+            f"WITH sigs AS ({_simhash_sql()}) "
+            "SELECT d.doc_id FROM documents d JOIN sigs n ON n.doc_id = d.doc_id "
+            "WHERE d.source <> 'src0' AND NOT EXISTS ("
+            "SELECT 1 FROM sigs o JOIN documents od ON od.doc_id = o.doc_id "
+            "WHERE od.source = 'src0' AND bit_count(xor(n.simhash, o.simhash)) <= 3)"
+        ),
+        "training_order": (
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+            f"md5('{TRAIN_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id) "
+            "AS epoch_pos FROM documents"
+        ),
+        "ann_int8_topk": (
+            "WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), "
+            "cm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM c), "
+            "cq AS (SELECT vec_id, CASE WHEN ma > 0 THEN "
+            "list_transform(v, x -> round(x * 127.0 / ma)) "
+            "ELSE list_transform(v, x -> 0.0) END AS qv FROM cm), "
+            "q AS (SELECT qv AS qq FROM cq WHERE vec_id = 0) "
+            "SELECT c2.vec_id, CAST(list_dot_product(c2.qv, q.qq) AS BIGINT) AS qdot "
+            "FROM cq c2 CROSS JOIN q "
+            f"ORDER BY qdot DESC, c2.vec_id LIMIT {TOPK}"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "

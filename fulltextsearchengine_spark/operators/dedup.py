@@ -212,6 +212,35 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return v.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_band_specs(n_bands: int) -> tuple[list[int], list[int]]:
+    """(bit offsets, masks) splitting a 64-bit signature into ``n_bands``
+    near-equal bands. Mask literals fit a signed int64: a full-width
+    band (n_bands=1) uses -1 (all 64 bits set in two's complement).
+    Shared by the self-join blocker below and the snapshot anti-join
+    (operators/snapshot.py) so both sides band identically."""
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    masks = [(-1 if w == 64 else (1 << w) - 1) for w in widths]
+    return offsets, masks
+
+
+def simhash_band_cols(sig_col, n_bands: int) -> F.Column:
+    """array<struct<band,bucket>> of a signature's band keys."""
+    offsets, masks = simhash_band_specs(n_bands)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig_col, offsets[i])
+                .bitwiseAND(F.lit(masks[i]))
+                .alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within Hamming distance d of the
     64-bit SimHash. Candidates via band exact-match blocking with the
@@ -225,23 +254,10 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_bands = max_hamming + 1
-    base, rem = divmod(64, n_bands)
-    widths = [base + 1 if i < rem else base for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sig = simhash64(df, **kw).cache()
-    # mask literal must fit a signed int64: a full-width band (one band,
-    # max_hamming=0) uses -1 (all 64 bits set in two's complement)
-    masks = [(-1 if w == 64 else (1 << w) - 1) for w in widths]
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), offsets[i])
-            .bitwiseAND(F.lit(masks[i]))
-            .alias("bucket"),
-        )
-        for i in range(n_bands)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+    bands = sig.select(
+        "doc_id", F.explode(simhash_band_cols(F.col("simhash"), n_bands)).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))

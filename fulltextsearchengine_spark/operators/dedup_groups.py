@@ -90,12 +90,35 @@ def dedup_groups(
 
 
 def dedup_canonical(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 50
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    score_col: str | None = None,
 ) -> DataFrame:
     """The deduplicated corpus: keep exactly one document per near-dup
-    component — the min doc_id (deterministic; at 100 TB swap the pick
-    rule for max-quality-score by joining the quality table before the
-    argmin). Singletons pass through untouched."""
+    component. Pick rule: highest ``score_col`` (quality-weighted —
+    keep the BEST copy, not an arbitrary one), ties and the default
+    ``score_col=None`` falling back to min doc_id. Singletons pass
+    through untouched.
+
+    The argmax is ``max_by`` over a (score, -doc_id) struct inside the
+    per-group aggregate — one extra shuffle on group_id over only the
+    grouped docs (the label table is |docs-in-pairs| rows, tiny next to
+    the corpus)."""
     groups = dedup_groups(docs, pairs, id_col=id_col, max_iter=max_iter)
-    keep = groups.where(F.col(id_col) == F.col("group_id")).select(id_col)
+    if score_col is None:
+        keep = groups.where(F.col(id_col) == F.col("group_id")).select(id_col)
+    else:
+        keep = (
+            docs.select(id_col, score_col)
+            .join(groups, id_col)
+            .groupBy("group_id")
+            .agg(
+                F.max_by(
+                    F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+                ).alias(id_col)
+            )
+            .select(id_col)
+        )
     return docs.join(keep, id_col, "inner")

@@ -31,8 +31,9 @@ Correctness is oracle-checked against a single
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+from .ordering import global_rank
 
 
 def assign_doc_ids(
@@ -44,7 +45,9 @@ def assign_doc_ids(
 
     At 100 TB this runs as: one range-exchange (sampled boundaries), one
     count job, and one narrow map with a per-partition sort — no global
-    single-task window.
+    single-task window. The generic two-pass rank lives in
+    ``ordering.global_rank`` (also the epoch-shuffle engine); this is
+    its docID instantiation.
 
     ``storage_level``: the ranged frame (the FULL corpus) is persisted
     across the two passes. Default MEMORY_AND_DISK (spills under
@@ -53,39 +56,10 @@ def assign_doc_ids(
     input would evict everything else from executor memory for a
     read-exactly-twice frame.
     """
-    spark = transcripts.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.conf.get("spark.sql.shuffle.partitions")
-    num_partitions = int(num_partitions)
-
-    ranged = (
-        transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    return global_rank(
+        transcripts,
+        ["conv_id", "turn_idx"],
+        "doc_id",
+        num_partitions=num_partitions,
+        storage_level=storage_level,
     )
-    # pass 1: per-partition (min stamped id, count) — P rows to the driver.
-    # pid is recoverable from the stamp itself (high 31 bits), so no extra
-    # spark_partition_id column is carried on the wide frame.
-    part_rows = (
-        ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
-        .agg(F.min("_mid").alias("mn"), F.count("*").alias("cnt"))
-        .collect()
-    )
-    # driver prefix-sum over range-ordered pids → per-partition adjustment
-    # mapping the stamped id run [mn, mn+cnt) onto [offset+1, offset+cnt].
-    adj, acc = {}, 0
-    for r in sorted(part_rows, key=lambda r: r["_pid"]):
-        adj[r["_pid"]] = acc + 1 - r["mn"]
-        acc += r["cnt"]
-    if adj:
-        adj_map = F.create_map(*[F.lit(x) for kv in adj.items() for x in kv])
-        adj_expr = adj_map[F.shiftright("_mid", 33)].cast("long")
-    else:  # empty input: untyped map() literal would fail analysis
-        adj_expr = F.lit(1).cast("long")
-
-    # pass 2: a pure projection — no window, no exchange, no sort.
-    out = ranged.withColumn("doc_id", F.col("_mid") + adj_expr).drop("_mid")
-    # expose the persisted frame so callers can unpersist once consumed
-    out._ftse_persisted = ranged
-    return out

@@ -451,3 +451,75 @@ def cosine_near_pairs_bucketed(
             "vec_a", "vec_b", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_micro")
         )
     )
+
+
+# ---- int8 quantization (ANN memory/IO path) -------------------------------
+
+def quantize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<tinyint>, scale float): symmetric per-vector int8
+    quantization — q_i = round(v_i * 127 / max|v|), scale = max|v| / 127
+    restores approximate floats. 4× smaller than float32 on disk and in
+    executor memory, which at 100-TB ANN scale is the difference between
+    a cached working set and a spilling one; store qvec in the
+    SrpAnnIndex/IvfAnnIndex layouts and re-rank survivors against the
+    float column only.
+
+    Pure Catalyst (transform/aggregate HOFs) — one map over the scan,
+    zero shuffles. All-zero vectors quantize to all-zero with scale 0."""
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    qvec = F.transform(
+        v,
+        lambda x: F.when(maxabs > 0, F.round(x.cast("double") * 127.0 / maxabs))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+    return embeddings.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        (maxabs / F.lit(127.0)).cast("float").alias("scale"),
+    )
+
+
+def quantized_dot_topk(
+    quantized: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k by EXACT INTEGER dot product between int8-quantized corpus
+    vectors and the identically-quantized query: score = Σ q_i · qq_i.
+    Integer math makes the ranking engine-reproducible bit-for-bit (no
+    float-sum order sensitivity) — the property the cross-engine oracle
+    pins. The cosine-faithful score is score·scale·q_scale; ranking by
+    the raw integer is monotone per-query only up to per-vector scale,
+    so this is the candidate-generation stage, with float re-rank of the
+    few survivors as the precise stage."""
+    maxabs = max((abs(x) for x in query_vec), default=0.0)
+    if maxabs > 0:
+        import decimal
+
+        qq = [
+            int(
+                decimal.Decimal(x * 127.0 / maxabs).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for x in query_vec
+        ]
+    else:
+        qq = [0] * len(query_vec)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qq])
+    score = F.aggregate(
+        F.zip_with(F.col("qvec"), qlit, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        quantized.select(F.col(id_col), score.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(k)
+    )
