@@ -582,6 +582,23 @@ def _q_dedup_canonical(spark, sf_dir):
     ).select("doc_id")
 
 
+CONTEXT_N = 3
+
+
+def _q_conv_context(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.conversations import conv_context_windows
+
+    return conv_context_windows(
+        transcripts_from_documents(spark, sf_dir), n_context=CONTEXT_N
+    ).select("conv_id", "turn_idx", "context")
+
+
+def _q_sft_examples(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.conversations import sft_examples
+
+    return sft_examples(transcripts_from_documents(spark, sf_dir), n_context=CONTEXT_N)
+
+
 TRAIN_ORDER_SEED = 7
 
 
@@ -960,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snapshot_simhash": _q_dedup_snapshot_simhash,
         "training_order": _q_training_order,
         "ann_int8_topk": _q_ann_int8,
+        "conv_context_windows": _q_conv_context,
+        "sft_examples": _q_sft_examples,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_topk": _q_ann_ivf,
         "emb_near_pairs_exact": _q_emb_near_pairs,
@@ -1341,6 +1360,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.source <> 'src0' AND NOT EXISTS ("
             "SELECT 1 FROM sigs o JOIN documents od ON od.doc_id = o.doc_id "
             "WHERE od.source = 'src0' AND bit_count(xor(n.simhash, o.simhash)) <= 3)"
+        ),
+        "conv_context_windows": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}) "
+            "SELECT conv_id, turn_idx, coalesce(string_agg("
+            "role || ': ' || coalesce(text, ''), chr(10)) OVER ("
+            f"PARTITION BY conv_id ORDER BY turn_idx "
+            f"ROWS BETWEEN {CONTEXT_N} PRECEDING AND 1 PRECEDING), '') AS context "
+            "FROM transcripts"
+        ),
+        "sft_examples": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}), "
+            "ctx AS (SELECT conv_id, turn_idx, role, coalesce(text, '') AS target, "
+            "coalesce(string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER ("
+            f"PARTITION BY conv_id ORDER BY turn_idx "
+            f"ROWS BETWEEN {CONTEXT_N} PRECEDING AND 1 PRECEDING), '') AS context "
+            "FROM transcripts) "
+            "SELECT conv_id, turn_idx, context, target FROM ctx "
+            "WHERE role = 'assistant' AND context <> ''"
         ),
         "training_order": (
             "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
