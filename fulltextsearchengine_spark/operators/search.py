@@ -298,7 +298,9 @@ class Searcher:
         )
 
     # ---- conv-level search (productSearch analog) ----------------------
-    def conv_search(self, query: list[str], k: int) -> DataFrame:
+    def conv_search(
+        self, query: list[str], k: int, explain_out: list | None = None
+    ) -> DataFrame:
         """(conv_id, relevancy, rank) — genuine two-stage re-rank
         (ReviewSearch.java:235-284 structure):
 
@@ -356,9 +358,12 @@ class Searcher:
                 (F.col("sum_dots") / F.col("n_docs")).alias("relevancy"),
             )
         )
-        winners = (
-            per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k).collect()
-        )
+        stage1 = per_conv.orderBy(F.desc("relevancy"), F.asc("conv_id")).limit(k)
+        if explain_out is not None:
+            # expose the two lazy job frames for plan audits: stage 1 now,
+            # the range-pruned stage-2 scan after the winners are known
+            explain_out.append(stage1)
+        winners = stage1.collect()
         if not winners:
             return spark.createDataFrame([], out_schema)
         pred = None
@@ -367,13 +372,14 @@ class Searcher:
                 F.col("doc_id") <= r["to_doc_id"]
             )
             pred = c if pred is None else (pred | c)
-        sum_w = {
-            r["conv_id"]: r["sum_w"]
-            for r in self.index.docs.where(pred)
+        denom = (
+            self.index.docs.where(pred)
             .groupBy("conv_id")
             .agg(F.sum(w_role).alias("sum_w"))
-            .collect()
-        }
+        )
+        if explain_out is not None:
+            explain_out.append(denom)
+        sum_w = {r["conv_id"]: r["sum_w"] for r in denom.collect()}
         rows = sorted(
             (
                 (

@@ -58,8 +58,18 @@ def main() -> None:
         ["PushedFilters: [IsNotNull(term), EqualTo(term,spark)]", "ReadSchema"],
     ))
 
-    p = grab_plan(s.conv_search(["data", "table"], 10))
-    sections.append(("conv_search (productSearch analog)", p, ["TakeOrderedAndProject", "!BatchEvalPython"]))
+    hook_cs: list = []
+    s.conv_search(["data", "table"], 10, explain_out=hook_cs)
+    p = grab_plan(hook_cs[0])  # job 1: stage-1 winners (top-k)
+    sections.append((
+        "conv_search job 1 — stage-1 winners (productSearch analog)", p,
+        ["TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+    p = grab_plan(hook_cs[1])  # job 2: range-pruned stage-2 denominators
+    sections.append((
+        "conv_search job 2 — stage-2 denominators (doc_id range-pruned docs scan)", p,
+        ["PushedFilters: [Or(", "GreaterThanOrEqual(doc_id", "!BatchEvalPython"],
+    ))
 
     # WAND serving plan: blocks + doc_len slabs persisted at build time,
     # query reads ONLY those (bucket-pruned) — never the docs table
@@ -108,6 +118,45 @@ def main() -> None:
     sections.append((
         "Document chunking (shuffle-free)", pc,
         ["!Exchange", "!BatchEvalPython", "Generate"],
+    ))
+
+    from fulltextsearchengine_spark.functions.repetition import with_repetition_stats
+
+    p = grab_plan(with_repetition_stats(docs_raw, ns=(2, 3)))
+    sections.append((
+        "Repetition stats (row-local aggregate HOF)", p,
+        ["!Exchange", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.sampling import stratified_sample
+
+    p = grab_plan(
+        stratified_sample(docs_raw, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", 0.1)
+    )
+    sections.append((
+        "Stratified sample (pure scan filter)", p,
+        ["!Exchange", "!BatchEvalPython", "Filter"],
+    ))
+
+    from fulltextsearchengine_spark.operators.conversations import conv_context_windows
+
+    p = grab_plan(conv_context_windows(transcripts_from_documents(spark, sf_dir)))
+    sections.append((
+        "Conversation context windows (one conv_id exchange, bounded frame)", p,
+        ["Window", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    p = grab_plan(quantized_dot_topk(quantize_embeddings(emb), qv, 10))
+    sections.append((
+        "int8 quantized dot top-k (JVM fold, no Python)", p,
+        ["TakeOrderedAndProject", "!Exchange", "!BatchEvalPython"],
     ))
 
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
