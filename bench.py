@@ -226,6 +226,30 @@ def main() -> None:
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
 
+    # round-3 training-mix surface
+    from fulltextsearchengine_spark.functions.repetition import with_repetition_stats
+    from fulltextsearchengine_spark.operators.conversations import sft_examples
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
+    from fulltextsearchengine_spark.operators.ordering import training_order
+    from fulltextsearchengine_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_dot_topk,
+    )
+
+    timed("text_repetition", lambda: with_repetition_stats(docs_raw, ns=(2, 3)).count(), repeat=reps)
+    timed("training_order", lambda: training_order(docs_raw).count(), repeat=reps)
+    timed(
+        "dedup_canonical_lsh",
+        lambda: dedup_canonical(
+            docs_raw, minhash_lsh_pairs(docs_raw, bands=4, rows_per_band=2)
+        ).count(),
+        repeat=reps,
+    )
+    timed("sft_examples", lambda: sft_examples(t).count(), repeat=reps)
+    qemb = quantize_embeddings(emb).cache()
+    qemb.count()
+    timed("ann_int8_topk", lambda: quantized_dot_topk(qemb, qvec, 10).collect(), repeat=reps)
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert
