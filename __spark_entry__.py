@@ -27,8 +27,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))  # cwd-independent impo
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fulltextsearchengine_spark.operators.deletes import (
+    exclude_docs,
+    purge_deletes,
+    tombstones_for_convs,
+)
 from fulltextsearchengine_spark.operators.index_build import InvertedIndex, build_index
+from fulltextsearchengine_spark.operators.keywords import (
+    conv_keywords,
+    term_cooccurrence,
+)
+from fulltextsearchengine_spark.operators.lexicon import (
+    fuzzy_term_lookup,
+    prefix_search,
+)
 from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.operators.snippets import search_with_snippets
 from fulltextsearchengine_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_DOCUMENTS_SQL,
     transcripts_from_documents,
@@ -81,7 +95,17 @@ def _sql_list(terms: list[str]) -> str:
     return f"[{inner}]"
 
 
-def _bm25_sql(query: list[str], k: int) -> str:
+def _sql_csv(vals: list[str]) -> str:
+    return ", ".join(f"'{v}'" for v in sorted(set(vals)))
+
+
+def _bm25_scored_cte(query: list[str], exclude_convs: list[str] | None = None) -> str:
+    """PRELUDE + the BM25 ``scored`` CTE. ``exclude_convs`` adds the
+    tombstone semantics of operators/deletes.py: candidates filtered,
+    global stats untouched."""
+    where = (
+        f"WHERE d.conv_id NOT IN ({_sql_csv(exclude_convs)})" if exclude_convs else ""
+    )
     return (
         PRELUDE
         + f"""
@@ -97,10 +121,44 @@ def _bm25_sql(query: list[str], k: int) -> str:
   JOIN terms t USING (term)
   JOIN docs d USING (doc_id)
   CROSS JOIN gstats g
+  {where}
   GROUP BY p.doc_id
 )
+"""
+    )
+
+
+def _bm25_sql(query: list[str], k: int, exclude_convs: list[str] | None = None) -> str:
+    return (
+        _bm25_scored_cte(query, exclude_convs)
+        + f"""
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _snippets_sql(query: list[str], k: int, width: int) -> str:
+    """BM25 top-k + query-time snippet windows (operators/snippets.py):
+    2·width chars starting width before the earliest query-term match."""
+    terms = sorted({t.lower() for t in query})
+    poss = ", ".join(f"strpos(lower(r.text), '{t}')" for t in terms)
+    return (
+        _bm25_scored_cte(query)
+        + f"""
+, topk AS (
+  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+  FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+), snip AS (
+  SELECT t.doc_id, t.score_micro, r.conv_id, r.turn_idx, r.text,
+         list_min(list_filter([{poss}], p -> p > 0)) AS pos
+  FROM topk t JOIN ranked r USING (doc_id)
+)
+SELECT doc_id, score_micro, conv_id, turn_idx,
+       CASE WHEN pos IS NOT NULL
+            THEN substring(text, CAST(greatest(1, pos - {width}) AS INT), {2 * width})
+            ELSE '' END AS snippet
+FROM snip
 """
     )
 
@@ -920,6 +978,55 @@ def _simhash_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# index-consumer surface: deletes / lexicon / keywords / snippets
+
+DELETE_CONVS = ["conv_000000", "conv_000001", "conv_000002"]
+PREFIX_Q = "s"
+FUZZY_Q = "spak"
+COOC_MIN_DF, COOC_MAX_DF, COOC_K = 50, 400, 50
+SNIP_WIDTH = 30
+
+
+def _q_delete_search(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    tomb = tombstones_for_convs(idx, DELETE_CONVS)
+    hits = Searcher.topk(exclude_docs(Searcher(idx).bm25_scores(Q_BM25), tomb), TOPK)
+    return hits.select("doc_id", _micro("score", "score_micro"))
+
+
+def _q_purge_terms(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    purged = purge_deletes(idx, tombstones_for_convs(idx, DELETE_CONVS))
+    return purged.terms.select("term", "df", "cf")
+
+
+def _q_prefix_search(spark, sf_dir):
+    return prefix_search(_index(spark, sf_dir).terms, PREFIX_Q, TOPK)
+
+
+def _q_fuzzy_lookup(spark, sf_dir):
+    return fuzzy_term_lookup(_index(spark, sf_dir).terms, FUZZY_Q, TOPK)
+
+
+def _q_conv_keywords(spark, sf_dir):
+    return conv_keywords(_index(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_cooccurrence(spark, sf_dir):
+    return term_cooccurrence(_index(spark, sf_dir), COOC_MIN_DF, COOC_MAX_DF, COOC_K)
+
+
+def _q_snippets(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    return search_with_snippets(
+        Searcher(idx), t, Q_BM25, k=TOPK, width=SNIP_WIDTH
+    ).select("doc_id", _micro("score", "score_micro"), "conv_id", "turn_idx", "snippet")
+
+
+# ---------------------------------------------------------------------------
 # driver API
 
 
@@ -985,6 +1092,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_agg": _q_events_hourly,
         "stream_dedup_exact": _q_stream_dedup_exact,
         "stream_dedup_simhash": _q_stream_dedup_simhash,
+        "ftse_delete_search": _q_delete_search,
+        "ftse_purge_terms": _q_purge_terms,
+        "ftse_prefix_search": _q_prefix_search,
+        "ftse_fuzzy_lookup": _q_fuzzy_lookup,
+        "conv_keywords": _q_conv_keywords,
+        "term_cooccurrence": _q_cooccurrence,
+        "ftse_snippets": _q_snippets,
     }
 
 
@@ -1442,4 +1556,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
+        # tombstone delete: candidates filtered, stats untouched (Lucene
+        # deleted-bitset semantics — operators/deletes.py)
+        "ftse_delete_search": _bm25_sql(Q_BM25, TOPK, exclude_convs=DELETE_CONVS),
+        # purge: df/cf recomputed from surviving postings
+        "ftse_purge_terms": (
+            PRELUDE
+            + f"""
+SELECT p.term, count(*) AS df, CAST(sum(p.tf) AS BIGINT) AS cf
+FROM postings p JOIN docs d USING (doc_id)
+WHERE d.conv_id NOT IN ({_sql_csv(DELETE_CONVS)})
+GROUP BY p.term
+"""
+        ),
+        "ftse_prefix_search": (
+            PRELUDE
+            + f"SELECT term, df, cf FROM terms WHERE term LIKE '{PREFIX_Q}%' "
+            f"ORDER BY cf DESC, term LIMIT {TOPK}"
+        ),
+        "ftse_fuzzy_lookup": (
+            PRELUDE
+            + f"SELECT term, df, cf FROM terms WHERE levenshtein(term, '{FUZZY_Q}') <= 1 "
+            f"ORDER BY cf DESC, term LIMIT {TOPK}"
+        ),
+        "conv_keywords": (
+            PRELUDE
+            + """
+, ctf AS (
+  SELECT d.conv_id, p.term, CAST(sum(p.tf) AS BIGINT) AS tf_sum
+  FROM postings p JOIN docs d USING (doc_id)
+  GROUP BY d.conv_id, p.term
+), kscored AS (
+  SELECT c.conv_id, c.term, c.tf_sum,
+         CAST(round(c.tf_sum * ln(CAST(g.num_docs AS DOUBLE) / t.df) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM ctf c JOIN terms t USING (term) CROSS JOIN gstats g
+), kranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY score_micro DESC, term)
+         AS rank
+  FROM kscored
+)
+SELECT conv_id, term, tf_sum, score_micro, rank FROM kranked WHERE rank <= 3
+"""
+        ),
+        "term_cooccurrence": (
+            PRELUDE
+            + f"""
+, banded AS (SELECT term, df FROM terms WHERE df BETWEEN {COOC_MIN_DF} AND {COOC_MAX_DF}),
+bp AS (SELECT p.term, p.doc_id, b.df FROM postings p JOIN banded b USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         count(*) AS pair_count
+  FROM bp a JOIN bp b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term, a.df, b.df
+)
+SELECT term_a, term_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(round(ln(CAST(g.num_docs AS DOUBLE) * pair_count / (df_a * df_b)) * 1e6)
+            AS BIGINT) AS pmi_micro
+FROM pairs CROSS JOIN gstats g
+ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
+"""
+        ),
+        "ftse_snippets": _snippets_sql(Q_BM25, TOPK, SNIP_WIDTH),
     }
