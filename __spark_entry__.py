@@ -41,6 +41,10 @@ from fulltextsearchengine_spark.operators.lexicon import (
     fuzzy_term_lookup,
     prefix_search,
 )
+from fulltextsearchengine_spark.operators.positions import (
+    build_positional_postings,
+    phrase_search,
+)
 from fulltextsearchengine_spark.operators.search import Searcher
 from fulltextsearchengine_spark.operators.snippets import search_with_snippets
 from fulltextsearchengine_spark.sources.transcripts import (
@@ -135,6 +139,33 @@ def _bm25_sql(query: list[str], k: int, exclude_convs: list[str] | None = None) 
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+    )
+
+
+_POSX_CTE = (
+    ", posx0 AS (SELECT doc_id, tokens, unnest(range(1, len(tokens)+1)) AS i FROM toksd)"
+    ", posx AS (SELECT doc_id, CAST(i AS INT) AS pos, tokens[CAST(i AS INT)] AS term FROM posx0)"
+)
+
+
+def _phrase_sql(phrase: list[str], k: int) -> str:
+    """Exact-adjacency phrase top-k via chained position joins (the SQL
+    twin of operators/positions.phrase_search's array-intersection)."""
+    ctes = [f"m0 AS (SELECT doc_id, pos FROM posx WHERE term = '{phrase[0]}')"]
+    for i, t in enumerate(phrase[1:], start=1):
+        ctes.append(
+            f"m{i} AS (SELECT m{i-1}.doc_id, m{i-1}.pos FROM m{i-1} "
+            f"JOIN posx p{i} ON p{i}.doc_id = m{i-1}.doc_id "
+            f"AND p{i}.term = '{t}' AND p{i}.pos = m{i-1}.pos + {i})"
+        )
+    last = len(phrase) - 1
+    return (
+        PRELUDE
+        + _POSX_CTE
+        + ", "
+        + ", ".join(ctes)
+        + f" SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf FROM m{last} "
+        f"GROUP BY doc_id ORDER BY phrase_tf DESC, doc_id LIMIT {k}"
     )
 
 
@@ -1018,6 +1049,21 @@ def _q_cooccurrence(spark, sf_dir):
     return term_cooccurrence(_index(spark, sf_dir), COOC_MIN_DF, COOC_MAX_DF, COOC_K)
 
 
+PHRASE_Q = ["table", "hash"]
+
+
+def _q_positional_postings(spark, sf_dir):
+    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    return pos.select("term", "doc_id", F.explode("positions").alias("pos"))
+
+
+def _q_phrase_search(spark, sf_dir):
+    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    return phrase_search(pos, PHRASE_Q, TOPK).withColumn(
+        "phrase_tf", F.col("phrase_tf").cast("long")
+    )
+
+
 def _q_snippets(spark, sf_dir):
     idx = _index(spark, sf_dir)
     t = transcripts_from_documents(spark, sf_dir)
@@ -1099,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_keywords": _q_conv_keywords,
         "term_cooccurrence": _q_cooccurrence,
         "ftse_snippets": _q_snippets,
+        "ftse_positional_postings": _q_positional_postings,
+        "ftse_phrase_search": _q_phrase_search,
     }
 
 
@@ -1618,4 +1666,8 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
 """
         ),
         "ftse_snippets": _snippets_sql(Q_BM25, TOPK, SNIP_WIDTH),
+        "ftse_positional_postings": (
+            PRELUDE + _POSX_CTE + " SELECT term, doc_id, pos FROM posx"
+        ),
+        "ftse_phrase_search": _phrase_sql(PHRASE_Q, TOPK),
     }

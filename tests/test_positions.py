@@ -1,0 +1,79 @@
+"""Positional postings + phrase search vs brute-force python over the
+tokenized golden corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.operators.positions import (
+    build_positional_postings,
+    phrase_search,
+)
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_transcripts_pdf):
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    doc_tokens = {
+        row.doc_id: oracle.tokenize(row.text) for row in docs.itertuples(index=False)
+    }
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    pos = build_positional_postings(sdf).cache()
+    return doc_tokens, pos
+
+
+def test_positional_postings_match_token_stream(setup):
+    doc_tokens, pos = setup
+    exp: dict[tuple[str, int], list[int]] = {}
+    for d, toks in doc_tokens.items():
+        for i, t in enumerate(toks, 1):
+            exp.setdefault((t, d), []).append(i)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"]) for r in pos.collect()
+    }
+    assert set(got) == set(exp)
+    for key, plist in exp.items():
+        assert got[key] == (len(plist), plist)
+
+
+def _brute_phrase(doc_tokens: dict, phrase: list[str]) -> list[tuple[int, int]]:
+    n = len(phrase)
+    out = []
+    for d, toks in doc_tokens.items():
+        c = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if toks[i : i + n] == phrase
+        )
+        if c:
+            out.append((d, c))
+    return sorted(out, key=lambda x: (-x[1], x[0]))
+
+
+def test_phrase_search_vs_bruteforce(setup):
+    doc_tokens, pos = setup
+    # pick real bigrams/trigrams from the corpus plus a repeated-term
+    # phrase and a no-hit phrase
+    some = next(toks for toks in doc_tokens.values() if len(toks) >= 3)
+    bigram = list(some[0:2])
+    trigram = list(some[0:3])
+    for phrase in [bigram, trigram, [bigram[0], bigram[0]], ["zzz", "qqq"]]:
+        exp = _brute_phrase(doc_tokens, phrase)[:10]
+        got = [
+            (r["doc_id"], r["phrase_tf"])
+            for r in phrase_search(pos, phrase, k=10).collect()
+        ]
+        assert got == exp, phrase
+
+
+def test_phrase_search_repeated_term_overlap(spark):
+    # "a a" in "a a a" matches at positions 1 and 2
+    pdf_rows = [("c1", 0, "user", "a a a b a a", None, None)]
+    sdf = spark.createDataFrame(pdf_rows, schema=TRANSCRIPT_SCHEMA)
+    pos = build_positional_postings(sdf)
+    got = phrase_search(pos, ["a", "a"], k=5).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in got] == [(1, 3)]
+    with pytest.raises(ValueError):
+        phrase_search(pos, [])
