@@ -41,6 +41,7 @@ from fulltextsearchengine_spark.operators.lexicon import (
     fuzzy_term_lookup,
     prefix_search,
 )
+from fulltextsearchengine_spark.operators.morelikethis import more_like_this
 from fulltextsearchengine_spark.operators.positions import (
     build_positional_postings,
     phrase_search,
@@ -103,17 +104,23 @@ def _sql_csv(vals: list[str]) -> str:
     return ", ".join(f"'{v}'" for v in sorted(set(vals)))
 
 
-def _bm25_scored_cte(query: list[str], exclude_convs: list[str] | None = None) -> str:
+def _bm25_scored_cte(
+    query: list[str] | None,
+    exclude_convs: list[str] | None = None,
+    qterms_sql: str | None = None,
+) -> str:
     """PRELUDE + the BM25 ``scored`` CTE. ``exclude_convs`` adds the
-    tombstone semantics of operators/deletes.py: candidates filtered,
-    global stats untouched."""
+    tombstone semantics of operators/deletes.py (candidates filtered,
+    global stats untouched); ``qterms_sql`` replaces the literal query
+    term list with a subquery (more-like-this)."""
     where = (
         f"WHERE d.conv_id NOT IN ({_sql_csv(exclude_convs)})" if exclude_convs else ""
     )
+    qterms = qterms_sql or f"SELECT unnest({_sql_list(query)}) AS term"
     return (
         PRELUDE
         + f"""
-, qterms AS (SELECT unnest({_sql_list(query)}) AS term)
+, qterms AS ({qterms})
 , scored AS (
   SELECT p.doc_id,
          sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
@@ -1050,6 +1057,30 @@ def _q_cooccurrence(spark, sf_dir):
 
 
 PHRASE_Q = ["table", "hash"]
+MLT_DOC, MLT_M = 42, 5
+
+
+def _q_more_like_this(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return more_like_this(s, MLT_DOC, m=MLT_M, k=TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _mlt_sql(doc_id: int, m: int, k: int) -> str:
+    qterms = (
+        "SELECT p.term FROM postings p JOIN terms t USING (term) "
+        "CROSS JOIN gstats g "
+        f"WHERE p.doc_id = {doc_id} "
+        f"ORDER BY p.tf * ln(CAST(g.num_docs AS DOUBLE) / t.df) DESC, p.term LIMIT {m}"
+    )
+    return (
+        _bm25_scored_cte(None, qterms_sql=qterms)
+        + f"""
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored WHERE doc_id <> {doc_id} ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
 
 
 def _q_positional_postings(spark, sf_dir):
@@ -1147,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_snippets": _q_snippets,
         "ftse_positional_postings": _q_positional_postings,
         "ftse_phrase_search": _q_phrase_search,
+        "ftse_more_like_this": _q_more_like_this,
     }
 
 
@@ -1670,4 +1702,5 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
             PRELUDE + _POSX_CTE + " SELECT term, doc_id, pos FROM posx"
         ),
         "ftse_phrase_search": _phrase_sql(PHRASE_Q, TOPK),
+        "ftse_more_like_this": _mlt_sql(MLT_DOC, MLT_M, TOPK),
     }

@@ -248,3 +248,40 @@ def test_snippets(setup, small_transcripts_pdf):
         start = max(0, min(poss) - 30)
         assert r["snippet"] == text[start : start + 60]
         assert r["conv_id"] == golden["doc_to_meta"][r["doc_id"]]["conv_id"]
+
+
+# ---------------------------------------------------------------------------
+# more-like-this
+
+
+def test_more_like_this_vs_bruteforce(setup):
+    import math as _m
+
+    from fulltextsearchengine_spark.operators.morelikethis import (
+        doc_query_terms,
+        more_like_this,
+    )
+
+    golden, idx, searcher, _ = setup
+    n = golden["num_docs"]
+    for src in (7, 123, 500):
+        exp_terms = [
+            t
+            for _, t in sorted(
+                (
+                    (-(tf * _m.log(n / golden["term_to_document_frequency"][t])), t)
+                    for t, tf in (
+                        (t, dict(zip(f[0::2], f[1::2])).get(src))
+                        for t, f in golden["term_to_postings"].items()
+                    )
+                    if tf
+                )
+            )[:5]
+        ]
+        assert doc_query_terms(searcher, src, 5) == exp_terms
+        full = oracle.bm25_search(golden, exp_terms, n)
+        exp = [(d, s) for d, s in full if d != src][:K]
+        got = more_like_this(searcher, src, m=5, k=K).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+        for r, (_, s) in zip(got, exp):
+            assert math.isclose(r["score"], s, rel_tol=1e-9)
