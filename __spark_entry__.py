@@ -1058,6 +1058,55 @@ def _q_cooccurrence(spark, sf_dir):
 
 PHRASE_Q = ["table", "hash"]
 MLT_DOC, MLT_M = 42, 5
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 2000.0
+
+
+def _q_mixture_plan(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+    from fulltextsearchengine_spark.operators.mixing import mixture_plan
+
+    d = with_token_counts(_docs_raw(spark, sf_dir))
+    plan = mixture_plan(d, "source", "n_alnum_tokens", MIX_WEIGHTS, MIX_BUDGET)
+    rows = [
+        (dom, total, int(round(rate * 1e6))) for dom, (total, rate) in plan.items()
+    ]
+    return spark.createDataFrame(
+        rows, "domain string, total_cost long, rate_micro long"
+    )
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+    from fulltextsearchengine_spark.operators.mixing import mixture_sample
+
+    d = with_token_counts(_docs_raw(spark, sf_dir))
+    return mixture_sample(
+        d, "source", "n_alnum_tokens", MIX_WEIGHTS, MIX_BUDGET, "doc_id"
+    ).select("doc_id", "source")
+
+
+def _mix_targets() -> dict[str, float]:
+    sumw = float(sum(MIX_WEIGHTS.values()))
+    return {d: MIX_BUDGET * (w / sumw) for d, w in MIX_WEIGHTS.items()}
+
+
+def _mix_cte() -> str:
+    """Shared CTE: per-domain total cost (engine-tokenizer counts) and
+    the double keep rate, reproducing operators/mixing.mixture_plan."""
+    targets = _mix_targets()
+    case = " ".join(
+        f"WHEN '{d}' THEN {targets[d]!r}" for d in sorted(targets)
+    )
+    doms = _sql_csv(sorted(MIX_WEIGHTS))
+    return (
+        f"WITH tc AS (SELECT doc_id, source, CAST(len({_TOKENS}) AS BIGINT) AS cost "
+        "FROM documents), "
+        f"tot AS (SELECT source, CAST(sum(cost) AS BIGINT) AS total_cost FROM tc "
+        f"WHERE source IN ({doms}) GROUP BY source), "
+        f"rates AS (SELECT source, total_cost, "
+        f"least(1.0, (CASE source {case} END) / total_cost) AS rate FROM tot)"
+    )
 
 
 def _q_more_like_this(spark, sf_dir):
@@ -1179,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_positional_postings": _q_positional_postings,
         "ftse_phrase_search": _q_phrase_search,
         "ftse_more_like_this": _q_more_like_this,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -1703,4 +1754,17 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
         ),
         "ftse_phrase_search": _phrase_sql(PHRASE_Q, TOPK),
         "ftse_more_like_this": _mlt_sql(MLT_DOC, MLT_M, TOPK),
+        "mixture_plan": (
+            _mix_cte()
+            + " SELECT source AS domain, total_cost, "
+            "CAST(round(rate * 1e6) AS BIGINT) AS rate_micro FROM rates"
+        ),
+        "mixture_sample": (
+            _mix_cte()
+            + ", thr AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g' ELSE "
+            "lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0')) "
+            "END AS threshold FROM rates) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
+            "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.threshold"
+        ),
     }

@@ -250,6 +250,51 @@ def main() -> None:
     qemb.count()
     timed("ann_int8_topk", lambda: quantized_dot_topk(qemb, qvec, 10).collect(), repeat=reps)
 
+    # round-3 session-3 index-consumer surface
+    from fulltextsearchengine_spark.operators.deletes import (
+        exclude_docs,
+        tombstones_for_convs,
+    )
+    from fulltextsearchengine_spark.operators.keywords import conv_keywords
+    from fulltextsearchengine_spark.operators.lexicon import fuzzy_term_lookup
+    from fulltextsearchengine_spark.operators.morelikethis import more_like_this
+    from fulltextsearchengine_spark.operators.positions import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    tomb = tombstones_for_convs(idx, ["conv_000000", "conv_000001", "conv_000002"])
+    timed(
+        "bm25_tombstoned",
+        lambda: [
+            Searcher.topk(exclude_docs(searcher.bm25_scores(qq), tomb), 10).collect()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    timed("conv_keywords", lambda: conv_keywords(idx, k=3).count(), repeat=reps)
+    timed(
+        "fuzzy_lookup",
+        lambda: fuzzy_term_lookup(idx.terms, "spak", 10).collect(),
+        repeat=reps,
+    )
+    timed("more_like_this", lambda: more_like_this(searcher, 42, m=5, k=10).collect(), repeat=reps)
+    timed(
+        "positional_build",
+        lambda: build_positional_postings(t)
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/pospostings"),
+    )
+    posp = spark.read.parquet(f"{workdir}/pospostings")
+    timed(
+        "phrase_search",
+        lambda: [
+            phrase_search(posp, ph, 10).collect()
+            for ph in (["table", "hash"], ["merge", "group"], ["stream", "table", "hash"])
+        ],
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

@@ -159,6 +159,75 @@ def main() -> None:
         ["TakeOrderedAndProject", "!Exchange", "!BatchEvalPython"],
     ))
 
+    # --- index-consumer surface (round-3 session 3) ---------------------
+    from fulltextsearchengine_spark.operators.deletes import (
+        exclude_docs,
+        tombstones_for_convs,
+    )
+
+    tomb = tombstones_for_convs(idx, ["conv_000000", "conv_000001"])
+    p = grab_plan(
+        Searcher.topk(exclude_docs(s.bm25_scores(["spark", "join"]), tomb), 10)
+    )
+    sections.append((
+        "Tombstone-excluded BM25 (broadcast anti-join, stats untouched)", p,
+        ["BroadcastHashJoin", "LeftAnti", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.lexicon import (
+        build_fuzzy_index,
+        fuzzy_term_lookup,
+        prefix_search,
+    )
+
+    p = grab_plan(prefix_search(idx.terms, "s", 10))
+    sections.append((
+        "Dictionary prefix search (pushed StartsWith on sorted terms)", p,
+        ["StringStartsWith(term,s)", "TakeOrderedAndProject", "!Exchange"],
+    ))
+
+    build_fuzzy_index(idx.terms).write.mode("overwrite").parquet(f"{wd}/fuzzy")
+    fidx = spark.read.parquet(f"{wd}/fuzzy")
+    p = grab_plan(fuzzy_term_lookup(idx.terms, "spak", 10, fuzzy_index=fidx))
+    sections.append((
+        "Fuzzy term lookup (persisted deletion-variant sidecar, pruned In scan)", p,
+        ["In(variant", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.keywords import conv_keywords
+
+    p = grab_plan(conv_keywords(idx, k=3))
+    sections.append((
+        "Per-conv tf-idf keywords (partial agg + per-conv window)", p,
+        ["HashAggregate", "Window", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.positions import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    build_positional_postings(transcripts_from_documents(spark, sf_dir)) \
+        .write.mode("overwrite").parquet(f"{wd}/pospostings")
+    posp = spark.read.parquet(f"{wd}/pospostings")
+    p = grab_plan(phrase_search(posp, ["table", "hash"], 10))
+    sections.append((
+        "Phrase search (pruned In scan of positional side-table, array intersect)", p,
+        ["In(term", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.snippets import search_with_snippets
+
+    p = grab_plan(
+        search_with_snippets(
+            s, transcripts_from_documents(spark, sf_dir), ["spark", "join"], k=5
+        )
+    )
+    sections.append((
+        "Search with snippets (broadcast top-k back-joins, Catalyst string math)", p,
+        ["BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
