@@ -214,3 +214,30 @@ def test_wand_batch_matches_single_and_oracle(ctx):
         assert [d for d, _ in batch[qid]] == [d for d, _ in single], qid
         for e, g in zip(exp, batch[qid]):
             assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_sharded_bm25_router_matches_single(ctx):
+    """ShardedBM25 (doc-range router over per-range LocalBM25 shards)
+    is rank- and score-identical to the unsharded server and the oracle;
+    shard block sets are disjoint and covering."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.sharding import ShardedBM25
+
+    golden, idx, blocks, stats = ctx
+    term_df = dict(golden["term_to_document_frequency"])
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    router = ShardedBM25(
+        blocks, slabs, stats["num_docs"], stats["total_tokens"],
+        term_df=term_df, bucket_range=BUCKET_RANGE, n_shards=3,
+    )
+    assert len(router.shards) > 1, "corpus must actually shard for this test"
+    assert sum(s.blocks.count() for s in router.shards) == blocks.count()
+
+    terms_sorted = sorted(term_df)
+    queries = [terms_sorted[:3], terms_sorted[20:24], [terms_sorted[5]], ["zzznotaword"]]
+    for q in queries:
+        exp = oracle.bm25_search(golden, q, 10)
+        got = router.search(q, 10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for e, g in zip(exp, got):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
