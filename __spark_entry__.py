@@ -1060,6 +1060,42 @@ PHRASE_Q = ["table", "hash"]
 MLT_DOC, MLT_M = 42, 5
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 2000.0
+QBOX = '"table hash" role:user -scan'  # phrase + field filter + exclusion
+
+
+def _q_query_box(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+
+    posp = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    hits = execute_query(
+        Searcher(_index(spark, sf_dir)), QBOX, k=TOPK, pos_postings=posp
+    )
+    return hits.select("doc_id", _micro("score", "score_micro"))
+
+
+def _query_box_sql(k: int) -> str:
+    """DuckDB twin of QBOX: BM25 over the phrase terms, role filter,
+    excluded-term anti, phrase containment — same clause semantics as
+    operators/queryparse.execute_query."""
+    phrase_chain = (
+        "m0 AS (SELECT doc_id, pos FROM posx WHERE term = 'table'), "
+        "m1 AS (SELECT m0.doc_id, m0.pos FROM m0 JOIN posx p1 "
+        "ON p1.doc_id = m0.doc_id AND p1.term = 'hash' AND p1.pos = m0.pos + 1)"
+    )
+    return (
+        _bm25_scored_cte(["table", "hash"])
+        + _POSX_CTE
+        + ", "
+        + phrase_chain
+        + f"""
+SELECT s.doc_id, CAST(round(s.score * 1e6) AS BIGINT) AS score_micro
+FROM scored s JOIN docs d ON d.doc_id = s.doc_id
+WHERE d.role = 'user'
+  AND s.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'scan')
+  AND s.doc_id IN (SELECT doc_id FROM m1)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+    )
 
 
 def _q_mixture_plan(spark, sf_dir):
@@ -1230,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_more_like_this": _q_more_like_this,
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
+        "ftse_query_box": _q_query_box,
     }
 
 
@@ -1767,4 +1804,5 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
             "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
             "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.threshold"
         ),
+        "ftse_query_box": _query_box_sql(TOPK),
     }

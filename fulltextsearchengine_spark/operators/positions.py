@@ -55,12 +55,10 @@ def build_positional_postings(
     )
 
 
-def phrase_search(
-    pos_postings: DataFrame, phrase: list[str], k: int = 20
-) -> DataFrame:
-    """Exact-adjacency phrase top-k: (doc_id, phrase_tf), phrase_tf desc
-    then doc_id asc. phrase_tf = number of occurrences of the full
-    phrase (terms at consecutive positions, in order)."""
+def phrase_match_docs(pos_postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Unranked exact-adjacency matches: (doc_id, phrase_tf) for every
+    doc containing the phrase — the filter-clause form (queryparse.py
+    semi/anti-joins it; no sort, no limit)."""
     terms = [t.lower() for t in phrase]
     if not terms:
         raise ValueError("empty phrase")
@@ -82,9 +80,19 @@ def phrase_search(
     starts = F.col(f"pos_{slot[terms[0]]}")
     for off, t in enumerate(terms[1:], start=1):
         starts = F.array_intersect(starts, _shift(F.col(f"pos_{slot[t]}"), off))
+    return piv.select("doc_id", F.size(starts).alias("phrase_tf")).filter(
+        F.col("phrase_tf") > 0
+    )
+
+
+def phrase_search(
+    pos_postings: DataFrame, phrase: list[str], k: int = 20
+) -> DataFrame:
+    """Exact-adjacency phrase top-k: (doc_id, phrase_tf), phrase_tf desc
+    then doc_id asc. phrase_tf = number of occurrences of the full
+    phrase (terms at consecutive positions, in order)."""
     return (
-        piv.select("doc_id", F.size(starts).alias("phrase_tf"))
-        .filter(F.col("phrase_tf") > 0)
+        phrase_match_docs(pos_postings, phrase)
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1,0 +1,124 @@
+"""Search-box query language → engine calls.
+
+The reference exposes programmatic term-list APIs only
+(ReviewSearch.java takes an Enumeration of tokens); a human-facing
+search box needs a tiny query language. This parser supports the
+de-facto standard operators every search UI shares (Lucene classic
+syntax subset — public knowledge):
+
+    spark join fast              bag-of-words terms (OR-union scorer)
+    "table hash"                 quoted phrase (positional side-table)
+    -noise  -"bad phrase"        exclusions (post-score anti-filter)
+    role:user  tool:search       metadata field filters (docs columns)
+    conv:conv_000042             restrict to one conversation
+
+Parsing is driver-side string work (queries are bytes, not data);
+execution composes ONLY existing operators, in the cheap-first order a
+production engine uses: BM25 candidates (pruned In scan) → broadcast
+semi/anti joins for field filters and exclusions → phrase verification
+LAST, because it is the only part that must touch the positional
+side-table, and only for the ≤k·ε candidates that survived everything
+else (never a corpus-wide phrase scan).
+
+Terms are folded through the engine tokenizer's semantics (lowercase,
+alnum runs), so ``spark-SQL`` parses to terms ``spark``, ``sql``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import TOKEN_RE
+from .search import Searcher
+
+_FIELDS = ("role", "tool", "conv")
+# token grammar: quoted phrase | field:value | bare word; '-' prefix negates
+_PART_RE = re.compile(
+    r"""(?P<neg>-)?(?:
+          "(?P<phrase>[^"]*)"
+        | (?P<field>%s):(?P<value>[^\s"]+)
+        | (?P<word>[^\s"]+)
+    )""" % "|".join(_FIELDS),
+    re.X,
+)
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[str] = field(default_factory=list)
+    excluded_terms: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    excluded_phrases: list[list[str]] = field(default_factory=list)
+    filters: dict[str, str] = field(default_factory=dict)
+
+
+def _fold(text: str) -> list[str]:
+    # TOKEN_RE is the engine's SPLIT pattern (separator runs) —
+    # split-first/lower-second, exactly like tokens_col
+    return [t.lower() for t in re.split(TOKEN_RE, text) if t]
+
+
+def parse_query(q: str) -> ParsedQuery:
+    out = ParsedQuery()
+    for m in _PART_RE.finditer(q):
+        neg = bool(m.group("neg"))
+        if m.group("phrase") is not None:
+            toks = _fold(m.group("phrase"))
+            if not toks:
+                continue
+            (out.excluded_phrases if neg else out.phrases).append(toks)
+        elif m.group("field"):
+            out.filters[m.group("field")] = m.group("value").lower()
+        else:
+            toks = _fold(m.group("word"))
+            (out.excluded_terms if neg else out.terms).extend(toks)
+    return out
+
+
+def execute_query(
+    searcher: Searcher,
+    q: str | ParsedQuery,
+    k: int = 10,
+    pos_postings: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, score) top-k for a search-box query. Phrase clauses
+    require the opt-in positional side-table (positions.py); without
+    it, a phrase query raises rather than silently degrading."""
+    pq = parse_query(q) if isinstance(q, str) else q
+    if (pq.phrases or pq.excluded_phrases) and pos_postings is None:
+        raise ValueError("phrase clauses need the positional side-table")
+    # phrase terms are scoring terms too (standard search-box behavior)
+    terms = pq.terms + [t for ph in pq.phrases for t in ph]
+    if not terms:
+        raise ValueError("query has no positive terms")
+    scores = searcher.bm25_scores(terms)
+
+    docs = searcher.index.docs
+    if "conv" in pq.filters:
+        docs = docs.filter(F.col("conv_id") == pq.filters["conv"])
+    for col in ("role", "tool"):
+        if col in pq.filters:
+            docs = docs.filter(F.lower(F.col(col)) == pq.filters[col])
+    if pq.filters:
+        scores = scores.join(docs.select("doc_id"), "doc_id", "left_semi")
+
+    if pq.excluded_terms:
+        bad = searcher.postings_for(pq.excluded_terms).select("doc_id").distinct()
+        scores = scores.join(bad, "doc_id", "left_anti")
+
+    # phrase verification last: touch the positional table only for
+    # docs already passing every cheaper clause
+    from .positions import phrase_match_docs  # local import: opt-in module
+
+    for ph in pq.phrases:
+        hits = phrase_match_docs(pos_postings, ph).select("doc_id")
+        scores = scores.join(hits, "doc_id", "left_semi")
+    for ph in pq.excluded_phrases:
+        hits = phrase_match_docs(pos_postings, ph).select("doc_id")
+        scores = scores.join(hits, "doc_id", "left_anti")
+
+    return Searcher.topk(scores, k)

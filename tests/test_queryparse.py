@@ -1,0 +1,91 @@
+"""Query-language parser + execution vs brute-force filtering of the
+oracle's full BM25 ranking."""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.operators.index_build import build_index
+from fulltextsearchengine_spark.operators.positions import build_positional_postings
+from fulltextsearchengine_spark.operators.queryparse import (
+    ParsedQuery,
+    execute_query,
+    parse_query,
+)
+from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+K = 10
+
+
+def test_parse_query_grammar():
+    pq = parse_query('spark Join-Fast "table hash" -noise -"bad one" role:User conv:conv_000042')
+    assert pq.terms == ["spark", "join", "fast"]
+    assert pq.phrases == [["table", "hash"]]
+    assert pq.excluded_terms == ["noise"]
+    assert pq.excluded_phrases == [["bad", "one"]]
+    assert pq.filters == {"role": "user", "conv": "conv_000042"}
+    # empty clauses are dropped; bare '-' and dangling 'role:' are not fields
+    empty = parse_query('"" ')
+    assert empty == ParsedQuery()
+    assert parse_query("tool:search").filters == {"tool": "search"}
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_transcripts_pdf):
+    golden = oracle.build_index(small_transcripts_pdf)
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    idx = build_index(sdf)
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    doc_tokens = {r.doc_id: oracle.tokenize(r.text) for r in docs.itertuples(index=False)}
+    return golden, Searcher(idx), build_positional_postings(sdf).cache(), doc_tokens
+
+
+def _contains_phrase(toks: list[str], ph: list[str]) -> bool:
+    n = len(ph)
+    return any(toks[i : i + n] == ph for i in range(len(toks) - n + 1))
+
+
+def test_execute_query_vs_bruteforce(setup):
+    golden, searcher, posp, doc_tokens = setup
+    meta = golden["doc_to_meta"]
+    # pick a real bigram so phrase clauses actually select
+    some_doc = next(d for d, t in doc_tokens.items() if len(t) >= 2)
+    ph = doc_tokens[some_doc][:2]
+    ex_term = doc_tokens[some_doc][-1]
+    cases = [
+        (f'{ph[0]} {ph[1]} role:user', None),
+        (f'"{ph[0]} {ph[1]}"', "phrase"),
+        (f'{ph[0]} {ph[1]} -{ex_term}', None),
+        (f'{ph[0]} {ph[1]} -"{ph[0]} {ph[1]}"', "phrase"),
+    ]
+    for qstr, _ in cases:
+        pq = parse_query(qstr)
+        terms = pq.terms + [t for p in pq.phrases for t in p]
+        full = oracle.bm25_search(golden, terms, golden["num_docs"])
+        exp = []
+        for d, s in full:
+            m = meta[d]
+            if "role" in pq.filters and m["role"].lower() != pq.filters["role"]:
+                continue
+            if any(t in doc_tokens[d] for t in pq.excluded_terms):
+                continue
+            if any(not _contains_phrase(doc_tokens[d], p) for p in pq.phrases):
+                continue
+            if any(_contains_phrase(doc_tokens[d], p) for p in pq.excluded_phrases):
+                continue
+            exp.append((d, s))
+        exp = exp[:K]
+        got = execute_query(searcher, qstr, k=K, pos_postings=posp).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], qstr
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_execute_query_guards(setup):
+    _, searcher, posp, _ = setup
+    with pytest.raises(ValueError):
+        execute_query(searcher, '"table hash"', pos_postings=None)
+    with pytest.raises(ValueError):
+        execute_query(searcher, "-only -negative", pos_postings=posp)
