@@ -1063,6 +1063,12 @@ MIX_BUDGET = 2000.0
 QBOX = '"table hash" role:user -scan'  # phrase + field filter + exclusion
 
 
+def _q_index_report(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.report import index_report
+
+    return index_report(_index(spark, sf_dir))
+
+
 def _q_query_box(spark, sf_dir):
     from fulltextsearchengine_spark.operators.queryparse import execute_query
 
@@ -1267,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
         "ftse_query_box": _q_query_box,
+        "ftse_index_report": _q_index_report,
     }
 
 
@@ -1805,4 +1812,22 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
             "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.threshold"
         ),
         "ftse_query_box": _query_box_sql(TOPK),
+        "ftse_index_report": (
+            PRELUDE
+            + """
+SELECT 'num_docs' AS metric, CAST(num_docs AS BIGINT) AS value FROM gstats
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS BIGINT) FROM gstats
+UNION ALL SELECT 'unique_terms', CAST(unique_terms AS BIGINT) FROM gstats
+UNION ALL SELECT 'num_pairs', CAST(num_pairs AS BIGINT) FROM gstats
+UNION ALL SELECT 'max_doc_len', CAST(max(doc_len) AS BIGINT) FROM docs
+UNION ALL SELECT 'min_doc_len', CAST(min(doc_len) AS BIGINT) FROM docs
+UNION ALL SELECT 'empty_docs', CAST(count(*) FILTER (doc_len = 0) AS BIGINT) FROM docs
+UNION ALL SELECT 'max_df', CAST(max(df) AS BIGINT) FROM terms
+UNION ALL SELECT 'hapax_terms', CAST(count(*) FILTER (df = 1) AS BIGINT) FROM terms
+UNION ALL SELECT 'max_cf', CAST(max(cf) AS BIGINT) FROM terms
+UNION ALL SELECT 'n_convs', CAST(count(DISTINCT conv_id) AS BIGINT) FROM docs
+UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM docs GROUP BY conv_id)
+"""
+        ),
     }

@@ -228,6 +228,18 @@ def main() -> None:
         ["BroadcastHashJoin", "!BatchEvalPython"],
     ))
 
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+
+    p = grab_plan(
+        execute_query(
+            s, '"spark join" role:user -fast', k=10, pos_postings=posp
+        )
+    )
+    sections.append((
+        "Search-box query (filters as semi/anti joins, phrase verified last)", p,
+        ["TakeOrderedAndProject", "LeftSemi", "LeftAnti", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:

@@ -285,3 +285,27 @@ def test_more_like_this_vs_bruteforce(setup):
         assert [r["doc_id"] for r in got] == [d for d, _ in exp]
         for r, (_, s) in zip(got, exp):
             assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_index_report_vs_golden(setup):
+    from fulltextsearchengine_spark.operators.report import index_report
+
+    golden, idx, _, _ = setup
+    got = {r["metric"]: r["value"] for r in index_report(idx).collect()}
+    lens = golden["doc_to_length"]
+    dfs = golden["term_to_document_frequency"]
+    convs = golden["conv_to_doc_ids"]
+    assert got == {
+        "num_docs": golden["num_docs"],
+        "total_tokens": golden["total_tokens"],
+        "unique_terms": golden["unique_tokens"],
+        "num_pairs": sum(dfs.values()),
+        "max_doc_len": max(lens.values()),
+        "min_doc_len": min(lens.values()),
+        "empty_docs": sum(1 for v in lens.values() if v == 0),
+        "max_df": max(dfs.values()),
+        "hapax_terms": sum(1 for v in dfs.values() if v == 1),
+        "max_cf": max(golden["term_to_collection_frequency"].values()),
+        "n_convs": len(convs),
+        "max_conv_turns": max(len(v) for v in convs.values()),
+    }
