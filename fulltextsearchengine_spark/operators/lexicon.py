@@ -70,6 +70,26 @@ def build_fuzzy_index(terms: DataFrame) -> DataFrame:
     )
 
 
+def save_fuzzy_index(
+    fuzzy: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Persist the deletion-variant sidecar sorted by variant (range
+    exchange + in-partition sort) so each query's ≤|q|+1 variant keys
+    prune to a handful of parquet row groups — the same pruned-scan
+    shape as posting lookup. zstd like every index artifact."""
+    from .index_build import PARQUET_CODEC
+
+    spark = fuzzy.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        fuzzy.repartitionByRange(n, "variant", "term")
+        .sortWithinPartitions("variant", "term")
+        .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
+        .parquet(path)
+    )
+
+
 def fuzzy_term_lookup(
     terms: DataFrame,
     query_term: str,

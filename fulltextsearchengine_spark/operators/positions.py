@@ -55,6 +55,31 @@ def build_positional_postings(
     )
 
 
+def save_positional_postings(
+    pos_postings: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Persist the side-table in the same layout contract as the core
+    postings sink (index_build S6): range-exchange on (term, doc_id) +
+    in-partition sort, so per-query term lookups prune parquet files and
+    row groups by min/max — the dictionary-binary-search analog. zstd
+    like every index artifact."""
+    from .index_build import PARQUET_CODEC
+
+    spark = pos_postings.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        pos_postings.repartitionByRange(n, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
+        .parquet(path)
+    )
+
+
+def load_positional_postings(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def phrase_match_docs(pos_postings: DataFrame, phrase: list[str]) -> DataFrame:
     """Unranked exact-adjacency matches: (doc_id, phrase_tf) for every
     doc containing the phrase — the filter-clause form (queryparse.py

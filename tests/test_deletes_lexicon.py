@@ -309,3 +309,22 @@ def test_index_report_vs_golden(setup):
         "n_convs": len(convs),
         "max_conv_turns": max(len(v) for v in convs.values()),
     }
+
+
+def test_saved_fuzzy_index_prunes(setup, spark, tmp_path_factory):
+    from fulltextsearchengine_spark.operators.lexicon import save_fuzzy_index
+
+    golden, idx, _, _ = setup
+    path = str(tmp_path_factory.mktemp("fuzzyidx") / "variants")
+    save_fuzzy_index(build_fuzzy_index(idx.terms), path)
+    loaded = spark.read.parquet(path)
+    got_df = fuzzy_term_lookup(idx.terms, "spak", K, fuzzy_index=loaded)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "In(variant" in plan.split("PushedFilters", 1)[1][:300]
+    vocab = list(golden["term_to_document_frequency"])
+    exp = sorted(
+        ((t, golden["term_to_collection_frequency"][t]) for t in vocab if _lev(t, "spak") <= 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:K]
+    assert [(r["term"], r["cf"]) for r in got_df.collect()] == exp

@@ -77,3 +77,27 @@ def test_phrase_search_repeated_term_overlap(spark):
     assert [(r["doc_id"], r["phrase_tf"]) for r in got] == [(1, 3)]
     with pytest.raises(ValueError):
         phrase_search(pos, [])
+
+
+def test_saved_positional_layout_prunes(setup, spark, tmp_path_factory):
+    from fulltextsearchengine_spark.operators.positions import (
+        load_positional_postings,
+        save_positional_postings,
+    )
+
+    doc_tokens, pos = setup
+    path = str(tmp_path_factory.mktemp("posidx") / "pospostings")
+    save_positional_postings(pos, path)
+    loaded = load_positional_postings(spark, path)
+    # round-trip identity
+    assert sorted(map(tuple, loaded.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, pos.collect()), key=lambda t: (t[0], t[1])
+    )
+    # phrase over the persisted table: pushed In(term) filter + same result
+    some = next(t for t in doc_tokens.values() if len(t) >= 2)
+    got_df = phrase_search(loaded, some[:2], k=10)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan.split("PushedFilters", 1)[1][:300]
+    assert [tuple(r) for r in got_df.collect()] == [
+        tuple(r) for r in phrase_search(pos, some[:2], k=10).collect()
+    ]
