@@ -757,6 +757,19 @@ def _q_ann_cosine(spark, sf_dir):
     return cosine_topk(emb, qvec, TOPK).select("vec_id", _micro("cosine", "cosine_micro"))
 
 
+def _q_ann_batch(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = {
+        str(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    return cosine_topk_batch(emb, queries, TOPK).select(
+        "query_id", "vec_id", _micro("cosine", "cosine_micro")
+    )
+
+
 _IVF_CACHE: dict[tuple[int, str], object] = {}
 
 
@@ -1274,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "ftse_query_box": _q_query_box,
         "ftse_index_report": _q_index_report,
+        "ann_cosine_batch": _q_ann_batch,
     }
 
 
@@ -1695,6 +1709,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) "
             f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
             f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
+        "ann_cosine_batch": (
+            "WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+            "FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+            "scored AS (SELECT qs.query_id, e.vec_id, "
+            "list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qs.qv) "
+            "/ (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) "
+            "* sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN qs), "
+            "rk AS (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
+            "SELECT query_id, vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
+            f"FROM rk WHERE rn <= {TOPK}"
         ),
         "ann_ivf_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "

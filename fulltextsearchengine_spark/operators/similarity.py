@@ -65,6 +65,93 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: dict[str, list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cosine): exact top-k for EVERY query in ONE
+    corpus scan — m fold columns over one pass (the scan, not the math,
+    dominates a 100-TB brute-force pass; scoring m queries amortizes it
+    m×). Per-query top-k via a window over the stacked scores: exact and
+    fold-order deterministic (same JVM fold as cosine_scores — the
+    oracle twin). The window shuffles n·m stacked rows — right for
+    driver-sized m (≤ a few dozen); beyond that use
+    ``cosine_topk_batch_arrow``, which filters to local top-k before any
+    shuffle."""
+    from pyspark.sql import Window
+
+    qids = sorted(queries)
+    e = F.col(vec_col)
+    en = _norm(e)
+    cols = []
+    for i, qid in enumerate(qids):
+        qv = queries[qid]
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        qn = float(np.sqrt(np.sum(np.asarray(qv, dtype=np.float64) ** 2)))
+        cols.append((_dot(e, q) / (en * F.lit(qn))).alias(f"c_{i}"))
+    scored = embeddings.select(F.col(id_col).alias("vec_id"), *cols)
+    stack = ", ".join(f"'{qid}', c_{i}" for i, qid in enumerate(qids))
+    stacked = scored.selectExpr(
+        "vec_id", f"stack({len(qids)}, {stack}) AS (query_id, cosine)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_batch_arrow(
+    embeddings: DataFrame,
+    queries: dict[str, list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-batch scale path: the normalized query matrix broadcasts
+    into ``mapInPandas``; each Arrow batch computes one E·Qᵀ BLAS
+    product and emits its LOCAL per-query top-k, so the only shuffle is
+    the ≤ partitions·m·k survivor rows for the final per-query window —
+    never n·m. Scores differ from the JVM fold by summation-order ulps
+    (BLAS pairwise vs left-to-right), so ranks are verified against
+    ``cosine_topk_batch`` in tests rather than bit-pinned."""
+    from pyspark.sql import Window
+
+    qids = sorted(queries)
+    qmat = np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            emat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(emat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (emat / norms) @ qmat.T  # n_batch × m
+            top = min(k, sims.shape[0])
+            for j, qid in enumerate(qids):
+                sel = np.argpartition(-sims[:, j], top - 1)[:top]
+                yield pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids[sel], "cosine": sims[sel, j]}
+                )
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id string, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("vec_id"), "cosine")
+    )
+
+
 def srp_buckets(
     embeddings: DataFrame,
     dim: int,

@@ -169,3 +169,35 @@ def test_ivf_topk_recall(emb):
         assert qi in got  # query's own vector is in a probed list
         hits += len(set(got) & set(top5))
     assert hits >= trials * 3  # n_probe=3/8 lists → high recall on top-5
+
+
+def test_cosine_topk_batch_matches_single(emb):
+    from fulltextsearchengine_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+        cosine_topk_batch_arrow,
+    )
+
+    df, vecs = emb
+    queries = {f"q{i}": vecs[i].tolist() for i in range(3)}
+    batch = cosine_topk_batch(df, queries, 8)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    arrow = cosine_topk_batch_arrow(df, queries, 8)
+    got_arrow = {}
+    for r in arrow.collect():
+        got_arrow.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for d in (got, got_arrow):  # collect order is unspecified — sort per query
+        for qid in d:
+            d[qid].sort(key=lambda x: (-x[1], x[0]))
+    assert set(got) == set(queries) == set(got_arrow)
+    for qid, qv in queries.items():
+        exp = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, qv, 8).collect()]
+        assert [g[0] for g in got[qid]] == [e[0] for e in exp]
+        for g, e in zip(got[qid], exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-12)
+        # arrow path: same ranks, scores within BLAS summation ulps
+        assert [g[0] for g in got_arrow[qid]] == [e[0] for e in exp]
+        for g, e in zip(got_arrow[qid], exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
