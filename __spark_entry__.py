@@ -1082,6 +1082,17 @@ def _q_index_report(spark, sf_dir):
     return index_report(_index(spark, sf_dir))
 
 
+def _q_term_trends(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.keywords import term_trends
+
+    return term_trends(_index(spark, sf_dir), "hour", 3).select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH").alias("hour"),
+        "term",
+        "tf_sum",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_query_box(spark, sf_dir):
     from fulltextsearchengine_spark.operators.queryparse import execute_query
 
@@ -1288,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_query_box": _q_query_box,
         "ftse_index_report": _q_index_report,
         "ann_cosine_batch": _q_ann_batch,
+        "term_trends": _q_term_trends,
     }
 
 
@@ -1841,6 +1853,21 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
             "WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.threshold"
         ),
         "ftse_query_box": _query_box_sql(TOPK),
+        "term_trends": (
+            PRELUDE
+            + """
+, tb AS (
+  SELECT strftime(date_trunc('hour', r.ts), '%Y-%m-%d %H') AS hour, p.term,
+         CAST(sum(p.tf) AS BIGINT) AS tf_sum
+  FROM postings p JOIN ranked r USING (doc_id)
+  GROUP BY 1, 2
+), tr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour ORDER BY tf_sum DESC, term) AS rank
+  FROM tb
+)
+SELECT hour, term, tf_sum, rank FROM tr WHERE rank <= 3
+"""
+        ),
         "ftse_index_report": (
             PRELUDE
             + """

@@ -62,6 +62,31 @@ def conv_keywords(index: InvertedIndex, k: int = 3) -> DataFrame:
     )
 
 
+def term_trends(
+    index: InvertedIndex, granularity: str = "hour", k: int = 3
+) -> DataFrame:
+    """(bucket_ts, term, tf_sum, rank): top-k terms per time bucket by
+    summed tf — the corpus-drift monitor (vocabulary shift between
+    ingestion windows is the first signal a training-data pipeline
+    alarms on). Same plan shape as conv_keywords with the conv key
+    replaced by ``date_trunc(granularity, ts)``: postings⋈docs, map-side
+    partial agg, per-bucket window. Rank ties break by term asc."""
+    bucketed = (
+        index.postings.select("term", "doc_id", "tf")
+        .join(index.docs.select("doc_id", "ts"), "doc_id")
+        .groupBy(
+            F.date_trunc(granularity, F.col("ts")).alias("bucket_ts"), F.col("term")
+        )
+        .agg(F.sum("tf").alias("tf_sum"))
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(F.desc("tf_sum"), F.asc("term"))
+    return (
+        bucketed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bucket_ts", "term", "tf_sum", "rank")
+    )
+
+
 def term_cooccurrence(
     index: InvertedIndex, min_df: int, max_df: int, k: int = 50
 ) -> DataFrame:

@@ -328,3 +328,31 @@ def test_saved_fuzzy_index_prunes(setup, spark, tmp_path_factory):
         key=lambda x: (-x[1], x[0]),
     )[:K]
     assert [(r["term"], r["cf"]) for r in got_df.collect()] == exp
+
+
+def test_term_trends_vs_bruteforce(setup, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.keywords import term_trends
+
+    golden, idx, _, _ = setup
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    hour_of = {
+        r.doc_id: r.ts.replace(minute=0, second=0, microsecond=0)
+        for r in docs.itertuples(index=False)
+    }
+    agg: dict[tuple, int] = {}
+    for t, flat in golden["term_to_postings"].items():
+        for d, tf in zip(flat[0::2], flat[1::2]):
+            key = (hour_of[d], t)
+            agg[key] = agg.get(key, 0) + tf
+    exp = {}
+    by_bucket: dict = {}
+    for (h, t), s in agg.items():
+        by_bucket.setdefault(h, []).append((-s, t))
+    for h, rows in by_bucket.items():
+        for rank, (neg, t) in enumerate(sorted(rows)[:3], 1):
+            exp[(h, t)] = (-neg, rank)
+    got = {
+        (r["bucket_ts"], r["term"]): (r["tf_sum"], r["rank"])
+        for r in term_trends(idx, "hour", 3).collect()
+    }
+    assert got == exp
