@@ -237,23 +237,6 @@ def bm25_topk_wand(
     if not surviving:
         return ([], stats) if return_stats else []
 
-    # Surviving-bucket restriction (VERDICT r2 "what's wrong" #4): a
-    # literal IN list pushes to the scan (parquet row-group / partition
-    # pruning — the IO win bucket-skip exists for), so keep it while the
-    # list is scan-prunable-sized. When thousands of buckets survive
-    # (hot-only queries at high bucket counts — exactly the case where
-    # pruning saves ~nothing anyway), switch to a broadcast semi-join so
-    # the plan never carries a multi-thousand-element IN expression.
-    if len(surviving) <= 1024:
-        blocks_surv = qblocks.filter(F.col("bucket").isin(surviving))
-        slabs_surv = slabs.filter(F.col("bucket").isin(surviving))
-    else:
-        surv_df = blocks.sparkSession.createDataFrame(
-            [(int(b_),) for b_ in surviving], "bucket long"
-        )
-        blocks_surv = qblocks.join(F.broadcast(surv_df), "bucket", "left_semi")
-        slabs_surv = slabs.join(F.broadcast(surv_df), "bucket", "left_semi")
-
     # executor-side skip counters: chunk-gate decisions are only
     # observable in-task, so measure them with accumulators
     acc_dec = acc_skip = None
@@ -261,6 +244,52 @@ def bm25_topk_wand(
         sc = blocks.sparkSession.sparkContext
         acc_dec = sc.accumulator(0)
         acc_skip = sc.accumulator(0)
+
+    topk = _single_query_cogroup(
+        blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
+        k1, b, bucket_range, block_size,
+        acc_dec=acc_dec, acc_skip=acc_skip, explain_out=explain_out,
+    )
+    if return_stats:
+        stats["blocks_decoded"] = acc_dec.value
+        stats["blocks_chunk_skipped"] = acc_skip.value
+    return (topk, stats) if return_stats else topk
+
+
+def _survivor_frames(blocks, slabs, qblocks, surviving):
+    """Restrict blocks+slabs to the surviving buckets.
+
+    VERDICT r2 "what's wrong" #4: a literal IN list pushes to the scan
+    (parquet row-group / partition pruning — the IO win bucket-skip
+    exists for), so keep it while the list is scan-prunable-sized. When
+    thousands of buckets survive (hot-only queries at high bucket
+    counts — exactly the case where pruning saves ~nothing anyway),
+    switch to a broadcast semi-join so the plan never carries a
+    multi-thousand-element IN expression."""
+    if len(surviving) <= 1024:
+        return (
+            qblocks.filter(F.col("bucket").isin(surviving)),
+            slabs.filter(F.col("bucket").isin(surviving)),
+        )
+    surv_df = blocks.sparkSession.createDataFrame(
+        [(int(b_),) for b_ in surviving], "bucket long"
+    )
+    return (
+        qblocks.join(F.broadcast(surv_df), "bucket", "left_semi"),
+        slabs.join(F.broadcast(surv_df), "bucket", "left_semi"),
+    )
+
+
+def _single_query_cogroup(
+    blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
+    k1, b, bucket_range, block_size,
+    acc_dec=None, acc_skip=None, explain_out=None,
+) -> list[tuple[int, float]]:
+    """Stages 3+4 of the single-query plan: surviving buckets cogroup
+    with their doc_len slabs, chunk-gated decode + bounded per-bucket
+    top-k in-task, exact (score desc, doc_id asc) k-merge on the driver.
+    Shared by ``bm25_topk_wand`` (cold) and ``WandSearcher`` (warm)."""
+    blocks_surv, slabs_surv = _survivor_frames(blocks, slabs, qblocks, surviving)
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -272,7 +301,6 @@ def bm25_topk_wand(
     chunk = block_size
     n_chunks = -(-bucket_range // chunk)
 
-    # ---- 3+4. surviving buckets: chunk-gated decode + bounded top-k ----
     def cogroup_fn(blocks_pdf: pd.DataFrame, slab_pdf: pd.DataFrame) -> pd.DataFrame:
         if blocks_pdf.empty or slab_pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
@@ -335,11 +363,7 @@ def bm25_topk_wand(
         explain_out.append(local_topk)  # plan audit hook (scripts/explain_plans.py)
     # driver k-merge with exact tie-break (score desc, doc_id asc)
     rows = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    topk = [(r["doc_id"], r["score"]) for r in rows]
-    if return_stats:
-        stats["blocks_decoded"] = acc_dec.value
-        stats["blocks_chunk_skipped"] = acc_skip.value
-    return (topk, stats) if return_stats else topk
+    return [(r["doc_id"], r["score"]) for r in rows]
 
 
 def _zero_stats():
@@ -581,15 +605,7 @@ def bm25_topk_wand_batch(
     if not union_surv:
         return out
 
-    if len(union_surv) <= 1024:
-        blocks_surv = qblocks.filter(F.col("bucket").isin(union_surv))
-        slabs_surv = slabs.filter(F.col("bucket").isin(union_surv))
-    else:
-        surv_df = blocks.sparkSession.createDataFrame(
-            [(int(b_),) for b_ in union_surv], "bucket long"
-        )
-        blocks_surv = qblocks.join(F.broadcast(surv_df), "bucket", "left_semi")
-        slabs_surv = slabs.join(F.broadcast(surv_df), "bucket", "left_semi")
+    blocks_surv, slabs_surv = _survivor_frames(blocks, slabs, qblocks, union_surv)
 
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
@@ -686,3 +702,202 @@ def bm25_topk_wand_batch(
         lst.sort(key=lambda x: (-x[1], x[0]))
         out[qid] = lst[:k]
     return out
+
+
+class WandSearcher:
+    """Warm-dictionary WAND serving: a driver-resident per-TERM metadata
+    cache so repeat queries over cached terms run exactly ONE Spark job
+    (the surviving-bucket cogroup) instead of two.
+
+    This is the Spark analog of the reference keeping its dictionary in
+    memory across queries (Dictionary.java:74-79 loads the whole
+    front-coded term file once; every query then binary-searches RAM):
+    per term we cache (df, the ``seed_blocks`` highest-impact blocks
+    WITH payload, per-bucket max impact + block counts, and the doc_len
+    slabs of the seed buckets). All of it is metadata-sized — a few KB
+    per term, independent of corpus size except through bucket count —
+    and, crucially, QUERY-INDEPENDENT (within a term, idf is constant,
+    so impact ORDER needs no weights), which is what makes a cross-query
+    cache sound. Threshold seeding and bucket pruning then run as pure
+    driver numpy over the cache; only the cogroup touches the cluster.
+
+    Cache growth is bounded by ``max_terms`` (FIFO eviction). A miss
+    costs one metadata job for ONLY the missing terms; a fully-warm
+    query costs one job. Results are exactly ``bm25_topk_wand``'s
+    (pytest-locked parity, and both are oracle-locked)."""
+
+    def __init__(
+        self,
+        blocks: DataFrame,
+        slabs: DataFrame,
+        n_docs: int,
+        total_tokens: int,
+        bucket_range: int,
+        block_size: int = 128,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        seed_blocks: int = 32,
+        max_terms: int = 100_000,
+    ):
+        self.blocks = blocks
+        self.slabs = slabs
+        self.n_docs = int(n_docs)
+        self.total_tokens = int(total_tokens)
+        self.bucket_range = int(bucket_range)
+        self.block_size = int(block_size)
+        self.k1, self.b = k1, b
+        self.seed_blocks = int(seed_blocks)
+        self.max_terms = int(max_terms)
+        self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 0.0
+        # term -> {"df": int, "seeds": [dict], "mi": {bucket: float}}
+        self._meta: dict[str, dict] = {}
+        self._slab_cache: dict[int, tuple[int, np.ndarray]] = {}
+        self._seed_decoded: dict[tuple[str, int], tuple] = {}
+        self.metadata_jobs = 0  # observability: cold-fill job count
+
+    # ---- cache fill -------------------------------------------------
+    def _ensure_terms(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._meta]
+        if not missing:
+            return
+        from pyspark.sql.window import Window
+
+        qb = self.blocks.filter(F.col("term").isin(missing))
+        meta_small = qb.select("term", "bucket", "block_id", "max_impact", "n")
+        ranked = meta_small.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(
+                    F.desc("max_impact"), F.asc("block_id")
+                )
+            ),
+        ).filter(F.col("rk") <= self.seed_blocks)
+        seed_sel = qb.join(
+            F.broadcast(ranked.select("term", "block_id")),
+            ["term", "block_id"],
+            "left_semi",
+        ).select(
+            F.lit("seed").alias("kind"), "term", "bucket", "n", "max_impact",
+            "first_doc_id", "gaps_ctrl", "gaps_data", "tfs_ctrl", "tfs_data",
+        )
+        slab_sel = self.slabs.join(
+            F.broadcast(ranked.select("bucket").distinct()), "bucket", "left_semi"
+        ).select(F.lit("slab").alias("kind"), "bucket", "base", "lens")
+        ubt_sel = (
+            meta_small.groupBy("bucket", "term")
+            .agg(F.max("max_impact").alias("mi"))
+            .select(F.lit("ubt").alias("kind"), "bucket", "term", "mi")
+        )
+        df_sel = (
+            meta_small.groupBy("term")
+            .agg(F.sum("n").alias("dfv"))
+            .select(F.lit("df").alias("kind"), "term", "dfv")
+        )
+        meta_rows = (
+            seed_sel.unionByName(slab_sel, allowMissingColumns=True)
+            .unionByName(ubt_sel, allowMissingColumns=True)
+            .unionByName(df_sel, allowMissingColumns=True)
+            .collect()
+        )
+        self.metadata_jobs += 1
+        # absent terms must cache too (df=0) or they'd refetch per query
+        for t in missing:
+            self._meta[t] = {"df": 0, "seeds": [], "mi": {}}
+        for r in meta_rows:
+            kind = r["kind"]
+            if kind == "df":
+                self._meta[r["term"]]["df"] = int(r["dfv"])
+            elif kind == "seed":
+                self._meta[r["term"]]["seeds"].append(r.asDict())
+            elif kind == "ubt":
+                self._meta[r["term"]]["mi"][int(r["bucket"])] = float(r["mi"])
+            elif kind == "slab":
+                self._slab_cache[int(r["bucket"])] = (
+                    int(r["base"]),
+                    np.frombuffer(r["lens"], dtype=np.uint32),
+                )
+        # FIFO evict — but never a term the in-flight query needs (a
+        # query wider than max_terms overflows temporarily instead)
+        needed = set(terms)
+        evictable = [t for t in self._meta if t not in needed]
+        while len(self._meta) > self.max_terms and evictable:
+            old = evictable.pop(0)
+            for s in self._meta[old]["seeds"]:
+                self._seed_decoded.pop((old, int(s["first_doc_id"])), None)
+            del self._meta[old]
+
+    def _decode_seed(self, r: dict) -> tuple | None:
+        key = (r["term"], int(r["first_doc_id"]))
+        hit = self._seed_decoded.get(key)
+        if hit is not None:
+            return hit
+        sl = self._slab_cache.get(int(r["bucket"]))
+        if sl is None:
+            return None  # θ only weakens — never over-prunes
+        base, lens = sl
+        gaps = svb_decode(r["gaps_ctrl"], r["gaps_data"], r["n"]).astype(np.int64)
+        ids = np.cumsum(gaps) + (int(r["first_doc_id"]) - 1)
+        tfs = tf_decode(r["tfs_ctrl"], r["tfs_data"], r["n"]).astype(np.float64)
+        dl = lens[ids - base].astype(np.float64)
+        self._seed_decoded[key] = (ids, tfs, dl)
+        return self._seed_decoded[key]
+
+    # ---- query ------------------------------------------------------
+    def search(self, query: list[str], k: int) -> list[tuple[int, float]]:
+        terms = sorted({t.lower() for t in query})
+        if not terms or self.n_docs == 0:
+            return []
+        self._ensure_terms(terms)
+        idf = {
+            t: math.log(
+                (self.n_docs - self._meta[t]["df"] + 0.5)
+                / (self._meta[t]["df"] + 0.5)
+                + 1.0
+            )
+            for t in terms
+            if self._meta[t]["df"] > 0
+        }
+        if not idf:
+            return []
+
+        # threshold seed from the cached per-term pools (same rule as
+        # bm25_topk_wand_batch: pool by idf·max_impact, take the global
+        # top seed_blocks, accumulate in sorted-term order)
+        pool = [
+            (idf[t] * float(r["max_impact"]), r)
+            for t in idf
+            for r in self._meta[t]["seeds"]
+        ]
+        pool.sort(key=lambda x: (-x[0], x[1]["term"], int(x[1]["first_doc_id"])))
+        acc: dict[int, float] = {}
+        for _, r in sorted(pool[: self.seed_blocks], key=lambda x: x[1]["term"]):
+            dec = self._decode_seed(r)
+            if dec is None:
+                continue
+            ids, tfs, dl = dec
+            w = idf[r["term"]]
+            contrib = _contrib(w, tfs, dl, self.avgdl, self.k1, self.b)
+            for d, c in zip(ids.tolist(), contrib.tolist()):
+                acc[d] = acc.get(d, 0.0) + c
+        theta = -math.inf
+        if len(acc) >= k:
+            kth = float(
+                np.partition(np.fromiter(acc.values(), dtype=np.float64), -k)[-k]
+            )
+            theta = kth - abs(kth) * 1e-9 - 1e-300
+
+        # bucket pruning over cached per-(term,bucket) max impacts
+        ub_by_bucket: dict[int, float] = {}
+        for t in idf:
+            w = idf[t]
+            for bkt, mi in self._meta[t]["mi"].items():
+                ub_by_bucket[bkt] = ub_by_bucket.get(bkt, 0.0) + w * mi
+        surviving = [bkt for bkt, ub in ub_by_bucket.items() if ub >= theta]
+        if not surviving:
+            return []
+
+        qblocks = self.blocks.filter(F.col("term").isin(sorted(idf)))
+        return _single_query_cogroup(
+            self.blocks, self.slabs, qblocks, surviving, idf, theta, k,
+            self.avgdl, self.k1, self.b, self.bucket_range, self.block_size,
+        )

@@ -241,3 +241,54 @@ def test_sharded_bm25_router_matches_single(ctx):
         assert [g[0] for g in got] == [e[0] for e in exp], q
         for e, g in zip(exp, got):
             assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_wand_searcher_warm_cache(ctx):
+    """WandSearcher: rank/score-identical to bm25_topk_wand and the
+    oracle; warm repeats refetch NO metadata (one cogroup job only);
+    OOV-only and partially-OOV queries behave; eviction stays sound."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.wand import WandSearcher
+
+    golden, idx, blocks, stats = ctx
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    s = WandSearcher(
+        blocks, slabs,
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+    )
+    ts = sorted(golden["term_to_document_frequency"])
+    queries = [ts[:3], ts[20:24], [ts[5]], [ts[0], "zzznotaword"], ["zzznotaword"]]
+    for q in queries:
+        exp = oracle.bm25_search(golden, q, 10)
+        got = s.search(q, 10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for e, g in zip(exp, got):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
+    jobs_after_cold = s.metadata_jobs
+    # every query except the last introduced ≥1 new term ('zzznotaword'
+    # is cached — as df=0 — by the 4th query, so the 5th is free)
+    assert jobs_after_cold == len(queries) - 1
+    for q in queries:  # warm repeats: zero additional metadata jobs
+        exp = oracle.bm25_search(golden, q, 10)
+        got = s.search(q, 10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+    assert s.metadata_jobs == jobs_after_cold
+    # overlapping-new-term query: exactly ONE metadata fill for the miss
+    q = [ts[0], ts[40]]
+    exp = oracle.bm25_search(golden, q, 10)
+    assert [g[0] for g in s.search(q, 10)] == [e[0] for e in exp]
+    assert s.metadata_jobs == jobs_after_cold + 1
+
+    # tiny-cache eviction: still exact, just refetches
+    s2 = WandSearcher(
+        blocks, slabs,
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE, max_terms=2,
+    )
+    for q in [ts[:3], ts[20:24], ts[:3]]:
+        exp = oracle.bm25_search(golden, q, 10)
+        got = s2.search(q, 10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        # cache may overflow only up to the width of the current query
+        assert len(s2._meta) <= max(2, len(q))
