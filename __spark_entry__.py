@@ -1218,6 +1218,29 @@ def _q_snippets(spark, sf_dir):
     ).select("doc_id", _micro("score", "score_micro"), "conv_id", "turn_idx", "snippet")
 
 
+def _q_containment(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs_raw(spark, sf_dir), threshold=0.5, k=3, max_shingle_df=JACCARD_DF_CAP
+    )
+
+
+def _q_unigram_xent(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.textstats import unigram_xent
+
+    return unigram_xent(_docs_raw(spark, sf_dir))
+
+
+def _q_faceted(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.facets import faceted_search
+
+    idx = _index(spark, sf_dir)
+    return faceted_search(Searcher(idx), Q_BM25, facet_col="role", per_facet_k=5).withColumn(
+        "facet_rank", F.col("facet_rank").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -1300,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_index_report": _q_index_report,
         "ann_cosine_batch": _q_ann_batch,
         "term_trends": _q_term_trends,
+        "dedup_containment": _q_containment,
+        "text_unigram_xent": _q_unigram_xent,
+        "ftse_faceted_search": _q_faceted,
     }
 
 
@@ -1884,6 +1910,50 @@ UNION ALL SELECT 'max_cf', CAST(max(cf) AS BIGINT) FROM terms
 UNION ALL SELECT 'n_convs', CAST(count(DISTINCT conv_id) AS BIGINT) FROM docs
 UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
           FROM (SELECT count(*) AS n FROM docs GROUP BY conv_id)
+"""
+        ),
+        "dedup_containment": (
+            f"WITH {shingle_cte}, "
+            f"keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}), "
+            "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
+            "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+            "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id), "
+            "c AS (SELECT doc_a, doc_b, shared, "
+            "CAST(shared AS DOUBLE) / sa.n AS ca, CAST(shared AS DOUBLE) / sb.n AS cb "
+            "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
+            "SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared, "
+            "CAST(round(ca * 1e6) AS BIGINT) AS cont_a_micro, "
+            "CAST(round(cb * 1e6) AS BIGINT) AS cont_b_micro "
+            "FROM c WHERE ca >= 0.5 OR cb >= 0.5"
+        ),
+        "text_unigram_xent": (
+            "WITH t AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents), "
+            "tok AS (SELECT doc_id, unnest(tokens) AS term FROM t), "
+            "cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term), "
+            "g AS (SELECT count(*) AS total FROM tok), "
+            "dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+            "s AS (SELECT dt.doc_id, "
+            "sum(dt.tf * -ln(CAST(cf.c AS DOUBLE) / g.total)) AS nll, "
+            "CAST(sum(dt.tf) AS BIGINT) AS n "
+            "FROM dt JOIN cf USING (term) CROSS JOIN g GROUP BY dt.doc_id) "
+            "SELECT t.doc_id, coalesce(s.n, 0) AS n_tokens, "
+            "coalesce(CAST(round(s.nll / s.n * 1e6) AS BIGINT), 0) AS xent_micro "
+            "FROM t LEFT JOIN s USING (doc_id)"
+        ),
+        "ftse_faceted_search": (
+            _bm25_scored_cte(Q_BM25)
+            + """
+, f AS (SELECT d.role AS facet, s.doc_id, s.score FROM scored s JOIN docs d USING (doc_id))
+, cnt AS (SELECT facet, count(*) AS facet_hits FROM f GROUP BY facet)
+, rk AS (SELECT facet, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY facet ORDER BY score DESC, doc_id) AS facet_rank
+         FROM f)
+SELECT rk.facet, CAST(cnt.facet_hits AS BIGINT) AS facet_hits,
+       CAST(facet_rank AS BIGINT) AS facet_rank, doc_id,
+       CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM rk JOIN cnt USING (facet) WHERE facet_rank <= 5
 """
         ),
     }

@@ -111,3 +111,54 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace variance — the exact-dedup key."""
     toks = tokens_col(F.col(text_col))
     return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))
+
+
+def unigram_xent(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, xent_micro): per-document cross-entropy (nats,
+    ×1e6) under the corpus's own unigram MLE — mean over the doc's token
+    stream of −ln(cf_t / total_tokens).
+
+    The standard corpus-LM quality signal (CCNet-style perplexity
+    filtering, done with a self-trained unigram model instead of an
+    external KenLM): LOW xent = the doc is made of the corpus's most
+    common words (boilerplate, listings); HIGH xent = rare-token-dense
+    (noise, codes, other-language residue). Filter both tails.
+
+    Scale shape (100 TB): tokenize+explode is embarrassingly parallel;
+    cf is one partial-agg groupBy over (term) — vocabulary-sized output,
+    typically broadcastable; per-doc tf one partial-agg groupBy over
+    (doc_id, term); the tf⋈cf join is vocabulary-keyed (hot terms are
+    exactly the high-cf rows, and the cf side is tiny, so broadcast-hash
+    — no skewed shuffle). Zero-token docs surface with n_tokens=0,
+    xent_micro=0 (a left join from the corpus, not a dropped row)."""
+    base = df.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks"))
+    tok = base.select("doc_id", F.explode("_toks").alias("term"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    dt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nll = (
+        dt.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * -F.log(F.col("cf").cast("double") / F.col("total"))
+            ).alias("nll"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(nll, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.round(F.col("nll") / F.col("n_tokens") * 1e6).cast("long"),
+                F.lit(0),
+            ).alias("xent_micro"),
+        )
+    )

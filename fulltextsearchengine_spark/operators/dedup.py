@@ -272,3 +272,63 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = DEFAULT_SHINGLE_K,
+    max_shingle_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, shared, cont_a_micro, cont_b_micro): shingle-set
+    CONTAINMENT for pairs where either direction ≥ threshold.
+    cont_a = |S(a)∩S(b)| / |S(a)| — the fraction of a's shingles that b
+    also has (and symmetrically for b).
+
+    Jaccard misses the subsumed-document case: a 50-line doc pasted
+    inside a 5000-line doc has Jaccard ≈ 0.01 but containment ≈ 1.0 —
+    exactly the "quoted/forwarded/boilerplate-wrapped" duplication a
+    training-data pipeline must catch (Broder's resemblance vs
+    containment distinction). Emits ONE row per unordered pair with both
+    directions, so callers pick the subsumed side with a projection.
+
+    Same scale contract as ngram_jaccard_pairs: ``max_shingle_df`` drops
+    stop-shingles BEFORE the inverted join (mandatory at 100 TB, or gate
+    candidates through MinHash-LSH first); sizes and intersections both
+    use the capped universe, so scores are exact over it."""
+    sh = doc_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"),
+            "doc_b",
+        )
+        .withColumn("cont_a", F.col("shared") / F.col("na"))
+        .withColumn("cont_b", F.col("shared") / F.col("nb"))
+        .filter((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(F.col("cont_a") * 1e6).cast("long").alias("cont_a_micro"),
+            F.round(F.col("cont_b") * 1e6).cast("long").alias("cont_b_micro"),
+        )
+    )

@@ -247,3 +247,80 @@ def test_fingerprint(docs_df):
     got = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs_df).collect()}
     for did, text in DOCS:
         assert got[did] == _canon_hash(text)
+
+
+def test_ngram_containment(docs_df):
+    """Containment pairs vs brute-force shingle sets; verifies the
+    asymmetric case Jaccard misses (a doc subsumed by a longer one)."""
+    from fulltextsearchengine_spark.operators.dedup import ngram_containment_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in ngram_containment_pairs(docs_df, threshold=0.5, k=3).collect()
+    }
+    sh = {did: _shingles(text) for did, text in DOCS}
+    exp = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a >= b or not sa or not sb:
+                continue
+            shared = len(sa & sb)
+            ca, cb = shared / len(sa), shared / len(sb)
+            if shared and (ca >= 0.5 or cb >= 0.5):
+                exp[(a, b)] = (shared, ca, cb)
+    assert set(got) == set(exp)
+    for key, (shared, ca, cb) in exp.items():
+        r = got[key]
+        assert r["shared"] == shared
+        assert r["cont_a_micro"] == round(ca * 1e6)
+        assert r["cont_b_micro"] == round(cb * 1e6)
+    # 1 and 9 are exact dups: containment 1.0 both ways
+    assert got[(1, 9)]["cont_a_micro"] == 1_000_000
+    assert got[(1, 9)]["cont_b_micro"] == 1_000_000
+
+
+def test_containment_subsumed_doc(spark):
+    """A short doc pasted inside a much longer one: Jaccard is tiny but
+    containment of the short side is 1.0 — the operator's reason to exist."""
+    import pandas as pd
+
+    from fulltextsearchengine_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i} filler{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, short), (2, filler + " " + short + " " + filler)],
+                     columns=["doc_id", "text"])
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r for r in
+            ngram_containment_pairs(df, threshold=0.9, k=3).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["cont_a_micro"] == 1_000_000  # short fully inside long
+    assert cont[(1, 2)]["cont_b_micro"] < 100_000
+    # and Jaccard at the same threshold finds nothing
+    assert ngram_jaccard_pairs(df, threshold=0.9, k=3).count() == 0
+
+
+def test_unigram_xent(docs_df):
+    """Cross-entropy vs a pure-Python unigram oracle; empty docs keep a
+    row with zeros; common-word docs score lower than rare-word docs."""
+    from fulltextsearchengine_spark.functions.textstats import unigram_xent
+
+    toks = {did: tokenize(text) for did, text in DOCS}
+    cf = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cf.values())
+    got = {r["doc_id"]: r for r in unigram_xent(docs_df).collect()}
+    assert set(got) == {did for did, _ in DOCS}
+    for did, ts in toks.items():
+        r = got[did]
+        assert r["n_tokens"] == len(ts)
+        if not ts:
+            assert r["xent_micro"] == 0
+            continue
+        nll = sum(-math.log(cf[t] / total) for t in ts)
+        assert r["xent_micro"] == round(nll / len(ts) * 1e6)
+    # doc 6 is all-hapax (rare) → strictly higher xent than doc 1 (common words)
+    assert got[6]["xent_micro"] > got[1]["xent_micro"]

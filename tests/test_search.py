@@ -182,3 +182,39 @@ def test_sql_surface_matches_dataframe(setup):
     rows = spark.sql(bm25_sql(q, K)).collect()
     exp = oracle.bm25_search(golden, q, K)
     _check_ranking(exp, [(r["doc_id"], r["score"]) for r in rows])
+
+
+def test_faceted_search(setup):
+    """Per-facet counts and top-k equal a brute-force regroup of the
+    full BM25 candidate set (scores via the engine's own scorer, facet
+    membership via docs) — and rank 1 per facet is that facet's global
+    best candidate."""
+    from collections import defaultdict
+
+    from fulltextsearchengine_spark.operators.facets import faceted_search
+
+    golden, searcher, queries = setup
+    role_of = {
+        r["doc_id"]: r["role"] for r in searcher.index.docs.select("doc_id", "role").collect()
+    }
+    for q in queries[:5]:
+        scored = {r["doc_id"]: r["score"] for r in searcher.bm25_scores(q).collect()}
+        by_facet = defaultdict(list)
+        for did, sc in scored.items():
+            by_facet[role_of[did]].append((did, sc))
+        got = faceted_search(searcher, q, facet_col="role", per_facet_k=3).collect()
+        if not scored:
+            assert got == []
+            continue
+        got_by_facet = defaultdict(list)
+        for r in got:
+            got_by_facet[r["facet"]].append(r)
+        assert set(got_by_facet) == set(by_facet)
+        for facet, cand in by_facet.items():
+            rows = sorted(got_by_facet[facet], key=lambda r: r["facet_rank"])
+            exp = sorted(cand, key=lambda x: (-x[1], x[0]))[:3]
+            assert [r["doc_id"] for r in rows] == [e[0] for e in exp], (q, facet)
+            for r, (eid, esc) in zip(rows, exp):
+                assert r["score_micro"] == round(esc * 1e6)
+                assert r["facet_hits"] == len(cand)
+            assert [r["facet_rank"] for r in rows] == list(range(1, len(rows) + 1))
