@@ -1241,6 +1241,18 @@ def _q_faceted(spark, sf_dir):
     )
 
 
+def _q_tool_usage(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.report import tool_usage_report
+
+    return tool_usage_report(transcripts_from_documents(spark, sf_dir))
+
+
+def _q_quality_percentiles(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.report import source_quality_percentiles
+
+    return source_quality_percentiles(_docs_raw(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -1326,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment,
         "text_unigram_xent": _q_unigram_xent,
         "ftse_faceted_search": _q_faceted,
+        "tool_usage_report": _q_tool_usage,
+        "quality_percentiles": _q_quality_percentiles,
     }
 
 
@@ -1955,5 +1969,28 @@ SELECT rk.facet, CAST(cnt.facet_hits AS BIGINT) AS facet_hits,
        CAST(round(score * 1e6) AS BIGINT) AS score_micro
 FROM rk JOIN cnt USING (facet) WHERE facet_rank <= 5
 """
+        ),
+        "tool_usage_report": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}), "
+            "t AS (SELECT coalesce(tool, 'none') AS tool, conv_id, "
+            "CAST(len(" + _TOKENS + ") AS BIGINT) AS n_tokens FROM transcripts) "
+            "SELECT tool, count(*) AS n_turns, "
+            "count(DISTINCT conv_id) AS n_convs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "CAST(round(avg(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS avg_turn_tokens_micro "
+            "FROM t GROUP BY tool"
+        ),
+        "quality_percentiles": (
+            "WITH d AS (SELECT source, "
+            "CAST(len(" + _TOKENS + ") AS DOUBLE) AS n_tok, "
+            "CAST(length(coalesce(text, '')) AS DOUBLE) AS n_ch FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(round(quantile_cont(n_tok, 0.5) * 1e6) AS BIGINT) AS tok_p50_micro, "
+            "CAST(round(quantile_cont(n_tok, 0.9) * 1e6) AS BIGINT) AS tok_p90_micro, "
+            "CAST(round(quantile_cont(n_tok, 0.99) * 1e6) AS BIGINT) AS tok_p99_micro, "
+            "CAST(round(quantile_cont(n_ch, 0.5) * 1e6) AS BIGINT) AS chars_p50_micro, "
+            "CAST(round(quantile_cont(n_ch, 0.9) * 1e6) AS BIGINT) AS chars_p90_micro, "
+            "CAST(round(quantile_cont(n_ch, 0.99) * 1e6) AS BIGINT) AS chars_p99_micro "
+            "FROM d GROUP BY source"
         ),
     }

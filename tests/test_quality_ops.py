@@ -236,3 +236,51 @@ def test_connected_components_long_chain_converges(spark):
     )
     comp = {r["node"]: r["group_id"] for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 41
+
+
+# ---------- tool usage + quality percentiles (report operators) ----------
+
+def test_tool_usage_report(spark):
+    import pandas as pd
+
+    from fulltextsearchengine_spark.operators.report import tool_usage_report
+
+    rows = [
+        ("c1", 0, "user", "hello world", None, None),
+        ("c1", 1, "assistant", "a b c", "search", None),
+        ("c2", 0, "user", "x", "search", None),
+        ("c2", 1, "assistant", "", None, None),
+        ("c3", 0, "tool", "y z", "fetch", None),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+    got = {r["tool"]: r for r in tool_usage_report(t).collect()}
+    assert set(got) == {"none", "search", "fetch"}
+    assert (got["none"]["n_turns"], got["none"]["n_convs"], got["none"]["total_tokens"]) == (2, 2, 2)
+    assert (got["search"]["n_turns"], got["search"]["n_convs"], got["search"]["total_tokens"]) == (2, 2, 4)
+    assert got["fetch"]["avg_turn_tokens_micro"] == 2_000_000
+    assert got["none"]["avg_turn_tokens_micro"] == 1_000_000  # (2+0)/2
+
+
+def test_source_quality_percentiles(spark):
+    """Exact linear-interpolation parity with numpy.percentile."""
+    import numpy as np
+    import pandas as pd
+
+    from fulltextsearchengine_spark.operators.report import source_quality_percentiles
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for src, n in (("web", 37), ("chat", 11)):
+        for i in range(n):
+            rows.append((len(rows), " ".join(["tok"] * rng.randint(1, 50)), src))
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    got = {r["source"]: r for r in source_quality_percentiles(d).collect()}
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    for src, grp in pdf.groupby("source"):
+        ntok = grp["text"].str.split().str.len().astype(float).values
+    # numpy 'linear' interpolation == Spark percentile == DuckDB quantile_cont
+        for q, col in ((50, "tok_p50_micro"), (90, "tok_p90_micro"), (99, "tok_p99_micro")):
+            assert got[src][col] == round(float(np.percentile(ntok, q)) * 1e6), (src, q)
+        assert got[src]["n_docs"] == len(grp)
