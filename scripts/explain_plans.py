@@ -240,6 +240,39 @@ def main() -> None:
         ["TakeOrderedAndProject", "LeftSemi", "LeftAnti", "!BatchEvalPython"],
     ))
 
+    # --- session-4 surface ----------------------------------------------
+    from fulltextsearchengine_spark.operators.facets import faceted_search
+
+    p = grab_plan(faceted_search(s, ["spark", "join", "fast"], per_facet_k=5))
+    sections.append((
+        "Faceted search (WindowGroupLimit = map-side per-facet bounded heap)", p,
+        ["WindowGroupLimit", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.functions.textstats import unigram_xent
+
+    p = grab_plan(unigram_xent(docs_raw))
+    sections.append((
+        "Unigram cross-entropy (vocab-sized cf broadcast, no skewed shuffle)", p,
+        ["BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.report import (
+        source_quality_percentiles,
+        tool_usage_report,
+    )
+
+    p = grab_plan(tool_usage_report(transcripts_from_documents(spark, sf_dir)))
+    sections.append((
+        "Tool-usage report (map-side combined groupBy on tool keys)", p,
+        ["HashAggregate", "!BatchEvalPython"],
+    ))
+    p = grab_plan(source_quality_percentiles(docs_raw))
+    sections.append((
+        "Per-source exact percentiles (single agg pass)", p,
+        ["!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
