@@ -1241,6 +1241,22 @@ def _q_faceted(spark, sf_dir):
     )
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """Driver-side greedy MMR over a Spark-computed relevance pool; the
+    greedy recurrence is not ANSI-SQL-expressible, so this gate is
+    rows-only (parity is pytest-locked against a brute-force oracle —
+    tests/test_similarity.py::test_mmr_rerank)."""
+    from fulltextsearchengine_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    picks = mmr_rerank(emb, qvec, k=10, pool=50, lam=0.6)
+    return spark.createDataFrame(
+        [(i + 1, int(v), int(round(s * 1e6))) for i, (v, s) in enumerate(picks)],
+        "rank int, vec_id long, mmr_score_micro long",
+    )
+
+
 def _q_tool_usage(spark, sf_dir):
     from fulltextsearchengine_spark.operators.report import tool_usage_report
 
@@ -1340,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
+        "ann_mmr_rerank": _q_mmr_rerank,
     }
 
 

@@ -610,3 +610,64 @@ def quantized_dot_topk(
         .orderBy(F.desc("qdot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    pool: int = 100,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, float]]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversity
+    re-rank: greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    from a relevance ``pool`` until k results.
+
+    Split exactly like WAND's k-merge: the cluster does the corpus-sized
+    work (exact cosine top-``pool``, one scan, pruned/JVM-side), the
+    driver does the O(pool²) greedy loop in numpy — pool is
+    serving-sized (~100), so the quadratic term is microseconds and the
+    sequential data dependence (each pick depends on all prior picks)
+    never touches Spark. Deterministic: ties break by lowest vec_id at
+    every pick. Returns [(vec_id, mmr_score)] in selection order.
+
+    No SQL gate: the greedy recurrence is not expressible as a fixed
+    ANSI query; parity is pytest-locked against a brute-force Python
+    oracle instead (same policy as the sharded serving router)."""
+    topk = cosine_topk(embeddings, query_vec, pool, id_col=id_col, vec_col=vec_col)
+    # re-attach vectors: the pool is k-sized, so broadcast it and let the
+    # corpus side prune on the pushed id filter
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(topk), id_col)
+        .select(id_col, "cosine", vec_col)
+        .collect()
+    )
+    if not rows:
+        return []
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    rel = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    Vn = V / norms[:, None]
+    sim = Vn @ Vn.T  # pool×pool pairwise cosine, once
+
+    selected: list[int] = []
+    out: list[tuple[int, float]] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            penalty = sim[:, selected].max(axis=1)
+        else:
+            penalty = np.zeros(len(ids))
+        score = lam * rel - (1.0 - lam) * penalty
+        score[~remaining] = -np.inf
+        # deterministic tie-break: highest score, then lowest vec_id
+        best = np.lexsort((ids, -score))[0]
+        selected.append(best)
+        remaining[best] = False
+        out.append((int(ids[best]), float(score[best])))
+    return out

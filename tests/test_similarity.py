@@ -201,3 +201,47 @@ def test_cosine_topk_batch_matches_single(emb):
         assert [g[0] for g in got_arrow[qid]] == [e[0] for e in exp]
         for g, e in zip(got_arrow[qid], exp):
             assert g[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_mmr_rerank(emb):
+    """MMR vs a brute-force Python oracle over the same relevance pool;
+    the planted near-duplicate (150≈0) must be demoted below rank 2 even
+    though its raw cosine is ~rank 2."""
+    from fulltextsearchengine_spark.operators.similarity import mmr_rerank
+
+    df, vecs = emb
+    # query NEAR vec 0 but not equal: with q == vecs[0] exactly, the
+    # pick-1 MMR score lam*rel - (1-lam)*sim(d,0) cancels to 0 for every
+    # candidate at lam=0.5 (rel == sim-to-0) and selection degenerates
+    # to fp-noise ordering
+    q = (0.85 * vecs[0].astype(np.float64) + 0.35 * vecs[5].astype(np.float64))
+    pool, k, lam = 50, 10, 0.6
+
+    cos = _cosine_oracle(vecs, q)
+    order = np.lexsort((np.arange(len(cos)), -cos))[:pool]
+    ids = order.copy()
+    rel = cos[order]
+    V = vecs[order].astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    sim = Vn @ Vn.T
+    sel, exp = [], []
+    rem = np.ones(pool, bool)
+    for _ in range(k):
+        pen = sim[:, sel].max(axis=1) if sel else np.zeros(pool)
+        sc = lam * rel - (1 - lam) * pen
+        sc[~rem] = -np.inf
+        b = int(np.lexsort((ids, -sc))[0])
+        sel.append(b); rem[b] = False
+        exp.append((int(ids[b]), float(sc[b])))
+
+    got = mmr_rerank(df, q.tolist(), k, pool=pool, lam=lam)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+    # pure relevance ranks the near-dup of vec 0 (doc 150) adjacent to
+    # it; MMR must split the pair, not return them back-to-back
+    pure = [int(i) for i in np.lexsort((np.arange(len(cos)), -cos))[:3]]
+    assert set(pure[:2]) == {0, 150}
+    got_ids = [g[0] for g in got]
+    assert got_ids[0] in (0, 150) and got_ids[1] not in (0, 150)
