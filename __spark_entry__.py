@@ -1241,6 +1241,58 @@ def _q_faceted(spark, sf_dir):
     )
 
 
+EVAL_PROBES = [7, 42, 101, 150, 199, 250, 303, 377, 420, 480]
+EVAL_M, EVAL_K = 3, 10
+
+
+def _q_retrieval_eval(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.evaluation import retrieval_eval
+
+    idx = _index(spark, sf_dir)
+    return retrieval_eval(Searcher(idx), EVAL_PROBES, m=EVAL_M, k=EVAL_K)
+
+
+def _retrieval_eval_sql(probes: list[int], m: int, k: int) -> str:
+    """Per-probe known-item rank: the probe doc's top-m tf-idf terms as
+    query (the _mlt_sql qterms rule), its ROW_NUMBER in the full BM25
+    ordering, 0 if past the k cutoff."""
+    score = (
+        "sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2 "
+        "/ (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len "
+        "/ (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) )"
+    )
+    ctes, selects = [], []
+    for i, d in enumerate(probes):
+        ctes.append(
+            f", qt{i} AS (SELECT p.term FROM postings p JOIN terms t USING (term) "
+            f"CROSS JOIN gstats g WHERE p.doc_id = {d} "
+            f"ORDER BY p.tf * ln(CAST(g.num_docs AS DOUBLE) / t.df) DESC, p.term LIMIT {m})"
+            f", sc{i} AS (SELECT p.doc_id, {score} AS score "
+            f"FROM postings p JOIN qt{i} q USING (term) JOIN terms t USING (term) "
+            f"JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id)"
+            f", rk{i} AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc{i})"
+        )
+        selects.append(
+            f"SELECT CAST({d} AS BIGINT) AS probe_doc_id, "
+            f"CAST(coalesce((SELECT rnk FROM rk{i} WHERE doc_id = {d} AND rnk <= {k}), 0) AS BIGINT) AS rank_at_k, "
+            f"CAST(coalesce((SELECT CAST(round(1e6 / rnk) AS BIGINT) FROM rk{i} "
+            f"WHERE doc_id = {d} AND rnk <= {k}), 0) AS BIGINT) AS rr_micro"
+        )
+    return PRELUDE + "".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _q_search_after(spark, sf_dir):
+    """Page 2 via keyset cursor (the engine's own page-1 tail row);
+    oracle derives the same page with OFFSET — identical because the
+    (score desc, doc_id asc) order is total."""
+    idx = _index(spark, sf_dir)
+    s = Searcher(idx)
+    last = s.bm25_search(Q_BM25, TOPK).collect()[-1]
+    return s.bm25_search_after(
+        Q_BM25, TOPK, after_score=last["score"], after_doc_id=last["doc_id"]
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
 def _q_mmr_rerank(spark, sf_dir):
     """Driver-side greedy MMR over a Spark-computed relevance pool; the
     greedy recurrence is not ANSI-SQL-expressible, so this gate is
@@ -1357,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
         "ann_mmr_rerank": _q_mmr_rerank,
+        "ftse_search_after": _q_search_after,
+        "ftse_retrieval_eval": _q_retrieval_eval,
     }
 
 
@@ -2010,4 +2064,12 @@ FROM rk JOIN cnt USING (facet) WHERE facet_rank <= 5
             "CAST(round(quantile_cont(n_ch, 0.99) * 1e6) AS BIGINT) AS chars_p99_micro "
             "FROM d GROUP BY source"
         ),
+        "ftse_search_after": (
+            _bm25_scored_cte(Q_BM25)
+            + f"""
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
+"""
+        ),
+        "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
     }

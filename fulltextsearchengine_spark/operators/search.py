@@ -224,6 +224,31 @@ class Searcher:
     def language_model_search(self, query: list[str], k: int) -> DataFrame:
         return self.topk(self.lm_scores(query), k)
 
+    def bm25_search_after(
+        self,
+        query: list[str],
+        k: int,
+        after_score: float,
+        after_doc_id: int,
+    ) -> DataFrame:
+        """Keyset pagination: the next k results strictly after cursor
+        (after_score, after_doc_id) in (score desc, doc_id asc) order —
+        pass the LAST row of the previous page.
+
+        OFFSET-free by design: a deep OFFSET at 10^12 docs makes every
+        page recompute and discard all earlier pages inside the top-k
+        heaps, while the keyset filter prunes them before the heap, so
+        page depth never changes the job's work. The score-equality arm
+        is safe within the engine (the scorer recomputes bit-identical
+        doubles for the same doc); cross-engine pagination must pass
+        cursors from the same engine that produced page 1."""
+        s = self.bm25_scores(query)
+        cursor = (F.col("score") < F.lit(after_score)) | (
+            (F.col("score") == F.lit(after_score))
+            & (F.col("doc_id") > F.lit(after_doc_id))
+        )
+        return self.topk(s.filter(cursor), k)
+
     # ---- metadata-filtered search (beyond the reference) ---------------
     def bm25_search_filtered(
         self,

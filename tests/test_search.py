@@ -218,3 +218,62 @@ def test_faceted_search(setup):
                 assert r["score_micro"] == round(esc * 1e6)
                 assert r["facet_hits"] == len(cand)
             assert [r["facet_rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bm25_search_after_pagination(setup):
+    """Chained keyset pages reassemble exactly the top-3k list (no gap,
+    no overlap, no reordering), and an exhausted cursor returns empty."""
+    golden, searcher, queries = setup
+    for q in queries[:3]:
+        full = [(r["doc_id"], r["score"]) for r in searcher.bm25_search(q, 30).collect()]
+        pages, cursor = [], None
+        for _ in range(3):
+            if cursor is None:
+                page = searcher.bm25_search(q, 10).collect()
+            else:
+                page = searcher.bm25_search_after(q, 10, *cursor).collect()
+            if not page:
+                break
+            pages += [(r["doc_id"], r["score"]) for r in page]
+            cursor = (page[-1]["score"], page[-1]["doc_id"])
+        assert pages == full, q
+        if len(full) == 30:  # cursor past the end of a longer list still pages
+            nxt = searcher.bm25_search_after(q, 10, *cursor).collect()
+            more = [(r["doc_id"], r["score"]) for r in searcher.bm25_search(q, 40).collect()][30:]
+            assert [(r["doc_id"], r["score"]) for r in nxt] == more[:10]
+
+
+def test_retrieval_eval(setup):
+    """Known-item eval ranks match a brute-force recompute: probe query
+    terms by tf·idf rule, probe rank via the python BM25 oracle."""
+    from fulltextsearchengine_spark.operators.evaluation import (
+        probe_queries,
+        retrieval_eval,
+    )
+
+    golden, searcher, queries = setup
+    probes = [1, 5, 9, 13, 27]
+    qmap = probe_queries(searcher, probes, m=3)
+    # probe query terms vs brute force over the golden index
+    n = golden["num_docs"]
+    dfs = golden["term_to_document_frequency"]
+    for d in probes:
+        # postings are flat [doc_id, tf, doc_id, tf, ...] lists
+        tfs = {
+            t: post[i + 1]
+            for t, post in golden["term_to_postings"].items()
+            for i in range(0, len(post), 2)
+            if post[i] == d
+        }
+        exp_terms = [
+            t for _, t in sorted(
+                (-(tf * math.log(n / dfs[t])), t) for t, tf in tfs.items()
+            )[:3]
+        ]
+        assert qmap[d] == exp_terms, d
+    got = {r["probe_doc_id"]: r for r in retrieval_eval(searcher, probes, m=3, k=10).collect()}
+    for d in probes:
+        exp = oracle.bm25_search(golden, qmap[d], 10)
+        rank = next((i + 1 for i, (did, _) in enumerate(exp) if did == d), 0)
+        assert got[d]["rank_at_k"] == rank, d
+        assert got[d]["rr_micro"] == (round(1e6 / rank) if rank else 0)
