@@ -176,6 +176,105 @@ def _phrase_sql(phrase: list[str], k: int) -> str:
     )
 
 
+def _bm25f_sql(query: list[str], k: int) -> str:
+    """DuckDB twin of operators/bm25f.bm25f_search at the default role
+    weights / k1=1.2 / b=0.75 (conversation-granularity BM25F)."""
+    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query}))
+    wcase = (
+        "CASE fp.role WHEN 'user' THEN 2.0 WHEN 'assistant' THEN 1.0 "
+        "WHEN 'system' THEN 0.5 WHEN 'tool' THEN 0.5 ELSE 0.0 END"
+    )
+    return (
+        PRELUDE
+        + f"""
+, ftoks AS (SELECT conv_id, role, unnest(tokens) AS term FROM toksd)
+, fp AS (SELECT conv_id, role, term, count(*) AS tf FROM ftoks
+         WHERE term IN ({terms}) GROUP BY conv_id, role, term)
+, flens AS (SELECT conv_id, role, CAST(sum(len(tokens)) AS BIGINT) AS flen
+            FROM toksd GROUP BY conv_id, role)
+, avgf AS (SELECT role, avg(flen) AS a FROM flens GROUP BY role)
+, nconv AS (SELECT count(DISTINCT conv_id) AS n FROM transcripts)
+, cdf AS (SELECT term, count(DISTINCT conv_id) AS df FROM ftoks
+          WHERE term IN ({terms}) GROUP BY term)
+, wtf AS (SELECT fp.conv_id, fp.term,
+       sum({wcase} * fp.tf / (0.25 + 0.75 * fl.flen / av.a)) AS tfw
+   FROM fp JOIN flens fl ON fl.conv_id = fp.conv_id AND fl.role = fp.role
+   JOIN avgf av ON av.role = fp.role
+   GROUP BY fp.conv_id, fp.term)
+, fscored AS (SELECT w.conv_id,
+       sum(ln((n.n - c.df + 0.5) / (c.df + 0.5) + 1.0) * w.tfw / (1.2 + w.tfw)) AS score
+   FROM wtf w JOIN cdf c USING (term) CROSS JOIN nconv n
+   GROUP BY w.conv_id)
+SELECT conv_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fscored ORDER BY score DESC, conv_id LIMIT {k}
+"""
+    )
+
+
+def _rm3_sql(
+    query: list[str], k: int, fb_docs: int, fb_terms: int, alpha: float
+) -> str:
+    """DuckDB twin of operators/feedback.rm3_search: BM25 feedback docs →
+    relevance model P(t|R) → top expansion terms → interpolated weighted
+    BM25 (same tie-breaks: docs by score desc/doc_id asc, terms by
+    weight desc/term asc)."""
+    q = [t.lower() for t in query]
+    qlist = "[" + ", ".join(f"'{t}'" for t in q) + "]"
+    return (
+        _bm25_scored_cte(q)
+        + f"""
+, fb AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {fb_docs})
+, fbt AS (SELECT sum(score) AS tot FROM fb)
+, pr AS (SELECT p.term, sum((fb.score / fbt.tot) * p.tf / d.doc_len) AS w
+    FROM postings p JOIN fb USING (doc_id) JOIN docs d ON d.doc_id = p.doc_id
+    CROSS JOIN fbt GROUP BY p.term)
+, expn AS (SELECT term, w FROM pr ORDER BY w DESC, term LIMIT {fb_terms})
+, expt AS (SELECT sum(w) AS tot FROM expn)
+, qraw AS (SELECT unnest({qlist}) AS term)
+, pq AS (SELECT term, count(*)::DOUBLE / (SELECT count(*) FROM qraw) AS pq
+         FROM qraw GROUP BY term)
+, wts AS (SELECT coalesce(pq.term, e.term) AS term,
+      {alpha} * coalesce(pq.pq, 0) + {1.0 - alpha} * coalesce(e.w / expt.tot, 0) AS wt
+    FROM pq FULL OUTER JOIN expn e ON pq.term = e.term CROSS JOIN expt)
+, fin AS (SELECT p.doc_id,
+      sum(w.wt * ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2
+          / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                           / (CAST(g.total_tokens AS DOUBLE) / g.num_docs)))) AS score
+    FROM postings p JOIN wts w USING (term) JOIN terms t USING (term)
+    JOIN docs d USING (doc_id) CROSS JOIN gstats g
+    WHERE w.wt > 0
+    GROUP BY p.doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fin ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _prox_sql(query: list[str], k: int) -> str:
+    """DuckDB twin of operators/proximity.proximity_boosted_search:
+    BM25 + Σ_pairs 1/min_dist² over the positional table."""
+    terms = sorted({t.lower() for t in query})
+    pair_selects = " UNION ALL ".join(
+        f"SELECT a.doc_id, min(abs(a.pos - b.pos)) AS md "
+        f"FROM posx a JOIN posx b USING (doc_id) "
+        f"WHERE a.term = '{terms[i]}' AND b.term = '{terms[j]}' GROUP BY a.doc_id"
+        for i in range(len(terms))
+        for j in range(i + 1, len(terms))
+    )
+    return (
+        _bm25_scored_cte(query)
+        + _POSX_CTE
+        + f"""
+, pairs AS ({pair_selects})
+, boost AS (SELECT doc_id, sum(1.0 / (md * md)) AS bonus FROM pairs GROUP BY doc_id)
+, fin AS (SELECT s.doc_id, s.score + coalesce(b.bonus, 0.0) AS score
+    FROM scored s LEFT JOIN boost b USING (doc_id))
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fin ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
 def _snippets_sql(query: list[str], k: int, width: int) -> str:
     """BM25 top-k + query-time snippet windows (operators/snippets.py):
     2·width chars starting width before the earliest query-term match."""
@@ -1332,6 +1431,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return Searcher(idx).bm25_search(Q_BM25, 10)
 
 
+Q_BM25F = ["data", "query", "join"]
+Q_RM3 = ["window", "scan"]
+Q_PROX = ["spark", "data", "batch"]
+
+
+def _q_bm25f(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.bm25f import (
+        bm25f_search,
+        build_field_index,
+    )
+
+    fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
+    return bm25f_search(fidx, Q_BM25F, TOPK).select(
+        "conv_id", _micro("score", "score_micro")
+    )
+
+
+def _q_rm3(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.feedback import rm3_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return rm3_search(s, Q_RM3, TOPK, fb_docs=10, fb_terms=8, orig_weight=0.5).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_proximity(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.proximity import (
+        proximity_boosted_search,
+    )
+
+    s = Searcher(_index(spark, sf_dir))
+    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    return proximity_boosted_search(s, pos, Q_PROX, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -1411,6 +1548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": _q_mmr_rerank,
         "ftse_search_after": _q_search_after,
         "ftse_retrieval_eval": _q_retrieval_eval,
+        "ftse_bm25f_topk": _q_bm25f,
+        "ftse_rm3_topk": _q_rm3,
+        "ftse_proximity_topk": _q_proximity,
     }
 
 
@@ -2072,4 +2212,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
 """
         ),
         "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
+        "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
+        "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
+        "ftse_proximity_topk": _prox_sql(Q_PROX, TOPK),
     }

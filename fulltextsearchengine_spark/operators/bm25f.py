@@ -1,0 +1,173 @@
+"""BM25F: field-weighted ranking where the document is the CONVERSATION
+and the fields are the speaker roles (user / assistant / system / tool).
+
+The reference engine scores single turns only (ReviewSearch.java has one
+granularity — the review); transcripts have a natural second granularity
+the reference's Amazon-review corpus lacks: a conversation is a
+structured document whose parts carry different weight (a term in the
+user's request usually matters more than the same term in a tool dump).
+BM25F (Zaragoza et al., CIKM 2004 — the "simple BM25F" variant) is the
+standard public formulation:
+
+    tfw(t, c) = Σ_f  w_f · tf_{t,c,f} / (1 − b + b · len_{c,f} / avglen_f)
+    score(c)  = Σ_t  idf(t) · tfw(t, c) / (k1 + tfw(t, c))
+
+with idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1) over CONVERSATION
+df (Lucene-style non-negative idf, same form as the turn-level BM25),
+N = number of conversations, and avglen_f = mean field length over the
+(conv, field) pairs where the field is present.
+
+Scale shape (100 TB): the build is two hash aggregations over one
+tokenize scan — (conv, role, term) tf and (conv, role) field length —
+both keyed and partial-agg friendly, plus a conv-level df agg; all are
+persistable index tables (build once, query many). A query prunes
+field_postings with a pushed ``In(term, …)`` filter, joins field
+lengths on (conv_id, role) — co-partitioned if both tables are written
+bucketed by conv_id — and finishes with two keyed aggs and a
+TakeOrderedAndProject. No UDFs anywhere; everything is whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+
+BM25F_K1 = 1.2
+BM25F_B = 0.75
+# Role weights: the user's words define the information need; assistant
+# prose is the bulk signal; system/tool text is boilerplate-heavy.
+ROLE_WEIGHTS = {"user": 2.0, "assistant": 1.0, "system": 0.5, "tool": 0.5}
+
+
+@dataclass
+class FieldIndex:
+    """Conversation-granularity field index (persistable like the core
+    index tables; kept as DataFrames here — callers may write/read them
+    parquet-bucketed by conv_id for co-partitioned query joins)."""
+
+    field_postings: DataFrame  # (conv_id, role, term, tf)
+    field_lens: DataFrame  # (conv_id, role, flen)
+    conv_terms: DataFrame  # (term, df) — conversation-level df
+    num_convs: int
+    avg_flen: dict[str, float]  # role -> mean flen over present fields
+
+
+def build_field_index(transcripts: DataFrame) -> FieldIndex:
+    """One tokenize pass over the transcripts → the three BM25F tables.
+
+    The exploded (conv, role, term) frame feeds both aggregations; Spark
+    computes them as two jobs over the same scan (or one shared scan if
+    the caller caches ``toks`` — at index-build scale the scan is the
+    cheap part, the shuffles dominate and are unavoidable either way).
+    """
+    with_toks = transcripts.select(
+        "conv_id", "role", tokens_col(F.col("text")).alias("toks")
+    )
+    toks = with_toks.select("conv_id", "role", F.explode("toks").alias("term"))
+    field_postings = toks.groupBy("conv_id", "role", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # field presence = the role APPEARS in the conversation (turn-level,
+    # so all-empty-text fields still count into avglen_f with length 0 —
+    # the explode-derived variant would silently drop them)
+    field_lens = with_toks.groupBy("conv_id", "role").agg(
+        F.sum(F.size("toks")).cast("long").alias("flen")
+    )
+    conv_terms = (
+        field_postings.select("conv_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    num_convs = transcripts.select("conv_id").distinct().count()
+    avg_rows = field_lens.groupBy("role").agg(F.avg("flen").alias("a")).collect()
+    avg_flen = {r["role"]: float(r["a"]) for r in avg_rows}
+    return FieldIndex(field_postings, field_lens, conv_terms, num_convs, avg_flen)
+
+
+def bm25f_scores(
+    fidx: FieldIndex,
+    query: list[str],
+    weights: dict[str, float] | None = None,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """(conv_id, score) for every conversation containing ≥1 query term
+    (OR-union candidates, like every scorer in search.py)."""
+    weights = weights or ROLE_WEIGHTS
+    terms = sorted({t.lower() for t in query})
+    if not terms:
+        return _empty(fidx)
+    df_rows = (
+        fidx.conv_terms.filter(F.col("term").isin(terms)).collect()
+    )  # ≤|q| rows — driver-sized, same pattern as Searcher.term_stats
+    n = fidx.num_convs
+    idf = {
+        r["term"]: math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        for r in df_rows
+        if r["df"] > 0
+    }
+    terms = sorted(idf)
+    if not terms:
+        return _empty(fidx)
+
+    # per-(conv, role, term) weighted length-normalized tf contribution.
+    # weight / avg_flen are per-role driver constants folded into a CASE.
+    w_col = F.lit(0.0)
+    norm_col = F.lit(1.0)
+    for role, avg in sorted(fidx.avg_flen.items()):
+        w = float(weights.get(role, 0.0))
+        w_col = F.when(F.col("role") == role, F.lit(w)).otherwise(w_col)
+        norm_col = F.when(
+            F.col("role") == role,
+            F.lit(1.0 - b) + F.lit(b) * F.col("flen") / F.lit(avg),
+        ).otherwise(norm_col)
+
+    fp = fidx.field_postings.filter(F.col("term").isin(terms))
+    contrib = (
+        fp.join(fidx.field_lens, ["conv_id", "role"])
+        .select(
+            "conv_id",
+            "term",
+            (w_col * F.col("tf") / norm_col).alias("wtf"),
+        )
+        .groupBy("conv_id", "term")
+        .agg(F.sum("wtf").alias("tfw"))
+    )
+    # idf is a ≤|q|-entry CASE on term — no join needed
+    idf_col = F.lit(0.0)
+    for t in terms:
+        idf_col = F.when(F.col("term") == t, F.lit(idf[t])).otherwise(idf_col)
+    per_term = contrib.select(
+        "conv_id",
+        (idf_col * F.col("tfw") / (F.lit(k1) + F.col("tfw"))).alias("s"),
+    )
+    return per_term.groupBy("conv_id").agg(F.sum("s").alias("score"))
+
+
+def bm25f_search(
+    fidx: FieldIndex,
+    query: list[str],
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """Top-k conversations: score desc, conv_id asc —
+    TakeOrderedAndProject, same top-k physical shape as Searcher.topk."""
+    return (
+        bm25f_scores(fidx, query, weights=weights, k1=k1, b=b)
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )
+
+
+def _empty(fidx: FieldIndex) -> DataFrame:
+    spark = fidx.field_postings.sparkSession
+    return spark.createDataFrame([], "conv_id string, score double")

@@ -1,0 +1,136 @@
+"""RM3 pseudo-relevance feedback: expand the query from its own top
+results, then re-score (Lavrenko & Croft 2001; the RM3 interpolation is
+the public Anserini/Indri formulation).
+
+The reference engine has no feedback loop — every ReviewSearch query is
+one-shot (ReviewSearch.java:65-178). RM3 composes two operators the
+engine already has (BM25 scoring + doc-term lookup) into the classic
+two-pass shape:
+
+  pass 1  BM25 top-``fb_docs`` (cluster job, pruned In-scan)
+  driver  relevance model  P(t|R) = Σ_d  p_d · tf_{t,d} / len_d
+          with p_d = score_d / Σ score_d over the feedback docs;
+          keep the top-``fb_terms`` terms (weight desc, term asc)
+  driver  interpolate  w_t = α · P(t|q)  +  (1−α) · P(t|R)
+          where P(t|q) = qtf_t / |q| over the folded query
+  pass 2  weighted BM25 over the expanded term set (cluster job)
+
+Scale shape: the driver step touches ``fb_docs`` documents' term rows —
+O(fb_docs · avg unique terms) ≈ a few hundred rows regardless of corpus
+size (the same bounded-collect contract as morelikethis.doc_query_terms
+and WAND's k-merge). Both cluster passes are ordinary pruned
+posting-scan aggregations; pass 2's term set is ≤ |q| + fb_terms, so
+its ``In`` filter stays pushdown-sized.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import BM25_B, BM25_K1, Searcher, normalize_query
+
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 8
+RM3_ORIG_WEIGHT = 0.5
+
+
+def rm3_expand(
+    searcher: Searcher,
+    query: list[str],
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    orig_weight: float = RM3_ORIG_WEIGHT,
+) -> dict[str, float]:
+    """The interpolated query model: term -> weight (weights sum to 1
+    when both components are non-empty). Deterministic: feedback docs
+    are the BM25 top-``fb_docs`` (score desc, doc_id asc), expansion
+    terms the top-``fb_terms`` by (P(t|R) desc, term asc)."""
+    hits = searcher.bm25_search(query, fb_docs).collect()
+    q = normalize_query(query)
+    qtf = Counter(q)
+    p_q = {t: c / len(q) for t, c in qtf.items()} if q else {}
+    if not hits:
+        return dict(sorted(p_q.items()))
+
+    total = sum(r["score"] for r in hits)
+    p_d = {r["doc_id"]: (r["score"] / total if total > 0 else 0.0) for r in hits}
+    ids = sorted(p_d)
+    fb_rows = (
+        searcher.index.postings.filter(F.col("doc_id").isin(ids))
+        .select("term", "doc_id", "tf", "doc_len")
+        .collect()
+    )
+    p_r: dict[str, float] = {}
+    # accumulate in (term, doc_id) order so the float sum is reproducible
+    for r in sorted(fb_rows, key=lambda r: (r["term"], r["doc_id"])):
+        p_r[r["term"]] = p_r.get(r["term"], 0.0) + p_d[r["doc_id"]] * (
+            r["tf"] / r["doc_len"]
+        )
+    top = sorted(p_r.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    exp_total = sum(w for _, w in top)
+    p_exp = {t: (w / exp_total if exp_total > 0 else 0.0) for t, w in top}
+
+    out: dict[str, float] = {}
+    for t in sorted(set(p_q) | set(p_exp)):
+        out[t] = orig_weight * p_q.get(t, 0.0) + (1.0 - orig_weight) * p_exp.get(
+            t, 0.0
+        )
+    return out
+
+
+def bm25_weighted_scores(
+    searcher: Searcher,
+    weights: dict[str, float],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score): Σ_t w_t · idf_t · tf(k1+1)/(tf + k1(1−b+b·len/avgdl))
+    — bm25_scores with a per-term multiplier; same pruned-pivot plan."""
+    terms = sorted(t for t, w in weights.items() if w > 0.0)
+    if not terms:
+        return searcher._empty_scores()
+    stats = searcher.term_stats(terms)
+    n = searcher.stats["num_docs"]
+    avgdl = (searcher.stats["total_tokens"] / n) if n else 0.0
+    idf = {
+        t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for t, (df, _) in stats.items()
+        if df > 0
+    }
+    terms = sorted(idf)
+    if not terms:
+        return searcher._empty_scores()
+    piv = searcher._pivoted_tf(terms)
+    norm_len = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf_{i}")
+        contrib = (
+            F.lit(weights[t] * idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
+        )
+        score = score + F.coalesce(contrib, F.lit(0.0))
+    return piv.select("doc_id", score.alias("score"))
+
+
+def rm3_search(
+    searcher: Searcher,
+    query: list[str],
+    k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    orig_weight: float = RM3_ORIG_WEIGHT,
+) -> DataFrame:
+    """Top-k docs under the RM3-expanded weighted BM25 (score desc,
+    doc_id asc — TakeOrderedAndProject)."""
+    weights = rm3_expand(searcher, query, fb_docs, fb_terms, orig_weight)
+    return (
+        bm25_weighted_scores(searcher, weights)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,251 @@
+"""BM25F (conversation fields), RM3 feedback, and proximity-boosted
+ranking vs brute-force Python oracles over the golden corpus."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.operators.bm25f import (
+    BM25F_B,
+    BM25F_K1,
+    ROLE_WEIGHTS,
+    bm25f_search,
+    build_field_index,
+)
+from fulltextsearchengine_spark.operators.feedback import (
+    bm25_weighted_scores,
+    rm3_expand,
+    rm3_search,
+)
+from fulltextsearchengine_spark.operators.index_build import build_index
+from fulltextsearchengine_spark.operators.positions import build_positional_postings
+from fulltextsearchengine_spark.operators.proximity import proximity_boosted_search
+from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+K = 10
+QUERIES = [  # mid-df terms of the seed-42 vocab (8 <= conv df <= 40)
+    ["aa", "ahc", "auir"],
+    ["db", "doa", "eoi"],
+    ["fh", "fhd", "gyo"],
+    ["he", "hg", "hn"],
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_transcripts_pdf):
+    golden = oracle.build_index(small_transcripts_pdf)
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    searcher = Searcher(build_index(sdf))
+    return golden, searcher, sdf
+
+
+# ---------------------------------------------------------------- BM25F
+
+
+def _brute_bm25f(pdf, query, weights, k1, b, k):
+    """Independent pandas/python BM25F at conversation granularity."""
+    tf: dict[tuple[str, str, str], int] = {}
+    flen: dict[tuple[str, str], int] = {}
+    for row in pdf.itertuples(index=False):
+        toks = oracle.tokenize(row.text)
+        key = (row.conv_id, row.role)
+        flen[key] = flen.get(key, 0) + len(toks)
+        for t in toks:
+            tf[(row.conv_id, row.role, t)] = tf.get((row.conv_id, row.role, t), 0) + 1
+    # avg field length over PRESENT (conv, role) pairs, incl. zero-length
+    per_role: dict[str, list[int]] = {}
+    for (_, role), ln in flen.items():
+        per_role.setdefault(role, []).append(ln)
+    avg = {r: sum(v) / len(v) for r, v in per_role.items()}
+    n_convs = len({c for c, _ in flen})
+    conv_df: dict[str, set] = {}
+    for (c, _, t) in tf:
+        conv_df.setdefault(t, set()).add(c)
+    terms = sorted({t.lower() for t in query})
+    scores: dict[str, float] = {}
+    for t in terms:
+        df = len(conv_df.get(t, ()))
+        if df == 0:
+            continue
+        idf = math.log((n_convs - df + 0.5) / (df + 0.5) + 1.0)
+        tfw: dict[str, float] = {}
+        for (c, role, tt), f in tf.items():
+            if tt != t:
+                continue
+            w = weights.get(role, 0.0)
+            norm = 1.0 - b + b * flen[(c, role)] / avg[role]
+            tfw[c] = tfw.get(c, 0.0) + w * f / norm
+        for c, v in tfw.items():
+            scores[c] = scores.get(c, 0.0) + idf * v / (k1 + v)
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+def test_bm25f_rank_identity(setup, small_transcripts_pdf):
+    _, _, sdf = setup
+    fidx = build_field_index(sdf)
+    for q in QUERIES:
+        exp = _brute_bm25f(
+            small_transcripts_pdf, q, ROLE_WEIGHTS, BM25F_K1, BM25F_B, K
+        )
+        got = [
+            (r["conv_id"], r["score"]) for r in bm25f_search(fidx, q, K).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_bm25f_role_weights_change_ranking(setup):
+    """Up-weighting the tool role must be able to reorder results —
+    i.e. the field structure is actually used, not flattened away."""
+    _, _, sdf = setup
+    fidx = build_field_index(sdf)
+    q = QUERIES[0]
+    base = [r["conv_id"] for r in bm25f_search(fidx, q, 30).collect()]
+    skew = [
+        r["conv_id"]
+        for r in bm25f_search(
+            fidx, q, 30, weights={"user": 0.0, "assistant": 0.0, "system": 0.0, "tool": 5.0}
+        ).collect()
+    ]
+    assert base != skew
+
+
+# ---------------------------------------------------------------- RM3
+
+
+def _brute_rm3(golden, query, fb_docs, fb_terms, alpha, k):
+    hits = oracle.bm25_search(golden, [t.lower() for t in query], fb_docs)
+    q = [t.lower() for t in query]
+    p_q = {t: c / len(q) for t, c in Counter(q).items()}
+    total = sum(s for _, s in hits)
+    p_d = {d: s / total for d, s in hits}
+    p_r: dict[str, float] = {}
+    rows = []
+    for term, flat in golden["term_to_postings"].items():
+        for d, tf in zip(flat[0::2], flat[1::2]):
+            if d in p_d:
+                rows.append((term, d, tf))
+    for term, d, tf in sorted(rows):
+        p_r[term] = p_r.get(term, 0.0) + p_d[d] * tf / golden["doc_to_length"][d]
+    top = sorted(p_r.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    etot = sum(w for _, w in top)
+    p_e = {t: w / etot for t, w in top}
+    weights = {
+        t: alpha * p_q.get(t, 0.0) + (1 - alpha) * p_e.get(t, 0.0)
+        for t in set(p_q) | set(p_e)
+    }
+    # weighted BM25, brute force
+    n = golden["num_docs"]
+    avgdl = golden["total_tokens"] / n
+    acc: dict[int, float] = {}
+    for t in sorted(w for w in weights if weights[w] > 0):
+        df = golden["term_to_document_frequency"].get(t, 0)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, tf in oracle._postings_map(golden, t).items():
+            dl = golden["doc_to_length"][d]
+            denom = tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+            acc[d] = acc.get(d, 0.0) + weights[t] * idf * tf * 2.2 / denom
+    return weights, sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_rm3_expansion_and_rank_identity(setup):
+    golden, searcher, _ = setup
+    for q in QUERIES:
+        exp_w, exp_rank = _brute_rm3(golden, q, 10, 8, 0.5, K)
+        got_w = rm3_expand(searcher, q, fb_docs=10, fb_terms=8, orig_weight=0.5)
+        assert set(got_w) == set(exp_w), q
+        for t in exp_w:
+            assert got_w[t] == pytest.approx(exp_w[t], rel=1e-9), (q, t)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in rm3_search(searcher, q, K, 10, 8, 0.5).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp_rank], q
+        for (_, es), (_, gs) in zip(exp_rank, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_rm3_adds_expansion_terms(setup):
+    _, searcher, _ = setup
+    w = rm3_expand(searcher, QUERIES[0])
+    assert len(w) > len(set(QUERIES[0]))  # expansion actually happened
+    assert all(v > 0 for v in w.values())
+
+
+def test_weighted_bm25_reduces_to_bm25_on_uniform_weights(setup):
+    golden, searcher, _ = setup
+    q = QUERIES[1]
+    exp = oracle.bm25_search(golden, q, K)
+    got = (
+        bm25_weighted_scores(searcher, {t: 1.0 for t in q})
+        .orderBy("doc_id")
+        .collect()
+    )
+    got_map = {r["doc_id"]: r["score"] for r in got}
+    for d, s in exp:
+        assert got_map[d] == pytest.approx(s, rel=1e-9)
+
+
+# ---------------------------------------------------------------- proximity
+
+
+def _brute_proximity(golden, doc_tokens, query, k):
+    base = dict(
+        oracle.bm25_search(golden, [t.lower() for t in query], len(doc_tokens))
+    )
+    terms = sorted({t.lower() for t in query})
+    out: dict[int, float] = dict(base)
+    for d, toks in doc_tokens.items():
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(toks, 1):
+            if t in terms:
+                pos.setdefault(t, []).append(i)
+        bonus = 0.0
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                a, b = pos.get(terms[i]), pos.get(terms[j])
+                if a and b:
+                    md = min(abs(x - y) for x in a for y in b)
+                    bonus += 1.0 / (md * md)
+        if bonus and d in out:
+            out[d] += bonus
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_proximity_boosted_rank_identity(setup, small_transcripts_pdf):
+    golden, searcher, sdf = setup
+    pos = build_positional_postings(sdf).cache()
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    doc_tokens = {
+        row.doc_id: oracle.tokenize(row.text) for row in docs.itertuples(index=False)
+    }
+    for q in QUERIES:
+        exp = _brute_proximity(golden, doc_tokens, q, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in proximity_boosted_search(searcher, pos, q, K).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_proximity_single_term_is_plain_bm25(setup):
+    golden, searcher, sdf = setup
+    pos = build_positional_postings(sdf)
+    q = ["aa"]
+    exp = oracle.bm25_search(golden, q, K)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in proximity_boosted_search(searcher, pos, q, K).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp]
