@@ -176,6 +176,44 @@ def _phrase_sql(phrase: list[str], k: int) -> str:
     )
 
 
+def _mmr_sql(k: int, pool: int, lam: float) -> str:
+    """Recursive-CTE DuckDB twin of similarity.mmr_rerank: the selected
+    set rides along as a list column; each recursion step re-derives the
+    greedy argmax (λ·rel − (1−λ)·max sim to selected, ties by lowest
+    vec_id) with a correlated LATERAL pick."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+scored AS (SELECT e.vec_id,
+    list_dot_product(e.v, q.qv)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS rel,
+    e.v FROM e CROSS JOIN q),
+pool AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT {pool}),
+pn AS (SELECT vec_id, rel,
+       list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM pool),
+sel AS (
+  SELECT 1 AS rank, [f.vec_id] AS ids, [{lam} * f.rel] AS scores
+  FROM (SELECT * FROM pn ORDER BY {lam} * rel DESC, vec_id LIMIT 1) f
+  UNION ALL
+  SELECT rank + 1, list_append(ids, pick.vid), list_append(scores, pick.sc)
+  FROM sel, LATERAL (
+     SELECT c.vec_id AS vid,
+            {lam} * c.rel - {1.0 - lam} * (SELECT max(list_dot_product(c.vn, s.vn))
+                                           FROM pn s WHERE list_contains(sel.ids, s.vec_id)) AS sc
+     FROM pn c WHERE NOT list_contains(sel.ids, c.vec_id)
+     ORDER BY sc DESC, c.vec_id LIMIT 1) pick
+  WHERE rank < {k}
+),
+last AS (SELECT ids, scores FROM sel ORDER BY rank DESC LIMIT 1)
+SELECT CAST(i AS INT) AS rank, ids[CAST(i AS INT)] AS vec_id,
+       CAST(round(scores[CAST(i AS INT)] * 1e6) AS BIGINT) AS mmr_score_micro
+FROM last, (SELECT unnest(range(1, 1 + (SELECT len(ids) FROM last))) AS i)
+ORDER BY rank
+"""
+
+
 def _bm25f_sql(query: list[str], k: int) -> str:
     """DuckDB twin of operators/bm25f.bm25f_search at the default role
     weights / k1=1.2 / b=0.75 (conversation-granularity BM25F)."""
@@ -1393,10 +1431,11 @@ def _q_search_after(spark, sf_dir):
 
 
 def _q_mmr_rerank(spark, sf_dir):
-    """Driver-side greedy MMR over a Spark-computed relevance pool; the
-    greedy recurrence is not ANSI-SQL-expressible, so this gate is
-    rows-only (parity is pytest-locked against a brute-force oracle —
-    tests/test_similarity.py::test_mmr_rerank)."""
+    """Driver-side greedy MMR over a Spark-computed relevance pool;
+    cross-checked against a recursive-CTE DuckDB twin (_mmr_sql) that
+    carries the selected set as a list column and re-derives each greedy
+    pick, plus the brute-force pytest oracle
+    (tests/test_similarity.py::test_mmr_rerank)."""
     from fulltextsearchengine_spark.operators.similarity import mmr_rerank
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2212,6 +2251,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
 """
         ),
         "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
+        "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
         "ftse_proximity_topk": _prox_sql(Q_PROX, TOPK),

@@ -633,9 +633,11 @@ def mmr_rerank(
     never touches Spark. Deterministic: ties break by lowest vec_id at
     every pick. Returns [(vec_id, mmr_score)] in selection order.
 
-    No SQL gate: the greedy recurrence is not expressible as a fixed
-    ANSI query; parity is pytest-locked against a brute-force Python
-    oracle instead (same policy as the sharded serving router)."""
+    Gated two ways: a brute-force Python oracle in pytest, and a
+    recursive-CTE DuckDB twin (__spark_entry__._mmr_sql) that carries
+    the selected set as a list column and re-derives each greedy pick —
+    so the sequential recurrence has a full value-hash correctness row
+    like every other operator."""
     topk = cosine_topk(embeddings, query_vec, pool, id_col=id_col, vec_col=vec_col)
     # re-attach vectors: the pool is k-sized, so broadcast it and let the
     # corpus side prune on the pushed id filter
