@@ -295,6 +295,38 @@ def main() -> None:
         repeat=reps,
     )
 
+    # round-3 session-5 ranking surface
+    from fulltextsearchengine_spark.operators.bm25f import (
+        bm25f_search,
+        build_field_index,
+    )
+    from fulltextsearchengine_spark.operators.feedback import rm3_search
+    from fulltextsearchengine_spark.operators.proximity import (
+        proximity_boosted_search,
+    )
+
+    fidx = timed("bm25f_index_build", lambda: build_field_index(t))
+    fidx.field_postings.cache().count()
+    fidx.field_lens.cache().count()
+    timed(
+        "bm25f_search",
+        lambda: [bm25f_search(fidx, qq, 10).collect() for qq in BENCH_QUERIES],
+        repeat=reps,
+    )
+    timed(
+        "rm3_search_3q",
+        lambda: [rm3_search(searcher, qq, 10).collect() for qq in BENCH_QUERIES[:3]],
+        repeat=reps,
+    )
+    timed(
+        "proximity_search_3q",
+        lambda: [
+            proximity_boosted_search(searcher, posp, qq, 10).collect()
+            for qq in BENCH_QUERIES[:3]
+        ],
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

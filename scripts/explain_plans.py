@@ -273,6 +273,38 @@ def main() -> None:
         ["!BatchEvalPython"],
     ))
 
+    # --- session-5 surface ----------------------------------------------
+    from fulltextsearchengine_spark.operators.bm25f import (
+        bm25f_search,
+        build_field_index,
+    )
+
+    fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
+    p = grab_plan(bm25f_search(fidx, ["spark", "join", "fast"], 10))
+    sections.append((
+        "BM25F conv-field search (keyed aggs + CASE idf, no UDF)", p,
+        ["TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.feedback import bm25_weighted_scores
+
+    p = grab_plan(bm25_weighted_scores(s, {"spark": 0.4, "join": 0.3, "data": 0.3}))
+    sections.append((
+        "RM3 pass-2 weighted BM25 (same pruned-pivot plan as plain BM25)", p,
+        ["HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.proximity import (
+        proximity_boosted_search,
+    )
+
+    p = grab_plan(proximity_boosted_search(s, posp, ["spark", "join", "fast"], 10))
+    sections.append((
+        "Proximity-boosted search (pushed In on positional table; min-dist"
+        " as array math — no explode of positions, no UDF)", p,
+        ["In(term", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
