@@ -313,6 +313,43 @@ FROM fin ORDER BY score DESC, doc_id LIMIT {k}
     )
 
 
+def _recency_sql(query: list[str], k: int, now: str, hl: float) -> str:
+    """DuckDB twin of operators/recency.recency_boosted_search: BM25 ×
+    2^(−age_days/half_life), NULL ts undecayed, age clamped ≥ 0."""
+    return (
+        _bm25_scored_cte(query)
+        + f"""
+, dec AS (SELECT s.doc_id,
+      s.score * coalesce(power(2.0,
+          -greatest(epoch(TIMESTAMP '{now}') - epoch(r.ts), 0) / 86400.0 / {hl}),
+          1.0) AS score
+    FROM scored s JOIN ranked r USING (doc_id))
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM dec ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _upsert_bm25_sql(query: list[str], k: int) -> str:
+    """BM25 over the PATCHED corpus: the transcripts CTE drops the
+    replaced convs and unions the literal upsert rows — proving
+    upsert_conversations ≡ full rebuild at the query surface."""
+    replaced = sorted({r[0] for r in UPSERT_ROWS})
+    vals = ", ".join(
+        f"('{c}', CAST({t} AS INT), '{role}', '{text}', "
+        + ("CAST(NULL AS VARCHAR)" if tool is None else f"'{tool}'")
+        + ", CAST(NULL AS TIMESTAMP))"
+        for c, t, role, text, tool in UPSERT_ROWS
+    )
+    patched = (
+        f"SELECT * FROM ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}) "
+        f"WHERE conv_id NOT IN ({_sql_csv(replaced)}) "
+        f"UNION ALL SELECT * FROM (VALUES {vals}) "
+        "AS v(conv_id, turn_idx, role, text, tool, ts)"
+    )
+    return _bm25_sql(query, k).replace(TRANSCRIPTS_FROM_DOCUMENTS_SQL, patched)
+
+
 def _snippets_sql(query: list[str], k: int, width: int) -> str:
     """BM25 top-k + query-time snippet windows (operators/snippets.py):
     2·width chars starting width before the earliest query-term match."""
@@ -1473,6 +1510,19 @@ def entry(spark: SparkSession) -> DataFrame:
 Q_BM25F = ["data", "query", "join"]
 Q_RM3 = ["window", "scan"]
 Q_PROX = ["spark", "data", "batch"]
+# trigram-pruned paths (3+ char literal segments) AND the short-segment
+# LIKE-fallback path ("*a*") in one gate
+WILDCARD_PATS = ["*abl*", "*ind*", "*usto*", "que*", "*a*"]
+RECENCY_NOW = "2026-02-01 00:00:00"
+RECENCY_HL = 7.0
+Q_RECENCY = ["merge", "stream", "fast"]
+# deterministic upsert patch: conv_000007 replaced wholesale, one new conv
+UPSERT_ROWS = [
+    ("conv_000007", 0, "user", "please merge the stream table fast", None),
+    ("conv_000007", 1, "assistant", "merging stream data with a fast hash join", None),
+    ("conv_zzz001", 0, "user", "fresh conversation about window scan plans", None),
+]
+Q_UPSERT = ["merge", "stream", "fast"]
 
 
 def _q_bm25f(spark, sf_dir):
@@ -1504,6 +1554,56 @@ def _q_proximity(spark, sf_dir):
     s = Searcher(_index(spark, sf_dir))
     pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
     return proximity_boosted_search(s, pos, Q_PROX, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_wildcard(spark, sf_dir):
+    from functools import reduce
+
+    from fulltextsearchengine_spark.operators.lexicon import (
+        build_trigram_index,
+        wildcard_term_lookup,
+    )
+
+    idx = _index(spark, sf_dir)
+    tri = build_trigram_index(idx.terms)
+    frames = [
+        wildcard_term_lookup(idx.terms, p, TOPK, trigram_index=tri).withColumn(
+            "pattern", F.lit(p)
+        )
+        for p in WILDCARD_PATS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _q_recency(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.recency import recency_boosted_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return recency_boosted_search(
+        s, Q_RECENCY, RECENCY_NOW, TOPK, half_life_days=RECENCY_HL
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
+def _q_upsert_bm25(spark, sf_dir):
+    """Upsert the deterministic patch into the standing index, then BM25
+    over the upserted index; the oracle rebuilds from the patched corpus
+    in SQL — so the gate proves upsert ≡ full rebuild end-to-end."""
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.index_build import load_index
+    from fulltextsearchengine_spark.operators.upsert import upsert_conversations
+
+    idx = _index(spark, sf_dir)
+    delta = spark.createDataFrame(
+        [(c, t, r, x, tool, None) for c, t, r, x, tool in UPSERT_ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = tempfile.mkdtemp(prefix="ftse_upsert_gate_")
+    upsert_conversations(idx, delta, out)
+    s = Searcher(load_index(spark, out))
+    return s.bm25_search(Q_UPSERT, TOPK).select(
         "doc_id", _micro("score", "score_micro")
     )
 
@@ -1590,6 +1690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25f_topk": _q_bm25f,
         "ftse_rm3_topk": _q_rm3,
         "ftse_proximity_topk": _q_proximity,
+        "ftse_wildcard_lookup": _q_wildcard,
+        "ftse_recency_bm25": _q_recency,
+        "ftse_upsert_bm25": _q_upsert_bm25,
     }
 
 
@@ -2255,4 +2358,15 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
         "ftse_proximity_topk": _prox_sql(Q_PROX, TOPK),
+        "ftse_wildcard_lookup": (
+            PRELUDE
+            + " UNION ALL ".join(
+                f"(SELECT term, df, cf, '{p}' AS pattern FROM terms "
+                f"WHERE term LIKE '{p.replace('*', '%')}' "
+                f"ORDER BY cf DESC, term LIMIT {TOPK})"
+                for p in WILDCARD_PATS
+            )
+        ),
+        "ftse_recency_bm25": _recency_sql(Q_RECENCY, TOPK, RECENCY_NOW, RECENCY_HL),
+        "ftse_upsert_bm25": _upsert_bm25_sql(Q_UPSERT, TOPK),
     }

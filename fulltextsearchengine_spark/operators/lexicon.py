@@ -123,3 +123,80 @@ def fuzzy_term_lookup(
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- wildcard
+
+# all length-3 substrings of `term` (pg_trgm-style, unpadded: infix
+# patterns can't use boundary trigrams anyway)
+_TRIGRAMS_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(term) - 2, 0)), "
+    "i -> substring(term, i, 3)))"
+)
+
+
+def build_trigram_index(terms: DataFrame) -> DataFrame:
+    """Persistable ``(trigram, term, df, cf)`` sidecar over the
+    VOCABULARY (pg_trgm's public design): ~(len−2)× the terms table —
+    dictionary-sized, tiny next to postings. Write sorted by trigram
+    (save_fuzzy_index's layout contract) so each query's trigram keys
+    prune to a handful of row groups."""
+    return (
+        terms.withColumn("trigram", F.explode(F.expr(_TRIGRAMS_EXPR)))
+        .select("trigram", "term", "df", "cf")
+    )
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """``*``-wildcard pattern → SQL LIKE (escape LIKE's own wildcards)."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_term_lookup(
+    terms: DataFrame,
+    pattern: str,
+    k: int = 20,
+    trigram_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dictionary terms matching a ``*``-wildcard ``pattern`` (e.g.
+    ``*tab*``, ``ta*le``, ``*ble``), ranked cf desc / term asc — exact.
+
+    Candidate generation: terms containing ALL trigrams of the pattern's
+    literal segments (a term matching the pattern necessarily contains
+    every such trigram, so the trigram intersection is recall-complete);
+    verification: SQL LIKE kills false positives (trigrams present but
+    in the wrong order/overlap). With no segment ≥3 chars there are no
+    trigrams to prune on and the lookup falls back to a LIKE scan of the
+    dictionary — still vocabulary-sized, never postings-sized.
+    """
+    like = _wildcard_to_like(pattern)
+    segs = [s for s in pattern.lower().split("*") if s]
+    qtris = sorted({s[i : i + 3] for s in segs for i in range(len(s) - 2)})
+    if qtris:
+        side = (
+            trigram_index
+            if trigram_index is not None
+            else build_trigram_index(terms)
+        )
+        cand = (
+            side.filter(F.col("trigram").isin(qtris))
+            .groupBy("term", "df", "cf")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .filter(F.col("n_hit") == len(qtris))
+            .select("term", "df", "cf")
+        )
+    else:
+        cand = terms.select("term", "df", "cf")
+    return (
+        cand.filter(F.col("term").like(like))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+    )
