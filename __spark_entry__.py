@@ -350,6 +350,37 @@ def _upsert_bm25_sql(query: list[str], k: int) -> str:
     return _bm25_sql(query, k).replace(TRANSCRIPTS_FROM_DOCUMENTS_SQL, patched)
 
 
+def _hybrid_rrf_sql(query: list[str], k: int, pool: int) -> str:
+    """DuckDB twin of the hybrid gate: BM25 top-pool (remapped to the
+    documents id space, rank tie-broken on the REMAPPED id like the
+    Spark window) ⊕ cosine top-pool, RRF with k=60."""
+    from fulltextsearchengine_spark.sources.transcripts import DOCS_N_CONVS
+
+    return (
+        _bm25_scored_cte(query)
+        + f"""
+, bmtop AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {pool})
+, bmmap AS (SELECT d.turn_idx * {DOCS_N_CONVS} + CAST(substr(d.conv_id, 6) AS BIGINT) AS id,
+                   b.score
+            FROM bmtop b JOIN docs d USING (doc_id))
+, bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM bmmap)
+, e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+, qv AS (SELECT v AS q FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+, coss AS (SELECT e.vec_id,
+      list_dot_product(e.v, qv.q)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q))) AS cosine
+    FROM e CROSS JOIN qv)
+, ctop AS (SELECT vec_id, cosine FROM coss ORDER BY cosine DESC, vec_id LIMIT {pool})
+, cr AS (SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM ctop)
+, fused AS (SELECT coalesce(b.id, c.id) AS id,
+      coalesce(1.0 / (60 + b.rank), 0) + coalesce(1.0 / (60 + c.rank), 0) AS rrf
+    FROM bmr b FULL OUTER JOIN cr c ON b.id = c.id)
+SELECT id, CAST(round(rrf * 1e6) AS BIGINT) AS rrf_micro
+FROM fused ORDER BY rrf DESC, id LIMIT {k}
+"""
+    )
+
+
 def _snippets_sql(query: list[str], k: int, width: int) -> str:
     """BM25 top-k + query-time snippet windows (operators/snippets.py):
     2·width chars starting width before the earliest query-term match."""
@@ -1523,6 +1554,8 @@ UPSERT_ROWS = [
     ("conv_zzz001", 0, "user", "fresh conversation about window scan plans", None),
 ]
 Q_UPSERT = ["merge", "stream", "fast"]
+Q_AND = ["batch", "window", "customer"]
+HYBRID_POOL = 30
 
 
 def _q_bm25f(spark, sf_dir):
@@ -1605,6 +1638,42 @@ def _q_upsert_bm25(spark, sf_dir):
     s = Searcher(load_index(spark, out))
     return s.bm25_search(Q_UPSERT, TOPK).select(
         "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_bm25_and(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return s.bm25_search_conjunctive(Q_AND, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Sparse arm: BM25 over the transcript index, mapped back to the
+    source documents id (turn_idx·N_CONVS + conv seq — the inverse of
+    transcripts_from_documents). Dense arm: cosine over embeddings
+    (vec_id shares the documents id space). RRF-fused."""
+    from fulltextsearchengine_spark.operators.hybrid import hybrid_search
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk
+    from fulltextsearchengine_spark.sources.transcripts import DOCS_N_CONVS
+
+    s = Searcher(_index(spark, sf_dir))
+    bm = (
+        s.bm25_search(Q_BM25, HYBRID_POOL)
+        .join(s.index.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select(
+            (
+                F.col("turn_idx").cast("long") * DOCS_N_CONVS
+                + F.substring("conv_id", 6, 6).cast("long")
+            ).alias("id"),
+            "score",
+        )
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    cos = cosine_topk(emb, qvec, HYBRID_POOL).withColumnRenamed("vec_id", "id")
+    return hybrid_search(bm, cos, k=TOPK).select(
+        "id", _micro("rrf_score", "rrf_micro")
     )
 
 
@@ -1693,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_wildcard_lookup": _q_wildcard,
         "ftse_recency_bm25": _q_recency,
         "ftse_upsert_bm25": _q_upsert_bm25,
+        "ftse_bm25_and_topk": _q_bm25_and,
+        "ftse_hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -2369,4 +2440,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         ),
         "ftse_recency_bm25": _recency_sql(Q_RECENCY, TOPK, RECENCY_NOW, RECENCY_HL),
         "ftse_upsert_bm25": _upsert_bm25_sql(Q_UPSERT, TOPK),
+        "ftse_bm25_and_topk": _bm25_sql(Q_AND, TOPK).replace(
+            "GROUP BY p.doc_id\n)",
+            f"GROUP BY p.doc_id\n  HAVING count(*) = {len(set(Q_AND))}\n)",
+        ),
+        "ftse_hybrid_rrf": _hybrid_rrf_sql(Q_BM25, TOPK, HYBRID_POOL),
     }

@@ -274,6 +274,49 @@ class Searcher:
         filtered = scores.join(d.select("doc_id"), "doc_id", "left_semi")
         return self.topk(filtered, k)
 
+    def bm25_search_conjunctive(
+        self,
+        query: list[str],
+        k: int,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """AND-semantics BM25 top-k: only docs containing EVERY query
+        term score (the posting-list-intersection processing mode; the
+        OR-union scorers are the disjunctive mode WAND accelerates).
+        Scores equal bm25_scores on the surviving docs — intersection
+        changes the candidate set, never the math.
+
+        Plan: the same pruned ≤|q|-column pivot as every scorer; the
+        intersection is a null-check across the pivot columns (no extra
+        join — the pivot row already has one slot per term). Any OOV
+        term (df=0) empties the result by definition of AND."""
+        terms = sorted(set(normalize_query(query)))
+        if not terms:
+            return self._empty_scores()
+        stats = self.term_stats(terms)
+        n = self.stats["num_docs"]
+        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
+            return self._empty_scores()  # AND with an OOV term matches nothing
+        avgdl = (self.stats["total_tokens"] / n) if n else 0.0
+        idf = {
+            t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for t, (df, _) in stats.items()
+        }
+        piv = self._pivoted_tf(terms)
+        present = F.lit(True)
+        for i in range(len(terms)):
+            present = present & F.col(f"tf_{i}").isNotNull()
+        piv = piv.filter(present)
+        norm_len = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+        )
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            tf = F.col(f"tf_{i}")
+            score = score + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
+        return self.topk(piv.select("doc_id", score.alias("score")), k)
+
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(
         self,

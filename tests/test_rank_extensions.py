@@ -249,3 +249,68 @@ def test_proximity_single_term_is_plain_bm25(setup):
         for r in proximity_boosted_search(searcher, pos, q, K).collect()
     ]
     assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+# ------------------------------------------------------- conjunctive AND
+
+
+def _brute_conjunctive(golden, query, k):
+    terms = sorted({t.lower() for t in query})
+    maps = [oracle._postings_map(golden, t) for t in terms]
+    if any(not m for m in maps):
+        return []
+    docs = set(maps[0])
+    for m in maps[1:]:
+        docs &= set(m)
+    scored = [
+        (d, s) for d, s in oracle.bm25_search(golden, terms, golden["num_docs"])
+        if d in docs
+    ]
+    return sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_conjunctive_bm25_rank_identity(setup):
+    golden, searcher, _ = setup
+    for q in QUERIES:
+        exp = _brute_conjunctive(golden, q, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in searcher.bm25_search_conjunctive(q, K).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+    # every conjunctive hit must contain every term; OOV term -> empty
+    assert searcher.bm25_search_conjunctive(["aa", "zzzznotaterm"], K).count() == 0
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fusion_matches_brute_force(setup):
+    from fulltextsearchengine_spark.operators.hybrid import hybrid_search
+
+    golden, searcher, _ = setup
+    qa, qb = QUERIES[0], QUERIES[1]
+    pool = 30
+    a = searcher.bm25_search(qa, pool).withColumnRenamed("doc_id", "id")
+    b = (
+        searcher.bm25_search(qb, pool)
+        .withColumnRenamed("doc_id", "id")
+        .withColumnRenamed("score", "cosine")
+    )
+    got = [
+        (r["id"], r["rrf_score"]) for r in hybrid_search(a, b, k=K).collect()
+    ]
+
+    ra = {d: i + 1 for i, (d, _) in enumerate(oracle.bm25_search(golden, qa, pool))}
+    rb = {d: i + 1 for i, (d, _) in enumerate(oracle.bm25_search(golden, qb, pool))}
+    exp_scores = {
+        d: (1.0 / (60 + ra[d]) if d in ra else 0.0)
+        + (1.0 / (60 + rb[d]) if d in rb else 0.0)
+        for d in set(ra) | set(rb)
+    }
+    exp = sorted(exp_scores.items(), key=lambda x: (-x[1], x[0]))[:K]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, es), (_, gs) in zip(exp, got):
+        assert gs == pytest.approx(es, rel=1e-12)
