@@ -1556,6 +1556,14 @@ UPSERT_ROWS = [
 Q_UPSERT = ["merge", "stream", "fast"]
 Q_AND = ["batch", "window", "customer"]
 HYBRID_POOL = 30
+# duplicate term exercises Dirichlet's qtf-multiplicity weighting
+Q_DIRICHLET = ["merge", "scan", "scan"]
+DIRICHLET_MU = 2000.0
+Q_SYN = ["spark", "window"]
+SYNS_GATE = {"spark": ["join", "data"], "window": ["scan"]}
+SYN_W = 0.4
+Q_CHAMP = ["data", "query", "merge"]
+CHAMP_N = 4
 
 
 def _q_bm25f(spark, sf_dir):
@@ -1677,6 +1685,56 @@ def _q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _q_lm_dirichlet(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return s.lm_dirichlet_search(Q_DIRICHLET, TOPK, mu=DIRICHLET_MU).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_collapsed(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.collapse import collapsed_bm25_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return collapsed_bm25_search(s, Q_BM25, TOPK, per_conv=1).select(
+        "doc_id", "conv_id", _micro("score", "score_micro")
+    )
+
+
+def _q_synonym(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.synonyms import synonym_bm25_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return synonym_bm25_search(
+        s, Q_SYN, SYNS_GATE, TOPK, syn_weight=SYN_W
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
+def _q_explain(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.explain import explain_bm25
+
+    s = Searcher(_index(spark, sf_dir))
+    return explain_bm25(s, Q_BM25, TOPK).select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_len",
+        "df",
+        _micro("idf", "idf_micro"),
+        _micro("contrib", "contrib_micro"),
+        _micro("score", "score_micro"),
+    )
+
+
+def _q_champion(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.champions import champion_bm25_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return champion_bm25_search(s, Q_CHAMP, TOPK, n_champions=CHAMP_N).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -1764,6 +1822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_upsert_bm25": _q_upsert_bm25,
         "ftse_bm25_and_topk": _q_bm25_and,
         "ftse_hybrid_rrf": _q_hybrid_rrf,
+        "ftse_lm_dirichlet_topk": _q_lm_dirichlet,
+        "ftse_collapsed_topk": _q_collapsed,
+        "ftse_synonym_topk": _q_synonym,
+        "ftse_explain_bm25": _q_explain,
+        "ftse_champion_topk": _q_champion,
     }
 
 
@@ -1903,6 +1966,137 @@ def _dedup_groups_sql(shingle_cte: str, minhash_aggs: str, band_selects: str, fi
         "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node), "
         "comp AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node) "
         + final
+    )
+
+
+def _dirichlet_sql(query: list[str], k: int, mu: float) -> str:
+    """Twin of Searcher.lm_dirichlet_search: qtf multiplicity kept (the
+    list below is NOT deduped), OOV (cf=0) terms dropped, candidates =
+    OR-union, absent terms back off to μ·cf/total over doc_len+μ."""
+    qlist = "[" + ", ".join(f"'{t.lower()}'" for t in query) + "]"
+    return (
+        PRELUDE
+        + f"""
+, qraw AS (SELECT unnest({qlist}) AS term)
+, qt AS (SELECT term, count(*) AS qtf FROM qraw GROUP BY term)
+, qterms AS (SELECT q.term, q.qtf, t.cf FROM qt q JOIN terms t USING (term) WHERE t.cf > 0)
+, cands AS (SELECT DISTINCT p.doc_id FROM postings p JOIN qterms q USING (term))
+, scored AS (
+  SELECT c.doc_id,
+         sum( q.qtf * ln( (coalesce(p.tf, 0) + {mu} * q.cf / CAST(g.total_tokens AS DOUBLE))
+                          / (d.doc_len + {mu}) ) ) AS score
+  FROM cands c
+  CROSS JOIN qterms q
+  LEFT JOIN postings p ON p.doc_id = c.doc_id AND p.term = q.term
+  JOIN docs d ON d.doc_id = c.doc_id
+  CROSS JOIN gstats g
+  GROUP BY c.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _collapsed_sql(query: list[str], k: int, per_conv: int) -> str:
+    """Twin of operators/collapse.collapsed_bm25_search: best per_conv
+    turns per conv_id by (score desc, doc_id asc), then global top-k."""
+    return (
+        _bm25_scored_cte([t.lower() for t in query])
+        + f"""
+, withconv AS (
+  SELECT s.doc_id, d.conv_id, s.score,
+         ROW_NUMBER() OVER (PARTITION BY d.conv_id ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT doc_id, conv_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM withconv WHERE rn <= {per_conv}
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _synonym_sql(
+    query: list[str], synonyms: dict[str, list[str]], syn_weight: float, k: int
+) -> str:
+    """Twin of operators/synonyms.synonym_bm25_search: the expanded
+    term->weight map is recomputed here by the same pure function and
+    embedded as literals (the thesaurus is config, not data)."""
+    from fulltextsearchengine_spark.operators.synonyms import expand_with_synonyms
+
+    weights = expand_with_synonyms(query, synonyms, syn_weight)
+    vals = ", ".join(f"('{t}', {w!r})" for t, w in sorted(weights.items()))
+    return (
+        PRELUDE
+        + f"""
+, wts(term, wt) AS (SELECT * FROM (VALUES {vals}))
+, scored AS (
+  SELECT p.doc_id,
+         sum( w.wt * ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score
+  FROM postings p JOIN wts w USING (term) JOIN terms t USING (term)
+  JOIN docs d USING (doc_id) CROSS JOIN gstats g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _explain_sql(query: list[str], k: int) -> str:
+    """Twin of operators/explain.explain_bm25: one row per (top-k doc,
+    matched query term) with the BM25 decomposition."""
+    q = sorted({t.lower() for t in query})
+    return (
+        _bm25_scored_cte(q)
+        + f"""
+, top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k})
+, expl AS (
+  SELECT p.doc_id, p.term, p.tf, d.doc_len, t.df,
+         ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) AS idf,
+         ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2
+           / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                            / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) AS contrib,
+         tp.score
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN top tp ON tp.doc_id = p.doc_id
+  JOIN terms t USING (term)
+  JOIN docs d ON d.doc_id = p.doc_id
+  CROSS JOIN gstats g
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(doc_len AS BIGINT) AS doc_len,
+       CAST(df AS BIGINT) AS df,
+       CAST(round(idf * 1e6) AS BIGINT) AS idf_micro,
+       CAST(round(contrib * 1e6) AS BIGINT) AS contrib_micro,
+       CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM expl
+"""
+    )
+
+
+def _champion_sql(query: list[str], k: int, n_champions: int) -> str:
+    """Twin of operators/champions.champion_bm25_search: per-term
+    top-n_champions by (tf desc, doc_id asc) → candidate union → exact
+    BM25 restricted to candidates."""
+    q = sorted({t.lower() for t in query})
+    return (
+        _bm25_scored_cte(q)
+        + f"""
+, champ AS (
+  SELECT term, doc_id FROM (
+    SELECT p.term, p.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY p.term ORDER BY p.tf DESC, p.doc_id) AS rn
+    FROM postings p JOIN qterms q USING (term)
+  ) WHERE rn <= {n_champions}
+)
+, cands AS (SELECT DISTINCT doc_id FROM champ)
+SELECT s.doc_id, CAST(round(s.score * 1e6) AS BIGINT) AS score_micro
+FROM scored s JOIN cands c ON c.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
     )
 
 
@@ -2445,4 +2639,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
             f"GROUP BY p.doc_id\n  HAVING count(*) = {len(set(Q_AND))}\n)",
         ),
         "ftse_hybrid_rrf": _hybrid_rrf_sql(Q_BM25, TOPK, HYBRID_POOL),
+        "ftse_lm_dirichlet_topk": _dirichlet_sql(Q_DIRICHLET, TOPK, DIRICHLET_MU),
+        "ftse_collapsed_topk": _collapsed_sql(Q_BM25, TOPK, 1),
+        "ftse_synonym_topk": _synonym_sql(Q_SYN, SYNS_GATE, SYN_W, TOPK),
+        "ftse_explain_bm25": _explain_sql(Q_BM25, TOPK),
+        "ftse_champion_topk": _champion_sql(Q_CHAMP, TOPK, CHAMP_N),
     }

@@ -1,0 +1,87 @@
+"""Champion lists (tiered retrieval): a per-term top-``n_champions``
+docs tier answered first, the classic index-pruning scheme of Manning
+et al., *Introduction to Information Retrieval* §7.1.3 (also the
+"impact-ordered tier" of Strohman & Croft's static pruning line).
+
+The reference engine scans every posting of every query term
+(ReviewSearch.java:65-104). At 10^12 turns a hot term's posting list is
+billions of rows; the champion tier caps what a serving query touches:
+
+  build  per term, keep the ``n_champions`` docs with the highest tf
+         (tie: doc_id asc) → a (term, doc_id) tier of ≤ n·|vocab| rows,
+         a CONSTANT-per-term fraction of the postings, independent of
+         corpus growth past n docs/term.
+  query  candidates = union of the query terms' champion lists (pruned
+         In-scan of the tier); score candidates FULLY — real tf for
+         every query term via the candidate-restricted pivot — then
+         top-k. Scoring math (global df/cf/avgdl) is exact BM25; only
+         the candidate set is pruned.
+
+Semantics: approximate top-k with high precision on tf-driven rankings
+— a true top-k doc is missed only if, for EVERY query term, its tf
+falls below that term's n-th champion tf. BM25's tf saturation
+(tf·(k1+1)/(tf+k1·norm)) makes high-tf docs exactly the high-impact
+ones, so recall@k is near-1 once n ≫ k (pytest pins equality to the
+exact scorer at n=corpus and high overlap at serving n). For guaranteed
+exactness use the WAND path (operators/wand.py) — champions trade the
+threshold bookkeeping for a fixed, cache-friendly tier.
+
+Plan shape: tier build is ONE shuffle of postings by term where the
+rank-window + ``rn <= n`` filter is rewritten by Catalyst to
+WindowGroupLimit (map-side bounded per-term heap — no full per-term
+sort); the query side is two pruned In-scans (tier, then postings
+semi-joined to the candidate frame) and the standard pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .search import BM25_B, BM25_K1, Searcher, normalize_query
+
+N_CHAMPIONS = 128
+
+
+def build_champion_lists(
+    postings: DataFrame, n_champions: int = N_CHAMPIONS
+) -> DataFrame:
+    """(term, doc_id, tf) tier: per term the top-``n_champions`` postings
+    by (tf desc, doc_id asc). Persist with
+    ``df.write.partitionBy()``-free sorted layout like the core postings
+    (save under the index dir, ``sortWithinPartitions("term")``) so
+    query-time term lookups prune files/row groups."""
+    if n_champions < 1:
+        raise ValueError(f"n_champions must be >= 1, got {n_champions}")
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        postings.select("term", "doc_id", "tf")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_champions)
+        .drop("rn")
+    )
+
+
+def champion_bm25_search(
+    searcher: Searcher,
+    query: list[str],
+    k: int,
+    n_champions: int = N_CHAMPIONS,
+    champions: DataFrame | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score) top-k over the champion candidate union —
+    exact BM25 scoring restricted to tier candidates. Pass a persisted
+    ``champions`` tier to skip the ad-hoc build."""
+    terms = sorted(set(normalize_query(query)))
+    if champions is None:
+        champions = build_champion_lists(searcher.index.postings, n_champions)
+    cands = (
+        champions.filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    return searcher.topk(
+        searcher.bm25_scores(query, k1=k1, b=b, candidates=cands), k
+    )

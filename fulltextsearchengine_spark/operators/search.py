@@ -36,6 +36,7 @@ from .index_build import InvertedIndex
 BM25_K1 = 1.2
 BM25_B = 0.75
 LM_LAMBDA = 0.5
+LM_DIRICHLET_MU = 2000.0
 
 
 def normalize_query(query: list[str]) -> list[str]:
@@ -106,10 +107,18 @@ class Searcher:
         )
 
     # ---- pivoted per-term tf frame (shared by all scorers) -------------
-    def _pivoted_tf(self, terms: list[str]) -> DataFrame:
+    def _pivoted_tf(
+        self, terms: list[str], candidates: DataFrame | None = None
+    ) -> DataFrame:
         """(doc_id, doc_len, tf_<i> for each sorted term): OR-union of the
-        query terms' postings, one row per candidate doc."""
+        query terms' postings, one row per candidate doc. ``candidates``
+        (a doc_id frame) restricts the union via a semi-join BEFORE the
+        pivot — the champion-list / pre-filtered retrieval hook: the
+        groupBy then aggregates only candidate rows, so a tier that is a
+        tiny fraction of the postings keeps the whole query tiny."""
         p = self.postings_for(terms)
+        if candidates is not None:
+            p = p.join(candidates.select("doc_id"), "doc_id", "left_semi")
         exprs = [
             F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{i}")
             for i, t in enumerate(terms)
@@ -162,8 +171,17 @@ class Searcher:
             score = score + F.coalesce(contrib, F.lit(0.0))
         return piv.select("doc_id", score.alias("score"))
 
-    def bm25_scores(self, query: list[str], k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
-        """(doc_id, score): Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))."""
+    def bm25_scores(
+        self,
+        query: list[str],
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        candidates: DataFrame | None = None,
+    ) -> DataFrame:
+        """(doc_id, score): Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)).
+        ``candidates`` restricts the scored docs (semi-join pre-pivot) —
+        scoring math (global df/avgdl) is unchanged: filter, don't
+        re-weight."""
         terms = sorted(set(normalize_query(query)))
         stats = self.term_stats(terms)
         n = self.stats["num_docs"]
@@ -176,7 +194,7 @@ class Searcher:
         terms = sorted(idf)
         if not terms:
             return self._empty_scores()
-        piv = self._pivoted_tf(terms)
+        piv = self._pivoted_tf(terms, candidates=candidates)
         norm_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
         score = F.lit(0.0)
         for i, t in enumerate(terms):
@@ -206,6 +224,48 @@ class Searcher:
             factor = F.lit(lam) * mle + F.lit((1.0 - lam) * (cf / total))
             score = score * factor
         return piv.select("doc_id", score.alias("score"))
+
+    def lm_dirichlet_scores(
+        self, query: list[str], mu: float = LM_DIRICHLET_MU
+    ) -> DataFrame:
+        """(doc_id, score): Dirichlet-smoothed query log-likelihood
+        Σ_t qtf_t · ln( (tf_{t,d} + μ·cf_t/total) / (doc_len + μ) )
+        (Zhai & Lafferty 2001, the standard QL smoothing for short
+        queries over long-tailed doc lengths). Beyond the reference —
+        its only LM is Jelinek–Mercer λ=0.5 (ReviewSearch.java:146-178);
+        same OR-union candidate convention as every scorer here.
+
+        Unlike JM's distinct-term product, qtf multiplicity weights each
+        term (the textbook formulation). OOV terms (cf=0) would be
+        ln(0) = −inf for every doc — a rank-neutral constant — so they
+        are dropped, like df=0 terms in BM25. Terms combine in sorted
+        order in one fixed expression (reproducible float math); the
+        plan is the same pruned In-scan + single-shuffle pivot as BM25,
+        so WAND-style pruning work transfers unchanged."""
+        folded = normalize_query(query)
+        qtf = Counter(folded)
+        stats = self.term_stats(sorted(qtf))
+        total = self.stats["total_tokens"]
+        if not total:
+            return self._empty_scores()
+        terms = sorted(t for t in qtf if stats.get(t, (0, 0))[1] > 0)
+        if not terms:
+            return self._empty_scores()
+        piv = self._pivoted_tf(terms)
+        denom = F.col("doc_len") + F.lit(mu)
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            tf = F.coalesce(F.col(f"tf_{i}").cast("double"), F.lit(0.0))
+            p_c = stats[t][1] / total
+            score = score + F.lit(float(qtf[t])) * F.log(
+                (tf + F.lit(mu * p_c)) / denom
+            )
+        return piv.select("doc_id", score.alias("score"))
+
+    def lm_dirichlet_search(
+        self, query: list[str], k: int, mu: float = LM_DIRICHLET_MU
+    ) -> DataFrame:
+        return self.topk(self.lm_dirichlet_scores(query, mu), k)
 
     # ---- top-k ---------------------------------------------------------
     @staticmethod

@@ -1,0 +1,70 @@
+"""Synonym / thesaurus query expansion over the weighted-BM25 scorer.
+
+The reference engine matches literal tokens only (IndexReader.java:
+89-103 — a miss is a miss); a thesaurus is the classic fix for
+vocabulary mismatch without touching the index. Expansion is CONFIG,
+not data: the map lives with the query layer (the Elasticsearch
+synonym-graph-filter convention), so the standing 100-TB index never
+rebuilds when the thesaurus changes.
+
+Semantics (query-side, weighted):
+  - every distinct folded query term keeps weight 1.0;
+  - each synonym of a query term enters at ``syn_weight`` (< 1 so
+    original phrasing outranks paraphrase on equal tf);
+  - collisions sum: a synonym reachable from two query terms — or a
+    synonym that IS another query term — accumulates both weights.
+Then one ``bm25_weighted_scores`` pass: the expanded term set is
+≤ |q|·(1+max fan-out), so the postings ``In`` filter stays
+pushdown-sized and the plan is the ordinary pruned-pivot BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .feedback import bm25_weighted_scores
+from .search import BM25_B, BM25_K1, Searcher, normalize_query
+
+SYN_WEIGHT = 0.5
+
+
+def expand_with_synonyms(
+    query: list[str],
+    synonyms: dict[str, list[str]],
+    syn_weight: float = SYN_WEIGHT,
+) -> dict[str, float]:
+    """term -> weight for the expanded query. Keys and values of
+    ``synonyms`` are folded like query terms; expansion is one hop
+    (synonyms-of-synonyms are not chased — the standard flat-thesaurus
+    semantics)."""
+    if not 0.0 < syn_weight <= 1.0:
+        raise ValueError(f"syn_weight must be in (0, 1], got {syn_weight}")
+    syn = {
+        k.lower(): [v.lower() for v in vs] for k, vs in synonyms.items()
+    }
+    weights: dict[str, float] = {}
+    for t in sorted(set(normalize_query(query))):
+        weights[t] = weights.get(t, 0.0) + 1.0
+        for s in syn.get(t, []):
+            weights[s] = weights.get(s, 0.0) + syn_weight
+    return weights
+
+
+def synonym_bm25_search(
+    searcher: Searcher,
+    query: list[str],
+    synonyms: dict[str, list[str]],
+    k: int,
+    syn_weight: float = SYN_WEIGHT,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score) top-k under the synonym-expanded weighted BM25
+    (score desc, doc_id asc)."""
+    weights = expand_with_synonyms(query, synonyms, syn_weight)
+    return (
+        bm25_weighted_scores(searcher, weights, k1=k1, b=b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
