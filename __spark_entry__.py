@@ -1564,6 +1564,8 @@ SYNS_GATE = {"spark": ["join", "data"], "window": ["scan"]}
 SYN_W = 0.4
 Q_CHAMP = ["data", "query", "merge"]
 CHAMP_N = 4
+PQ_GATE = {"dim": 64, "m": 16, "n_codes": 16, "seed": 7, "query_vec_id": 3}
+IVF_APPEND_QVEC_ID = 7
 
 
 def _q_bm25f(spark, sf_dir):
@@ -1735,6 +1737,63 @@ def _q_champion(spark, sf_dir):
     )
 
 
+def _q_pq_adc(spark, sf_dir):
+    """Seeded (config-not-data) codebooks so the SQL twin can embed
+    them as literals and check encode+ADC arithmetic exactly; trained
+    codebooks exercise the identical code path (pytest recall bound)."""
+    from fulltextsearchengine_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seeded_codebooks,
+    )
+
+    g = PQ_GATE
+    books = pq_seeded_codebooks(g["dim"], g["m"], g["n_codes"], seed=g["seed"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == g["query_vec_id"]).collect()[0][
+            "embedding"
+        ]
+    ]
+    codes = pq_encode(emb, books)
+    return pq_adc_topk(codes, qvec, books, TOPK).select(
+        "vec_id", _micro("adc", "adc_micro")
+    )
+
+
+def _q_ivf_append(spark, sf_dir):
+    """Build the IVF layout on the first half of the vectors, append
+    the second half through the standing quantizer, then full-probe
+    top-k — which must equal brute-force cosine over the UNION (the
+    plumbing check for incremental dense ingest)."""
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.similarity import IvfAnnIndex
+
+    key = (id(spark), sf_dir, "append")
+    if key not in _IVF_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        half = emb.agg((F.max("vec_id") / 2).cast("long")).collect()[0][0]
+        path = tempfile.mkdtemp(prefix="ftse_ivf_app_") + "/emb_by_centroid"
+        idx = IvfAnnIndex.build(
+            emb.filter(F.col("vec_id") < half), path, dim=64, n_centroids=8, seed=11
+        )
+        idx.append(emb.filter(F.col("vec_id") >= half))
+        _IVF_CACHE[key] = idx
+    idx = _IVF_CACHE[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == IVF_APPEND_QVEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    return idx.topk(qvec, TOPK, n_probe=8).select(
+        "vec_id", _micro("cosine", "cosine_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -1827,6 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_synonym_topk": _q_synonym,
         "ftse_explain_bm25": _q_explain,
         "ftse_champion_topk": _q_champion,
+        "ann_pq_adc_topk": _q_pq_adc,
+        "ann_ivf_append_topk": _q_ivf_append,
     }
 
 
@@ -2098,6 +2159,52 @@ FROM scored s JOIN cands c ON c.doc_id = s.doc_id
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
     )
+
+
+def _pq_adc_sql(g: dict, k: int) -> str:
+    """Twin of operators/pq: seeded codebooks recomputed by the same
+    pure function and embedded as (m, c, subvector) literals; encode =
+    expanded-form L2 argmin per subspace (ties → lowest code via the
+    ROW_NUMBER order), ADC = Σ_m LUT[m][code_m] with the LUT derived in
+    SQL from the unit-normalized query vector read off the view."""
+    from fulltextsearchengine_spark.operators.pq import pq_seeded_codebooks
+
+    books = pq_seeded_codebooks(g["dim"], g["m"], g["n_codes"], seed=g["seed"])
+    sub = g["dim"] // g["m"]
+    rows = []
+    for m in range(g["m"]):
+        for c in range(g["n_codes"]):
+            vec = ", ".join(repr(float(x)) for x in books[m, c])
+            rows.append(f"({m}, {c}, [{vec}])")
+    cb = ", ".join(rows)
+    return f"""
+WITH cb(m, c, v) AS (SELECT * FROM (VALUES {cb})),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {g["query_vec_id"]}),
+qn AS (SELECT list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS v FROM q),
+lut AS (SELECT cb.m, cb.c,
+               list_dot_product(cb.v, qn.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}]) AS dot
+        FROM cb CROSS JOIN qn),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+       FROM embeddings),
+env AS (SELECT vec_id,
+               list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS v
+        FROM ed),
+dist AS (SELECT e.vec_id, cb.m, cb.c,
+                list_dot_product(e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}],
+                                 e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}])
+              - 2 * list_dot_product(e.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.v)
+              + list_dot_product(cb.v, cb.v) AS d
+         FROM env e CROSS JOIN cb),
+enc AS (SELECT vec_id, m, c FROM (
+          SELECT vec_id, m, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+          FROM dist) WHERE rn = 1),
+scored AS (SELECT e.vec_id, sum(l.dot) AS adc
+           FROM enc e JOIN lut l USING (m, c) GROUP BY e.vec_id)
+SELECT vec_id, CAST(round(adc * 1e6) AS BIGINT) AS adc_micro
+FROM scored ORDER BY adc DESC, vec_id LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2644,4 +2751,16 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_synonym_topk": _synonym_sql(Q_SYN, SYNS_GATE, SYN_W, TOPK),
         "ftse_explain_bm25": _explain_sql(Q_BM25, TOPK),
         "ftse_champion_topk": _champion_sql(Q_CHAMP, TOPK, CHAMP_N),
+        "ann_pq_adc_topk": _pq_adc_sql(PQ_GATE, TOPK),
+        "ann_ivf_append_topk": (
+            "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+            f"FROM embeddings WHERE vec_id = {IVF_APPEND_QVEC_ID}), "
+            "scored AS (SELECT e.vec_id, "
+            "list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) "
+            "/ (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN q) "
+            f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
+            f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
     }

@@ -447,6 +447,37 @@ class IvfAnnIndex:
         with open(os.path.join(path, cls.META)) as f:
             return cls(spark, path, json.load(f))
 
+    def append(self, new_embeddings: DataFrame) -> "IvfAnnIndex":
+        """Incremental ingest: assign the new wave to the EXISTING
+        coarse quantizer and append its files into the partitioned
+        layout — the dense-arm analog of operators/upsert.py: the
+        standing vectors are never rewritten and the centroids stay
+        fixed (standard IVF practice — retrain only on distribution
+        drift, which is a full rebuild by definition). New ids are the
+        caller's contract (replace semantics = anti-join the wave's ids
+        out first, like conversation upsert does for docs)."""
+        c = self.centroids
+        vec_col = self.meta["vec_col"]
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            new_embeddings.schema.fields + [T.StructField("centroid", T.LongType())]
+        )
+
+        def assign(batches):
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+                out = pdf.copy()
+                out["centroid"] = np.argmax(m @ c.T, axis=1).astype(np.int64)
+                yield out
+
+        new_embeddings.mapInPandas(assign, schema=schema).write.partitionBy(
+            "centroid"
+        ).mode("append").parquet(self.path)
+        return self
+
     def topk(self, query_vec: list[float], k: int, n_probe: int = 4) -> DataFrame:
         q = np.asarray(query_vec, dtype=np.float64)
         qn = q / np.linalg.norm(q)
