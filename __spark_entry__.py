@@ -1794,6 +1794,39 @@ def _q_ivf_append(spark, sf_dir):
     )
 
 
+def _q_ivfpq(spark, sf_dir):
+    """IVF-PQ with n_probe = n_centroids and refine = everything: the
+    partition→ADC-scan→float-refine pipeline collapses to exact cosine,
+    so the gate cross-checks the whole layout end-to-end against plain
+    SQL. Pruned-probe recall and ADC arithmetic are locked separately
+    (pytest + ann_pq_adc_topk)."""
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.pq import IvfPqIndex
+
+    key = (id(spark), sf_dir, "ivfpq")
+    if key not in _IVF_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="ftse_ivfpq_") + "/codes_by_centroid"
+        _IVF_CACHE[key] = IvfPqIndex.build(
+            emb, path, dim=64, n_centroids=8, m=16, n_codes=16, seed=11
+        )
+    idx = _IVF_CACHE[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == IVF_APPEND_QVEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    # refine = |corpus| (full refine → exact); refine is a bounded-heap
+    # size per partition, so it must be a real count, never a sentinel
+    n_vecs = emb.count()
+    return idx.topk(qvec, TOPK, n_probe=8, refine=n_vecs, embeddings=emb).select(
+        "vec_id", _micro("cosine", "cosine_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -1888,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_champion_topk": _q_champion,
         "ann_pq_adc_topk": _q_pq_adc,
         "ann_ivf_append_topk": _q_ivf_append,
+        "ann_ivfpq_topk": _q_ivfpq,
     }
 
 
@@ -2752,6 +2786,17 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_explain_bm25": _explain_sql(Q_BM25, TOPK),
         "ftse_champion_topk": _champion_sql(Q_CHAMP, TOPK, CHAMP_N),
         "ann_pq_adc_topk": _pq_adc_sql(PQ_GATE, TOPK),
+        "ann_ivfpq_topk": (
+            "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+            f"FROM embeddings WHERE vec_id = {IVF_APPEND_QVEC_ID}), "
+            "scored AS (SELECT e.vec_id, "
+            "list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) "
+            "/ (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN q) "
+            f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
+            f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
         "ann_ivf_append_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
             f"FROM embeddings WHERE vec_id = {IVF_APPEND_QVEC_ID}), "

@@ -177,6 +177,7 @@ def main() -> None:
     timed("bm25_df", lambda: [searcher.bm25_search(qq, 10).collect() for qq in BENCH_QUERIES], repeat=reps)
     timed("lnnltc_df", lambda: [searcher.vector_space_search(qq, 10).collect() for qq in BENCH_QUERIES], repeat=reps)
     timed("lm_df", lambda: [searcher.language_model_search(qq, 10).collect() for qq in BENCH_QUERIES], repeat=reps)
+    timed("lm_dirichlet_df", lambda: [searcher.lm_dirichlet_search(qq, 10).collect() for qq in BENCH_QUERIES], repeat=reps)
     timed("conv_search", lambda: [searcher.conv_search(qq, 10).collect() for qq in BENCH_QUERIES[:2]], repeat=reps)
     slabs = timed(
         "doc_len_slabs_build",
@@ -356,6 +357,38 @@ def main() -> None:
     big_terms = [r["term"] for r in bigidx.terms.orderBy(F.desc("df")).limit(40).collect()]
     big_queries = [big_terms[i : i + 3] for i in range(0, 15, 3)]
     timed("bm25_df_bigcorpus", lambda: [bsearcher.bm25_search(qq, 10).collect() for qq in big_queries], repeat=reps)
+
+    # champion-list tier on the same corpus/queries: candidates capped
+    # at n_champions·|q| rows no matter how hot the terms — the
+    # constant-work serving tier (exactness traded; WAND stays exact)
+    from fulltextsearchengine_spark.operators.champions import (
+        build_champion_lists,
+        champion_bm25_search,
+    )
+
+    champ = build_champion_lists(bigidx.postings, 128).cache()
+    champ.count()
+    timed(
+        "bm25_champion_bigcorpus",
+        lambda: [
+            champion_bm25_search(bsearcher, qq, 10, champions=champ).collect()
+            for qq in big_queries
+        ],
+        repeat=reps,
+    )
+    exact_sets = [
+        {r["doc_id"] for r in bsearcher.bm25_search(qq, 10).collect()}
+        for qq in big_queries
+    ]
+    champ_sets = [
+        {r["doc_id"] for r in champion_bm25_search(bsearcher, qq, 10, champions=champ).collect()}
+        for qq in big_queries
+    ]
+    q["champion_recall_at_10"] = round(
+        sum(len(a & b) for a, b in zip(exact_sets, champ_sets))
+        / sum(len(a) for a in exact_sets),
+        4,
+    )
 
     # low-latency serving path: compressed blocks + block-max kernel on
     # the driver (the IndexReader analog — ms-scale, no job scheduling)

@@ -159,3 +159,142 @@ def pq_adc_topk(
 
     scored = codes.mapInPandas(score, schema="vec_id long, adc double")
     return scored.orderBy(F.desc("adc"), F.asc("vec_id")).limit(k)
+
+
+class IvfPqIndex:
+    """IVF-PQ: the canonical billion-to-trillion-vector ANN layout
+    (FAISS IndexIVFPQ) — coarse k-means partitions + PQ codes INSIDE
+    each partition, persisted as parquet partitionBy(centroid).
+
+    Query cost at 10^12 vectors: read n_probe/n_centroids of a codes
+    table that is already dim·4/m× smaller than the vectors (×16 at
+    64-dim, m=16) — the scan is ~n_probe·avg_list·m bytes; the optional
+    exact re-rank touches only ``refine`` float vectors by id (pruned
+    point lookups). Both quantizers train on driver-side samples
+    (seeded — the ivf_train_centroids contract); codes are written once
+    at build, appended per wave via the standing quantizers
+    (``append``, the IvfAnnIndex.append analog)."""
+
+    META = "_ivfpq_meta.json"
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark, self.path, self.meta = spark, path, meta
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        dim: int,
+        n_centroids: int = 16,
+        m: int = PQ_M,
+        n_codes: int = PQ_CODES,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        from .similarity import ivf_assign, ivf_train_centroids
+
+        cent = ivf_train_centroids(
+            embeddings, n_centroids=n_centroids, dim=dim, seed=seed, vec_col=vec_col
+        )
+        books = pq_train_codebooks(
+            embeddings, dim, m=m, n_codes=n_codes, seed=seed, vec_col=vec_col
+        )
+        codes = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(embeddings, cent, id_col=id_col, vec_col=vec_col)
+        codes.join(assigned, "vec_id").write.partitionBy("centroid").mode(
+            "overwrite"
+        ).parquet(path)
+        meta = {
+            "dim": dim,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [r.tolist() for r in cent],
+            "codebooks": [[c.tolist() for c in b] for b in books],
+        }
+        with open(os.path.join(path, cls.META), "w") as f:
+            json.dump(meta, f)
+        return cls(embeddings.sparkSession, path, meta)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META)) as f:
+            return cls(spark, path, json.load(f))
+
+    def append(self, new_embeddings: DataFrame) -> "IvfPqIndex":
+        """Incremental wave through the STANDING quantizers (centroids
+        and codebooks fixed; retrain = rebuild, only on drift)."""
+        from .similarity import ivf_assign
+
+        codes = pq_encode(
+            new_embeddings,
+            self.codebooks,
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+        )
+        assigned = ivf_assign(
+            new_embeddings,
+            self.centroids,
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+        )
+        codes.join(assigned, "vec_id").write.partitionBy("centroid").mode(
+            "append"
+        ).parquet(self.path)
+        return self
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int,
+        n_probe: int = 4,
+        refine: int = 0,
+        embeddings: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the probed partitions. ``refine`` > 0 re-ranks
+        the ADC top-``refine`` exactly against the float vectors
+        (pruned id point-lookups on ``embeddings``) and returns cosine
+        top-k — the standard two-stage precision recovery."""
+        if refine > 1_000_000:
+            # top-k materializes a k-sized bounded heap PER PARTITION —
+            # a sentinel like 10^9 OOMs the executors, it doesn't mean
+            # "all". For an exact full scan use similarity.cosine_topk.
+            raise ValueError(f"refine={refine} is not a serving-sized re-rank")
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probe = np.argsort(-(self.centroids @ qn))[:n_probe].tolist()
+        codes = self.spark.read.parquet(self.path).filter(
+            F.col("centroid").isin(probe)
+        )
+        if not refine:
+            return pq_adc_topk(
+                codes, query_vec, self.codebooks, k, id_col="vec_id"
+            )
+        if embeddings is None:
+            raise ValueError("refine > 0 requires the float `embeddings` frame")
+        from .similarity import cosine_topk
+
+        cand = pq_adc_topk(
+            codes, query_vec, self.codebooks, max(refine, k), id_col="vec_id"
+        ).select("vec_id")
+        survivors = embeddings.join(
+            F.broadcast(cand),
+            embeddings[self.meta["id_col"]] == cand["vec_id"],
+            "left_semi",
+        )
+        return cosine_topk(
+            survivors,
+            query_vec,
+            k,
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+        )

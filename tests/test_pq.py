@@ -140,3 +140,80 @@ def test_ivf_append_equals_rebuild(emb, tmp_path):
     un = _unit(vecs.astype(np.float64))
     for r in rows:
         assert r["centroid"] == int(np.argmax(c @ un[r["vec_id"]]))
+
+
+def test_ivfpq_full_probe_refine_is_exact(emb, tmp_path):
+    """n_probe = n_centroids and refine = N → exact brute-force cosine
+    top-k: the whole partition→ADC→refine pipeline collapses to the
+    ground truth when nothing is pruned."""
+    from fulltextsearchengine_spark.operators.pq import IvfPqIndex
+
+    df, vecs = emb
+    idx = IvfPqIndex.build(
+        df, str(tmp_path / "ivfpq"), dim=DIM, n_centroids=4, m=M, n_codes=CODES, seed=5
+    )
+    q = vecs[2].tolist()
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in idx.topk(q, 10, n_probe=4, refine=N, embeddings=df).collect()
+    ]
+    u = vecs.astype(np.float64)
+    cos = (u @ np.asarray(q)) / (np.linalg.norm(u, axis=1) * np.linalg.norm(q))
+    order = sorted(range(N), key=lambda i: (-cos[i], i))[:10]
+    assert [g[0] for g in got] == order
+    for (_, a), i in zip(got, order):
+        assert a == pytest.approx(cos[i], rel=1e-6)
+
+
+def test_ivfpq_append_matches_standing_quantizers(emb, tmp_path):
+    """Appended wave encoded by the STANDING codebooks: full-probe ADC
+    over the layout == plain ADC over the union encoded with the same
+    codebooks."""
+    from fulltextsearchengine_spark.operators.pq import IvfPqIndex
+
+    df, vecs = emb
+    idx = IvfPqIndex.build(
+        df.filter("vec_id < 120"),
+        str(tmp_path / "ivfpq_app"),
+        dim=DIM,
+        n_centroids=4,
+        m=M,
+        n_codes=CODES,
+        seed=5,
+    )
+    idx.append(df.filter("vec_id >= 120"))
+    q = vecs[9].tolist()
+    got = [(r["vec_id"], r["adc"]) for r in idx.topk(q, 10, n_probe=4).collect()]
+    expected = [
+        (r["vec_id"], r["adc"])
+        for r in pq_adc_topk(pq_encode(df, idx.codebooks), q, idx.codebooks, 10).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (_, a), (_, b) in zip(got, expected):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_ivfpq_partial_probe_recall(emb, tmp_path):
+    """Pruned probes still recall most of the exact top-10 (and the
+    guard: refine without embeddings raises)."""
+    from fulltextsearchengine_spark.operators.pq import IvfPqIndex
+
+    df, vecs = emb
+    idx = IvfPqIndex.build(
+        df, str(tmp_path / "ivfpq_r"), dim=DIM, n_centroids=4, m=8, n_codes=CODES, seed=5
+    )
+    u = vecs.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    hits = 0
+    for qi in range(5):
+        q = vecs[qi].tolist()
+        got = {
+            r["vec_id"]
+            for r in idx.topk(q, 10, n_probe=2, refine=50, embeddings=df).collect()
+        }
+        cos = u @ u[qi]
+        top = set(sorted(range(N), key=lambda i: (-cos[i], i))[:10])
+        hits += len(got & top)
+    assert hits >= 25
+    with pytest.raises(ValueError):
+        idx.topk(vecs[0].tolist(), 5, refine=10)
