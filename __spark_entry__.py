@@ -1566,6 +1566,7 @@ Q_CHAMP = ["data", "query", "merge"]
 CHAMP_N = 4
 PQ_GATE = {"dim": 64, "m": 16, "n_codes": 16, "seed": 7, "query_vec_id": 3}
 IVF_APPEND_QVEC_ID = 7
+Q_SPELL = ["sparc", "join", "fast"]  # "sparc": an edit-1 typo to correct
 
 
 def _q_bm25f(spark, sf_dir):
@@ -1827,6 +1828,23 @@ def _q_ivfpq(spark, sf_dir):
     )
 
 
+def _q_spell(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.spellcheck import (
+        spell_corrected_bm25_search,
+    )
+
+    s = Searcher(_index(spark, sf_dir))
+    return spell_corrected_bm25_search(s, Q_SPELL, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_fsck(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.fsck import index_check
+
+    return index_check(_index(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -1922,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_topk": _q_pq_adc,
         "ann_ivf_append_topk": _q_ivf_append,
         "ann_ivfpq_topk": _q_ivfpq,
+        "ftse_spell_search": _q_spell,
+        "ftse_index_fsck": _q_fsck,
     }
 
 
@@ -2238,6 +2258,69 @@ scored AS (SELECT e.vec_id, sum(l.dot) AS adc
            FROM enc e JOIN lut l USING (m, c) GROUP BY e.vec_id)
 SELECT vec_id, CAST(round(adc * 1e6) AS BIGINT) AS adc_micro
 FROM scored ORDER BY adc DESC, vec_id LIMIT {k}
+"""
+
+
+def _spell_sql(query: list[str], k: int) -> str:
+    """Twin of operators/spellcheck.spell_corrected_bm25_search: an
+    in-vocab term stays; an OOV term becomes the highest-cf (tie: term
+    asc) dictionary term within levenshtein 1, or stays as-is. The SQL
+    brute-forces levenshtein over the dictionary — same exact result
+    set the FastSS deletion-neighborhood path produces for distance 1."""
+    qlist = _sql_list([t.lower() for t in query])
+    qterms = f"""
+SELECT DISTINCT coalesce(
+  (SELECT t.term FROM terms t WHERE t.term = q.term),
+  (SELECT t.term FROM terms t WHERE levenshtein(t.term, q.term) <= 1
+   ORDER BY t.cf DESC, t.term LIMIT 1),
+  q.term) AS term
+FROM (SELECT unnest({qlist}) AS term) q
+"""
+    return (
+        _bm25_scored_cte(None, qterms_sql=qterms)
+        + f"""
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+# fsck twin: every invariant recomputed from the rebuilt tables (the
+# posting_doclen row is vacuously 0 here — the oracle's postings carry
+# no denormalized doc_len to disagree with).
+_FSCK_SQL_TAIL = """
+, perconv AS (
+  SELECT conv_id, min(doc_id) AS c_from, max(doc_id) AS c_to, count(*) AS c_n
+  FROM docs GROUP BY conv_id
+)
+, actual AS (SELECT term, count(*) AS a_df, CAST(sum(tf) AS BIGINT) AS a_cf
+             FROM postings GROUP BY term)
+SELECT 'docid_dups' AS check,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations FROM docs
+UNION ALL
+SELECT 'docid_gaps',
+       CAST(max(doc_id) - min(doc_id) + 1 - count(DISTINCT doc_id) AS BIGINT) FROM docs
+UNION ALL
+SELECT 'conv_contiguity',
+       CAST(count(*) AS BIGINT) FROM perconv WHERE c_to - c_from + 1 != c_n
+UNION ALL
+SELECT 'posting_doclen', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'term_df', CAST(count(*) AS BIGINT)
+FROM terms t FULL OUTER JOIN actual a USING (term)
+WHERE t.df IS NULL OR a.a_df IS NULL OR t.df != a.a_df
+UNION ALL
+SELECT 'term_cf', CAST(count(*) AS BIGINT)
+FROM terms t FULL OUTER JOIN actual a USING (term)
+WHERE t.cf IS NULL OR a.a_cf IS NULL OR t.cf != a.a_cf
+UNION ALL
+SELECT 'stats_fields', CAST(
+    (CASE WHEN g.total_tokens != (SELECT CAST(sum(doc_len) AS BIGINT) FROM docs) THEN 1 ELSE 0 END)
+  + (CASE WHEN g.num_docs != (SELECT count(*) FROM docs) THEN 1 ELSE 0 END)
+  + (CASE WHEN g.unique_terms != (SELECT count(*) FROM terms) THEN 1 ELSE 0 END)
+  + (CASE WHEN g.num_pairs != (SELECT count(*) FROM postings) THEN 1 ELSE 0 END)
+  AS BIGINT)
+FROM gstats g
 """
 
 
@@ -2786,6 +2869,8 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_explain_bm25": _explain_sql(Q_BM25, TOPK),
         "ftse_champion_topk": _champion_sql(Q_CHAMP, TOPK, CHAMP_N),
         "ann_pq_adc_topk": _pq_adc_sql(PQ_GATE, TOPK),
+        "ftse_spell_search": _spell_sql(Q_SPELL, TOPK),
+        "ftse_index_fsck": PRELUDE + _FSCK_SQL_TAIL,
         "ann_ivfpq_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
             f"FROM embeddings WHERE vec_id = {IVF_APPEND_QVEC_ID}), "
