@@ -2194,8 +2194,10 @@ FROM expl
 
 def _champion_sql(query: list[str], k: int, n_champions: int) -> str:
     """Twin of operators/champions.champion_bm25_search: per-term
-    top-n_champions by (tf desc, doc_id asc) → candidate union → exact
-    BM25 restricted to candidates."""
+    top-n_champions by static BM25 impact desc (tie: doc_id asc) →
+    candidate union → exact BM25 restricted to candidates. The impact
+    expression mirrors the engine's literal formula so equal-impact
+    ties (same tf, same doc_len) break identically."""
     q = sorted({t.lower() for t in query})
     return (
         _bm25_scored_cte(q)
@@ -2203,8 +2205,12 @@ def _champion_sql(query: list[str], k: int, n_champions: int) -> str:
 , champ AS (
   SELECT term, doc_id FROM (
     SELECT p.term, p.doc_id,
-           ROW_NUMBER() OVER (PARTITION BY p.term ORDER BY p.tf DESC, p.doc_id) AS rn
+           ROW_NUMBER() OVER (PARTITION BY p.term ORDER BY
+             p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) DESC,
+             p.doc_id) AS rn
     FROM postings p JOIN qterms q USING (term)
+    JOIN docs d USING (doc_id) CROSS JOIN gstats g
   ) WHERE rn <= {n_champions}
 )
 , cands AS (SELECT DISTINCT doc_id FROM champ)

@@ -347,7 +347,10 @@ def main() -> None:
 
     # ---- large-corpus build throughput --------------------------------
     big = spark.read.parquet(str(corpus_path))
-    timed("index_build_bigcorpus", lambda: build_and_save_index(big, f"{workdir}/bigindex"))
+    # repeat=2: the VM swings identical builds 22/9/34 s across minutes
+    # (measured 2026-08-18); min-of-2 keeps the HEADLINE throughput from
+    # being poisoned by one contention window
+    timed("index_build_bigcorpus", lambda: build_and_save_index(big, f"{workdir}/bigindex"), repeat=2)
     turns_per_sec = bench_turns / q["index_build_bigcorpus"]
 
     bigidx = load_index(spark, f"{workdir}/bigindex")
@@ -366,7 +369,13 @@ def main() -> None:
         champion_bm25_search,
     )
 
-    champ = build_champion_lists(bigidx.postings, 128).cache()
+    # n=2048: the synthetic corpus's tf∈{1..3} spread makes per-term
+    # tiers tie-dominated — measured recall@10 on 3-hot-term queries:
+    # n=128→0.40, 512→0.62, 2048→0.94, 8192→1.00 (candidates still
+    # ≤24k of 300k docs at full recall)
+    champ = build_champion_lists(
+        bigidx.postings, 2048, avgdl=bst["total_tokens"] / bst["num_docs"]
+    ).cache()
     champ.count()
     timed(
         "bm25_champion_bigcorpus",

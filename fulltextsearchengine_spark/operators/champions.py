@@ -17,14 +17,16 @@ billions of rows; the champion tier caps what a serving query touches:
          top-k. Scoring math (global df/cf/avgdl) is exact BM25; only
          the candidate set is pruned.
 
-Semantics: approximate top-k with high precision on tf-driven rankings
-— a true top-k doc is missed only if, for EVERY query term, its tf
-falls below that term's n-th champion tf. BM25's tf saturation
-(tf·(k1+1)/(tf+k1·norm)) makes high-tf docs exactly the high-impact
-ones, so recall@k is near-1 once n ≫ k (pytest pins equality to the
-exact scorer at n=corpus and high overlap at serving n). For guaranteed
-exactness use the WAND path (operators/wand.py) — champions trade the
-threshold bookkeeping for a fixed, cache-friendly tier.
+Semantics: approximate top-k — a true top-k doc is missed only if, for
+EVERY query term, its per-term impact falls below that term's n-th
+champion impact. Multi-hot-term queries are the worst case (combined
+score without any single dominant term), and a low-tf-spread corpus
+makes tiers tie-dominated: measured recall@10 on the bench corpus's
+3-hot-term queries (tf∈{1..3}): n=128→0.40, 512→0.62, 2048→0.94,
+8192→1.00 — with candidates still ≤24k of 300k docs at full recall.
+Size n to the corpus's tf spread; for guaranteed exactness use the
+WAND path (operators/wand.py) — champions trade the threshold
+bookkeeping for a fixed, cache-friendly tier.
 
 Plan shape: tier build is ONE shuffle of postings by term where the
 rank-window + ``rn <= n`` filter is rewritten by Catalyst to
@@ -44,21 +46,43 @@ N_CHAMPIONS = 128
 
 
 def build_champion_lists(
-    postings: DataFrame, n_champions: int = N_CHAMPIONS
+    postings: DataFrame,
+    n_champions: int = N_CHAMPIONS,
+    avgdl: float | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """(term, doc_id, tf) tier: per term the top-``n_champions`` postings
-    by (tf desc, doc_id asc). Persist with
-    ``df.write.partitionBy()``-free sorted layout like the core postings
-    (save under the index dir, ``sortWithinPartitions("term")``) so
-    query-time term lookups prune files/row groups."""
+    by STATIC BM25 IMPACT desc (tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) —
+    the per-term score component, which is what the scorer actually
+    ranks by) when ``avgdl`` is given, else raw tf. Raw tf favors long
+    documents that BM25's length normalization then demotes — measured
+    recall@10 on hot-term queries: 0.30 (tf) vs impact ordering (see
+    bench ``champion_recall_at_10``). Ties: doc_id asc.
+
+    Persist with the same sorted layout as the core postings
+    (``sortWithinPartitions("term")``) so query-time term lookups prune
+    files/row groups."""
     if n_champions < 1:
         raise ValueError(f"n_champions must be >= 1, got {n_champions}")
-    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    if avgdl is None:
+        rank_col = F.col("tf").cast("double")
+    else:
+        rank_col = (
+            F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+            )
+        )
+    w = Window.partitionBy("term").orderBy(F.desc(rank_col), F.asc("doc_id"))
     return (
-        postings.select("term", "doc_id", "tf")
+        postings.select("term", "doc_id", "tf", "doc_len")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_champions)
-        .drop("rn")
+        .select("term", "doc_id", "tf")
     )
 
 
@@ -76,7 +100,11 @@ def champion_bm25_search(
     ``champions`` tier to skip the ad-hoc build."""
     terms = sorted(set(normalize_query(query)))
     if champions is None:
-        champions = build_champion_lists(searcher.index.postings, n_champions)
+        st = searcher.stats
+        avgdl = (st["total_tokens"] / st["num_docs"]) if st["num_docs"] else None
+        champions = build_champion_lists(
+            searcher.index.postings, n_champions, avgdl=avgdl, k1=k1, b=b
+        )
     cands = (
         champions.filter(F.col("term").isin(terms))
         .select("doc_id")

@@ -252,16 +252,26 @@ def test_champion_search_exact_at_full_tier(setup):
 
 
 def test_champion_search_matches_restricted_brute_force(setup):
+    """Default path = IMPACT-ordered champions (tf·2.2/(tf+1.2·norm)):
+    the per-term component BM25 actually ranks by — raw-tf ordering
+    favors long docs that length normalization then demotes."""
     golden, searcher = setup
     n = 5
+    navg = golden["total_tokens"] / golden["num_docs"]
+
+    def impact(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / navg))
+
     for q in QUERIES:
         terms = sorted({t.lower() for t in q})
         cands: set[int] = set()
         for t in terms:
             pm = oracle._postings_map(golden, t)
-            cands |= {
-                d for d, _ in sorted(pm.items(), key=lambda x: (-x[1], x[0]))[:n]
-            }
+            ranked = sorted(
+                pm.items(),
+                key=lambda x: (-impact(x[1], golden["doc_to_length"][x[0]]), x[0]),
+            )
+            cands |= {d for d, _ in ranked[:n]}
         full = oracle.bm25_search(golden, terms, 10**9)
         expected = [(d, s) for d, s in full if d in cands][:K]
         got = [
@@ -271,3 +281,29 @@ def test_champion_search_matches_restricted_brute_force(setup):
         assert [d for d, _ in got] == [d for d, _ in expected]
         for (_, a), (_, b) in zip(got, expected):
             assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_champion_impact_ordering_beats_tf_on_recall(setup):
+    """On the golden corpus, impact-ordered tiers recall at least as
+    much of the exact top-k as raw-tf tiers at the same n (they differ:
+    the corpus has enough doc-length spread for normalization to bite)."""
+    golden, searcher = setup
+    from fulltextsearchengine_spark.operators.champions import build_champion_lists
+
+    navg = golden["total_tokens"] / golden["num_docs"]
+    tf_tier = build_champion_lists(searcher.index.postings, 5).cache()
+    imp_tier = build_champion_lists(searcher.index.postings, 5, avgdl=navg).cache()
+    rec_tf = rec_imp = 0
+    for q in QUERIES:
+        exact = {d for d, _ in oracle.bm25_search(golden, q, K)}
+        got_tf = {
+            r["doc_id"]
+            for r in champion_bm25_search(searcher, q, K, champions=tf_tier).collect()
+        }
+        got_imp = {
+            r["doc_id"]
+            for r in champion_bm25_search(searcher, q, K, champions=imp_tier).collect()
+        }
+        rec_tf += len(exact & got_tf)
+        rec_imp += len(exact & got_imp)
+    assert rec_imp >= rec_tf
