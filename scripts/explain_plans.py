@@ -305,6 +305,69 @@ def main() -> None:
         ["In(term", "TakeOrderedAndProject", "!BatchEvalPython"],
     ))
 
+    # --- session-6: scorer matrix + tiered/dense serving ---------------
+    p = grab_plan(s.lm_dirichlet_search(["spark", "join", "fast"], 10))
+    sections.append((
+        "Dirichlet LM top-k (same pruned-pivot shape as BM25)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.collapse import collapsed_bm25_search
+
+    p = grab_plan(collapsed_bm25_search(s, ["spark", "join", "fast"], 10, per_conv=1))
+    sections.append((
+        "Collapsed top-k (per-conv rank window → WindowGroupLimit bounded heap)", p,
+        ["WindowGroupLimit", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.champions import (
+        build_champion_lists,
+        champion_bm25_search,
+    )
+
+    avgdl = s.stats["total_tokens"] / s.stats["num_docs"]
+    champ = build_champion_lists(idx.postings, 8, avgdl=avgdl)
+    p = grab_plan(champ)
+    sections.append((
+        "Champion tier build (per-term impact heap — WindowGroupLimit, one shuffle)", p,
+        ["WindowGroupLimit", "!BatchEvalPython"],
+    ))
+    p = grab_plan(champion_bm25_search(s, ["spark", "join", "fast"], 10, champions=champ))
+    sections.append((
+        "Champion-restricted BM25 (tier candidates semi-joined pre-pivot, exact scoring)", p,
+        ["In(term", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.synonyms import synonym_bm25_search
+
+    p = grab_plan(synonym_bm25_search(s, ["spark"], {"spark": ["join"]}, 10))
+    sections.append((
+        "Synonym-expanded weighted BM25 (expanded In-list still pushdown-sized)", p,
+        ["In(term", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.explain import explain_bm25
+
+    p = grab_plan(explain_bm25(s, ["spark", "join", "fast"], 10))
+    sections.append((
+        "BM25 explanation (k-row top-k broadcast into the pruned postings scan)", p,
+        ["BroadcastHashJoin", "In(term", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seeded_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_seeded_codebooks(64, 16, 16)
+    p = grab_plan(pq_adc_topk(pq_encode(emb, books), [0.1] * 64, books, 10))
+    sections.append((
+        "PQ ADC top-k (Arrow MapInPandas stages, bounded-heap top-k; no row-Python)", p,
+        ["MapInPandas", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
