@@ -1201,6 +1201,17 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_docs_raw(spark, sf_dir), max_hamming=3)
 
 
+APSS_THRESHOLD = 0.8  # 4,116 pairs at sf0.01 — selective enough that the prefix filter bites
+
+
+def _q_apss_pairs(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.apss import sparse_cosine_pairs
+
+    # scale path (prefix filter) — the oracle brute-forces; exactness of
+    # the filter is the whole claim
+    return sparse_cosine_pairs(_index(spark, sf_dir), APSS_THRESHOLD)
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of dedup.simhash64: md5-half hex→uint32, 64 tf-weighted
     bit votes, sign bit via two's-complement add (mirrors Spark's
@@ -1877,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_pairs,
+        "apss_cosine_pairs": _q_apss_pairs,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2659,6 +2671,29 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash)) AS hamming "
             "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        # APSS: DuckDB brute-forces the exact tf-idf cosine self-join; the
+        # Spark side runs Bayardo prefix filtering (operators/apss.py) —
+        # the gate proves the filter is lossless
+        "apss_cosine_pairs": (
+            PRELUDE
+            + f"""
+, tfidf AS (
+  SELECT p.doc_id, p.term,
+         p.tf * ln((SELECT num_docs FROM gstats) * 1.0 / t.df) AS w_raw
+  FROM postings p JOIN terms t USING (term)
+),
+apssnorms AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS norm FROM tfidf GROUP BY doc_id),
+apssvecs AS (
+  SELECT f.doc_id, f.term, f.w_raw / n.norm AS w
+  FROM tfidf f JOIN apssnorms n USING (doc_id) WHERE n.norm > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(round(sum(a.w * b.w) * 1e6) AS BIGINT) AS cos_micro
+FROM apssvecs a JOIN apssvecs b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(round(sum(a.w * b.w) * 1e6) AS BIGINT) >= {round(APSS_THRESHOLD * 1e6)}
+"""
         ),
         # tombstone delete: candidates filtered, stats untouched (Lucene
         # deleted-bitset semantics — operators/deletes.py)
