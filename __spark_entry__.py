@@ -1468,6 +1468,84 @@ def _q_retrieval_eval(spark, sf_dir):
     return retrieval_eval(Searcher(idx), EVAL_PROBES, m=EVAL_M, k=EVAL_K)
 
 
+GRADED_QUERIES = {**Q_BATCH, "q3": ["table", "hash", "merge"]}
+GRADED_K = 10
+
+
+def _q_graded_eval(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.evaluation import graded_eval
+
+    return graded_eval(Searcher(_index(spark, sf_dir)), GRADED_QUERIES, k=GRADED_K)
+
+
+def _graded_eval_sql(queries: dict[str, list[str]], k: int) -> str:
+    """DuckDB twin of evaluation.graded_eval: pseudo-qrels (grade =
+    distinct query terms present, capped 3), BM25 top-k ranks per query,
+    NDCG/MRR/P@k/recall@k micro-ints."""
+    qt_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid in sorted(queries)
+        for t in sorted(set(queries[qid]))
+    )
+    ctes, selects = [], []
+    for i, (qid, q) in enumerate(sorted(queries.items())):
+        ctes.append(
+            f"gq_{i} AS (SELECT unnest({_sql_list(q)}) AS term), "
+            f"gsc_{i} AS ("
+            "  SELECT p.doc_id,"
+            "         sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)"
+            "              * p.tf * 2.2"
+            "              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len"
+            "                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score"
+            f"  FROM postings p JOIN gq_{i} q USING (term) JOIN terms t USING (term)"
+            "  JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id), "
+            f"gtop_{i} AS (SELECT '{qid}' AS qid, doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank "
+            f"FROM gsc_{i} ORDER BY score DESC, doc_id LIMIT {k})"
+        )
+        selects.append(f"SELECT * FROM gtop_{i}")
+    res_union = " UNION ALL ".join(selects)
+    return (
+        PRELUDE
+        + ", "
+        + ", ".join(ctes)
+        + f""",
+gqt AS (SELECT * FROM (VALUES {qt_rows}) AS v(qid, term)),
+gqrels AS (
+  SELECT q.qid, p.doc_id, least(3, count(DISTINCT p.term)) AS grade
+  FROM postings p JOIN gqt q USING (term) GROUP BY q.qid, p.doc_id),
+gres AS ({res_union}),
+gj AS (
+  SELECT r.qid, r.rank, coalesce(qr.grade, 0) AS grade
+  FROM gres r LEFT JOIN gqrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+gpq AS (
+  SELECT qid,
+         sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg,
+         min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits
+  FROM gj GROUP BY qid),
+gig AS (
+  SELECT qid, grade,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY grade DESC, doc_id) AS irn
+  FROM gqrels),
+gidcg AS (
+  SELECT qid, sum((pow(2.0, grade) - 1.0) / log2(irn + 1.0)) AS idcg
+  FROM gig WHERE irn <= {k} GROUP BY qid),
+grt AS (SELECT qid, count(*) AS n_rel FROM gqrels GROUP BY qid),
+gqids AS (SELECT unnest({_sql_list(sorted(queries))}) AS qid)
+SELECT gqids.qid AS query_id,
+  CAST(coalesce(CASE WHEN gidcg.idcg > 0 THEN round(gpq.dcg / gidcg.idcg * 1e6) END, 0) AS BIGINT) AS ndcg_micro,
+  CAST(coalesce(CASE WHEN gpq.first_rel IS NOT NULL THEN round(1e6 / gpq.first_rel) END, 0) AS BIGINT) AS rr_micro,
+  CAST(coalesce(round(gpq.hits / {float(k)} * 1e6), 0) AS BIGINT) AS precision_micro,
+  CAST(coalesce(CASE WHEN grt.n_rel > 0 THEN round(gpq.hits / grt.n_rel * 1e6) END, 0) AS BIGINT) AS recall_micro
+FROM gqids
+LEFT JOIN gpq ON gpq.qid = gqids.qid
+LEFT JOIN gidcg ON gidcg.qid = gqids.qid
+LEFT JOIN grt ON grt.qid = gqids.qid
+"""
+    )
+
+
 def _retrieval_eval_sql(probes: list[int], m: int, k: int) -> str:
     """Per-probe known-item rank: the probe doc's top-m tf-idf terms as
     query (the _mlt_sql qterms rule), its ROW_NUMBER in the full BM25
@@ -1936,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": _q_mmr_rerank,
         "ftse_search_after": _q_search_after,
         "ftse_retrieval_eval": _q_retrieval_eval,
+        "ftse_graded_eval": _q_graded_eval,
         "ftse_bm25f_topk": _q_bm25f,
         "ftse_rm3_topk": _q_rm3,
         "ftse_proximity_topk": _q_proximity,
@@ -2884,6 +2963,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
 """
         ),
         "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
+        "ftse_graded_eval": _graded_eval_sql(GRADED_QUERIES, GRADED_K),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
