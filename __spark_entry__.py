@@ -1471,6 +1471,52 @@ def _q_retrieval_eval(spark, sf_dir):
 GRADED_QUERIES = {**Q_BATCH, "q3": ["table", "hash", "merge"]}
 GRADED_K = 10
 
+# percolation registry: (query_id, terms, role, min_should_match) — CONFIG
+PERC_REGISTRY = [
+    ("perc_and", ("spark", "join"), None, None),
+    ("perc_msm", ("spark", "join", "window", "data"), None, 2),
+    ("perc_role", ("scan",), "user", None),
+]
+
+
+def _q_percolate(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.percolate import (
+        StoredQuery,
+        percolate_index,
+    )
+
+    regs = [
+        StoredQuery(qid, terms, role=role, min_should_match=msm)
+        for qid, terms, role, msm in PERC_REGISTRY
+    ]
+    return percolate_index(_index(spark, sf_dir), regs)
+
+
+def _percolate_sql() -> str:
+    """DuckDB twin of percolate.percolate_index over the same registry."""
+    rows = ", ".join(
+        f"('{qid}', '{t}', {repr(role) if role else 'NULL'}, {msm or len(set(terms))})"
+        for qid, terms, role, msm in PERC_REGISTRY
+        for t in sorted(set(terms))
+    )
+    return (
+        PRELUDE
+        + f""",
+preg AS (SELECT * FROM (VALUES {rows}) AS v(qid, term, q_role, required)),
+pmatch AS (
+  SELECT q.qid, p.doc_id,
+         CAST(count(DISTINCT p.term) AS BIGINT) AS matched,
+         min(q.required) AS required
+  FROM postings p JOIN preg q USING (term) GROUP BY q.qid, p.doc_id),
+prole AS (SELECT DISTINCT qid, q_role FROM preg)
+SELECT m.qid AS query_id, m.doc_id, m.matched
+FROM pmatch m
+JOIN docs d USING (doc_id)
+JOIN prole r ON r.qid = m.qid
+WHERE m.matched >= m.required AND (r.q_role IS NULL OR r.q_role = d.role)
+"""
+    )
+
 
 def _q_graded_eval(spark, sf_dir):
     from fulltextsearchengine_spark.operators.evaluation import graded_eval
@@ -2015,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_search_after": _q_search_after,
         "ftse_retrieval_eval": _q_retrieval_eval,
         "ftse_graded_eval": _q_graded_eval,
+        "ftse_percolate": _q_percolate,
         "ftse_bm25f_topk": _q_bm25f,
         "ftse_rm3_topk": _q_rm3,
         "ftse_proximity_topk": _q_proximity,
@@ -2964,6 +3011,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         ),
         "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
         "ftse_graded_eval": _graded_eval_sql(GRADED_QUERIES, GRADED_K),
+        "ftse_percolate": _percolate_sql(),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
