@@ -1471,6 +1471,101 @@ def _q_retrieval_eval(spark, sf_dir):
 GRADED_QUERIES = {**Q_BATCH, "q3": ["table", "hash", "merge"]}
 GRADED_K = 10
 
+BPE_N_MERGES = 30
+BPE_MAX_WORDS = 10_000
+# frozen encoder merges — CONFIG, not data (bpe.py's retrain contract)
+BPE_CONFIG_MERGES = [
+    ("e", "r"), ("er", "</w>"), ("s", "t"), ("o", "w"), ("a", "n"), ("j", "o"),
+]
+
+
+def _q_bpe_learn(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.bpe import learn_bpe
+
+    idx = _index(spark, sf_dir)
+    wc = idx.terms.select(F.col("term").alias("word"), F.col("cf").alias("cnt"))
+    return learn_bpe(wc, BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.bpe import bpe_encode
+
+    idx = _index(spark, sf_dir)
+    words = idx.terms.select(F.col("term").alias("text"))
+    return bpe_encode(words, BPE_CONFIG_MERGES).select(
+        F.col("text").alias("word"),
+        F.array_join("units", " ").alias("units_text"),
+        F.col("n_units").cast("long").alias("n_units"),
+    )
+
+
+_BPE_INIT_SEQ = (
+    "array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), ' ')"
+)
+
+
+def _bpe_apply_expr(seq: str, lhs: str, rhs: str) -> str:
+    """DuckDB expression applying one merge greedily left-to-right:
+    fold single-symbol lists, joining when the accumulator tail is lhs
+    and the next symbol is rhs (the list_reduce trick — replaces can't
+    do this because a consumed boundary space breaks back-to-back
+    occurrences)."""
+    return (
+        f"array_to_string(list_reduce(list_transform(string_split({seq}, ' '), s -> [s]), "
+        f"(acc, xl) -> CASE WHEN acc[len(acc)] = {lhs} AND xl[1] = {rhs} "
+        f"THEN list_append(acc[1:len(acc)-1], {lhs} || {rhs}) "
+        f"ELSE list_concat(acc, xl) END), ' ')"
+    )
+
+
+def _bpe_learn_sql(n_merges: int, max_words: int) -> str:
+    """DuckDB twin of bpe.learn_bpe — the merge loop UNROLLED as chained
+    CTEs (pairs → argmax → apply), proving the iterative algorithm
+    against an engine that can't loop. Tie-break = count desc then
+    ascending 'lhs|rhs' string, exactly the python rule."""
+    ctes = [
+        f"bwc AS MATERIALIZED (SELECT term AS word, cf AS cnt FROM terms ORDER BY cnt DESC, word LIMIT {max_words})",
+        f"bw0 AS (SELECT {_BPE_INIT_SEQ} AS seq, cnt FROM bwc)",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"bp{i} AS MATERIALIZED (SELECT u.pair, sum(w.cnt) AS c FROM bw{i} w, "
+            "unnest(list_transform(range(1, len(string_split(w.seq, ' '))), "
+            "j -> string_split(w.seq, ' ')[j] || '|' || string_split(w.seq, ' ')[j+1])) AS u(pair) "
+            "GROUP BY u.pair)"
+        )
+        ctes.append(
+            f"bb{i} AS MATERIALIZED (SELECT split_part(pair, '|', 1) AS lhs, split_part(pair, '|', 2) AS rhs "
+            f"FROM bp{i} ORDER BY c DESC, pair LIMIT 1)"
+        )
+        apply = _bpe_apply_expr("w.seq", "b.lhs", "b.rhs")
+        ctes.append(
+            f"bw{i + 1} AS MATERIALIZED (SELECT CASE WHEN b.lhs IS NULL THEN w.seq ELSE {apply} END AS seq, w.cnt "
+            f"FROM bw{i} w LEFT JOIN bb{i} b ON TRUE)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, lhs, rhs FROM bb{i}" for i in range(n_merges)
+    )
+    return PRELUDE + ", " + ", ".join(ctes) + " " + selects
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of bpe.bpe_encode over the distinct corpus words with
+    the frozen CONFIG merge list applied in rank order."""
+    seq = _BPE_INIT_SEQ
+    for lhs, rhs in merges:
+        seq = _bpe_apply_expr(seq, f"'{lhs}'", f"'{rhs}'")
+    return (
+        PRELUDE
+        + f""",
+benc AS (SELECT term AS word, {seq} AS units_text FROM terms)
+SELECT word, units_text,
+       CAST(len(string_split(units_text, ' ')) AS BIGINT) AS n_units
+FROM benc
+"""
+    )
+
+
 # percolation registry: (query_id, terms, role, min_should_match) — CONFIG
 PERC_REGISTRY = [
     ("perc_and", ("spark", "join"), None, None),
@@ -2062,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_retrieval_eval": _q_retrieval_eval,
         "ftse_graded_eval": _q_graded_eval,
         "ftse_percolate": _q_percolate,
+        "bpe_learn_merges": _q_bpe_learn,
+        "bpe_encode_words": _q_bpe_encode,
         "ftse_bm25f_topk": _q_bm25f,
         "ftse_rm3_topk": _q_rm3,
         "ftse_proximity_topk": _q_proximity,
@@ -3012,6 +3109,8 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_retrieval_eval": _retrieval_eval_sql(EVAL_PROBES, EVAL_M, EVAL_K),
         "ftse_graded_eval": _graded_eval_sql(GRADED_QUERIES, GRADED_K),
         "ftse_percolate": _percolate_sql(),
+        "bpe_learn_merges": _bpe_learn_sql(BPE_N_MERGES, BPE_MAX_WORDS),
+        "bpe_encode_words": _bpe_encode_sql(BPE_CONFIG_MERGES),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
