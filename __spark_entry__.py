@@ -1471,6 +1471,78 @@ def _q_retrieval_eval(spark, sf_dir):
 GRADED_QUERIES = {**Q_BATCH, "q3": ["table", "hash", "merge"]}
 GRADED_K = 10
 
+LTR_K = 20
+LTR_NOW = "2026-02-01 00:00:00"
+
+
+def _q_ltr_features(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.ltr import ltr_features
+
+    return ltr_features(
+        Searcher(_index(spark, sf_dir)), GRADED_QUERIES, k=LTR_K, now=LTR_NOW
+    )
+
+
+def _ltr_sql(queries: dict[str, list[str]], k: int, now: str) -> str:
+    """DuckDB twin of ltr.ltr_features: BM25 top-k candidates per query
+    + brute-force recomputation of every feature column."""
+    qt_rows = ", ".join(
+        f"('{qid}', '{t}', {len(set(queries[qid]))})"
+        for qid in sorted(queries)
+        for t in sorted(set(queries[qid]))
+    )
+    ctes, selects = [], []
+    for i, (qid, q) in enumerate(sorted(queries.items())):
+        ctes.append(
+            f"lq_{i} AS (SELECT unnest({_sql_list(q)}) AS term), "
+            f"lsc_{i} AS ("
+            "  SELECT p.doc_id,"
+            "         sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)"
+            "              * p.tf * 2.2"
+            "              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len"
+            "                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score"
+            f"  FROM postings p JOIN lq_{i} q USING (term) JOIN terms t USING (term)"
+            "  JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id), "
+            f"ltop_{i} AS (SELECT '{qid}' AS query_id, doc_id, "
+            "CAST(round(score * 1e6) AS BIGINT) AS bm25_micro, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank "
+            f"FROM lsc_{i} ORDER BY score DESC, doc_id LIMIT {k})"
+        )
+        selects.append(f"SELECT * FROM ltop_{i}")
+    return (
+        PRELUDE
+        + ", "
+        + ", ".join(ctes)
+        + f""",
+lcands AS ({" UNION ALL ".join(selects)}),
+lqt AS (SELECT * FROM (VALUES {qt_rows}) AS v(query_id, term, n_qterms)),
+lqs AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum(p.tf) AS BIGINT) AS tf_sum,
+         CAST(count(DISTINCT p.term) AS BIGINT) AS matched,
+         CAST(round(sum(ln(g.num_docs * 1.0 / t.df)) * 1e6) AS BIGINT) AS idf_sum_micro,
+         min(q.n_qterms) AS n_qterms
+  FROM postings p JOIN lqt q USING (term) JOIN terms t USING (term)
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, p.doc_id)
+SELECT c.query_id, c.doc_id, c.bm25_micro, c.rank,
+       coalesce(s.tf_sum, 0) AS tf_sum,
+       coalesce(s.matched, 0) AS matched,
+       CAST(coalesce(round(s.matched / s.n_qterms * 1e6), 0) AS BIGINT) AS coverage_micro,
+       coalesce(s.idf_sum_micro, 0) AS idf_sum_micro,
+       CAST(d.doc_len AS BIGINT) AS doc_len,
+       CAST(d.turn_idx AS BIGINT) AS turn_idx,
+       CASE WHEN r.ts IS NOT NULL
+            THEN CAST(floor((epoch(TIMESTAMP '{now}') - epoch(r.ts)) / 86400.0) AS BIGINT)
+            ELSE -1 END AS age_days
+FROM lcands c
+JOIN docs d USING (doc_id)
+JOIN ranked r USING (doc_id)
+LEFT JOIN lqs s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+"""
+    )
+
+
 BPE_N_MERGES = 30
 BPE_MAX_WORDS = 10_000
 # frozen encoder merges — CONFIG, not data (bpe.py's retrain contract)
@@ -2159,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_percolate": _q_percolate,
         "bpe_learn_merges": _q_bpe_learn,
         "bpe_encode_words": _q_bpe_encode,
+        "ftse_ltr_features": _q_ltr_features,
         "ftse_bm25f_topk": _q_bm25f,
         "ftse_rm3_topk": _q_rm3,
         "ftse_proximity_topk": _q_proximity,
@@ -3111,6 +3184,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_percolate": _percolate_sql(),
         "bpe_learn_merges": _bpe_learn_sql(BPE_N_MERGES, BPE_MAX_WORDS),
         "bpe_encode_words": _bpe_encode_sql(BPE_CONFIG_MERGES),
+        "ftse_ltr_features": _ltr_sql(GRADED_QUERIES, LTR_K, LTR_NOW),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),
         "ftse_rm3_topk": _rm3_sql(Q_RM3, TOPK, 10, 8, 0.5),
