@@ -328,6 +328,34 @@ def main() -> None:
         repeat=reps,
     )
 
+    # round-3 session-7 surface: APSS, graded eval, percolation, BPE, LTR
+    from fulltextsearchengine_spark.operators.apss import sparse_cosine_pairs
+    from fulltextsearchengine_spark.operators.bpe import bpe_encode, learn_bpe
+    from fulltextsearchengine_spark.operators.evaluation import graded_eval
+    from fulltextsearchengine_spark.operators.ltr import ltr_features
+    from fulltextsearchengine_spark.operators.percolate import (
+        StoredQuery,
+        percolate_index,
+    )
+
+    timed("apss_pairs_t08", lambda: sparse_cosine_pairs(idx, 0.8).count(), repeat=reps)
+    gq = {f"g{i}": qq for i, qq in enumerate(BENCH_QUERIES)}
+    timed("graded_eval", lambda: graded_eval(searcher, gq, k=10).collect(), repeat=reps)
+    timed("ltr_features", lambda: ltr_features(searcher, gq, k=100).count(), repeat=reps)
+    registry = [
+        StoredQuery(f"r{i}", tuple(qq), min_should_match=min(2, len(set(qq))))
+        for i, qq in enumerate(BENCH_QUERIES)
+    ]
+    timed("percolate_index", lambda: percolate_index(idx, registry).count(), repeat=reps)
+    wc = idx.terms.select(F.col("term").alias("word"), F.col("cf").alias("cnt"))
+    merges_df = timed("bpe_learn_100", lambda: learn_bpe(wc, 100))
+    bpe_merges = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()]
+    timed(
+        "bpe_encode_corpus",
+        lambda: bpe_encode(t, bpe_merges).agg(F.sum("n_units")).collect(),
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

@@ -368,6 +368,55 @@ def main() -> None:
         ["MapInPandas", "TakeOrderedAndProject", "!BatchEvalPython"],
     ))
 
+    # --- session-7: APSS / eval / percolate / BPE / LTR -----------------
+    from fulltextsearchengine_spark.operators.apss import sparse_cosine_pairs
+
+    p = grab_plan(sparse_cosine_pairs(idx, 0.8))
+    sections.append((
+        "APSS prefix-filtered cosine pairs (no cartesian, broadcast term metadata)", p,
+        ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.evaluation import graded_eval
+
+    p = grab_plan(graded_eval(s, {"q0": ["spark", "join"], "q1": ["window"]}, k=10))
+    sections.append((
+        "Graded eval (NDCG/MRR/P/recall — pruned scans, eval-set-sized aggs)", p,
+        ["In(term", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.percolate import (
+        StoredQuery,
+        percolate_index,
+    )
+
+    p = grab_plan(percolate_index(idx, [
+        StoredQuery("a", ("spark", "join")),
+        StoredQuery("b", ("window", "data"), min_should_match=1),
+    ]))
+    sections.append((
+        "Percolation (registry broadcast into ONE pruned postings scan)", p,
+        ["PushedFilters: [In(term", "BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.bpe import bpe_encode
+
+    p = grab_plan(bpe_encode(
+        transcripts_from_documents(spark, sf_dir), [("e", "r"), ("s", "t")]
+    ))
+    sections.append((
+        "BPE encode (frozen merges, Arrow-batched UDF, zero shuffles)", p,
+        ["ArrowEvalPython", "!Exchange", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.ltr import ltr_features
+
+    p = grab_plan(ltr_features(s, {"q0": ["spark", "join"]}, k=20))
+    sections.append((
+        "LTR features (candidates + one pruned postings re-read, no row-Python)", p,
+        ["In(term", "WindowGroupLimit", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
