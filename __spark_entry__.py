@@ -2147,6 +2147,76 @@ def _q_fsck(spark, sf_dir):
     return index_check(_index(spark, sf_dir))
 
 
+# --- session-8 gates: corpus analytics, sessions, clustering, mining --------
+
+SIGTERMS_K = 15
+SESSION_GAP_S = 1800.0
+CLARITY_FB = 10
+LAW_TOP_R = 100
+LAW_POINTS = 8
+KMEANS_K = 4
+KMEANS_ITERS = 3
+CONTRASTIVE_ANCHORS = [7, 123, 321]
+CONTRASTIVE_NEG = 3
+CONTRASTIVE_M = 3
+
+
+def _q_significant_terms(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.keywords import significant_terms
+
+    return significant_terms(
+        _index(spark, sf_dir), F.col("role") == "user", k=SIGTERMS_K, min_fg_df=2
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_seconds=SESSION_GAP_S).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "duration_sec",
+        "n_events",
+        "n_event_types",
+        "sum_value_micro",
+    )
+
+
+def _q_query_clarity(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.feedback import query_clarity
+
+    return query_clarity(
+        Searcher(_index(spark, sf_dir)), GRADED_QUERIES, fb_docs=CLARITY_FB
+    )
+
+
+def _q_corpus_law(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.report import corpus_law_report
+
+    return corpus_law_report(
+        _index(spark, sf_dir), top_r=LAW_TOP_R, heaps_points=LAW_POINTS
+    )
+
+
+def _q_kmeans(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.clustering import kmeans_cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_cluster(emb, k=KMEANS_K, n_iters=KMEANS_ITERS)
+
+
+def _q_contrastive(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.contrastive import contrastive_pairs
+
+    return contrastive_pairs(
+        Searcher(_index(spark, sf_dir)),
+        CONTRASTIVE_ANCHORS,
+        n_neg=CONTRASTIVE_NEG,
+        m_terms=CONTRASTIVE_M,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -2250,6 +2320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ivfpq,
         "ftse_spell_search": _q_spell,
         "ftse_index_fsck": _q_fsck,
+        "ftse_significant_terms": _q_significant_terms,
+        "events_sessionize": _q_sessionize,
+        "ftse_query_clarity": _q_query_clarity,
+        "corpus_law_fit": _q_corpus_law,
+        "emb_kmeans": _q_kmeans,
+        "contrastive_pairs": _q_contrastive,
     }
 
 
@@ -2636,6 +2712,182 @@ SELECT 'stats_fields', CAST(
   AS BIGINT)
 FROM gstats g
 """
+
+
+# --- session-8 SQL twins ----------------------------------------------------
+
+_BM25_CONTRIB = (
+    "ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2 "
+    "/ (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len "
+    "/ (CAST(g.total_tokens AS DOUBLE) / g.num_docs)))"
+)
+
+
+def _significant_terms_sql(k: int, min_fg_df: int) -> str:
+    return (
+        PRELUDE
+        + f""",
+fgd AS (SELECT doc_id FROM docs WHERE role = 'user'),
+fgs AS (SELECT count(*) AS fg_size FROM fgd),
+fg AS (
+  SELECT term, count(*) AS fg_df FROM postings JOIN fgd USING (doc_id)
+  GROUP BY term HAVING count(*) >= {min_fg_df}),
+jl AS (
+  SELECT f.term, f.fg_df, t.df,
+         f.fg_df / CAST(s.fg_size AS DOUBLE) AS fgp,
+         t.df / CAST(g.num_docs AS DOUBLE) AS bgp
+  FROM fg f JOIN terms t USING (term) CROSS JOIN fgs s CROSS JOIN gstats g)
+SELECT term, fg_df, df,
+       CAST(round((fgp - bgp) * (fgp / bgp) * 1e6) AS BIGINT) AS jlh_micro
+FROM jl ORDER BY jlh_micro DESC, term LIMIT {k}
+"""
+    )
+
+
+def _sessionize_sql(gap_seconds: float) -> str:
+    return f"""
+WITH e AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_seconds}
+             THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_start) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(floor(max(epoch(ts)) - min(epoch(ts))) AS BIGINT) AS duration_sec,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def _clarity_sql(queries: dict[str, list[str]], fb: int) -> str:
+    """DuckDB twin of feedback.query_clarity: per-query BM25 top-fb
+    relevance model, KL divergence against the collection model."""
+    ctes, selects = [], []
+    for i, (qid, q) in enumerate(sorted(queries.items())):
+        ctes.append(
+            f"kq_{i} AS (SELECT unnest({_sql_list(q)}) AS term), "
+            f"ksc_{i} AS (SELECT p.doc_id, sum({_BM25_CONTRIB}) AS score "
+            f"  FROM postings p JOIN kq_{i} q USING (term) JOIN terms t USING (term) "
+            "   JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id), "
+            f"ktop_{i} AS (SELECT doc_id, score FROM ksc_{i} "
+            f"  ORDER BY score DESC, doc_id LIMIT {fb}), "
+            f"kpd_{i} AS (SELECT doc_id, score / (SELECT sum(score) FROM ktop_{i}) AS p_d "
+            f"  FROM ktop_{i}), "
+            f"kpr_{i} AS (SELECT p.term, sum(c.p_d * p.tf / d.doc_len) AS p_r "
+            f"  FROM postings p JOIN kpd_{i} c USING (doc_id) "
+            "   JOIN docs d USING (doc_id) GROUP BY p.term)"
+        )
+        selects.append(
+            f"SELECT '{qid}' AS query_id, "
+            "CAST(coalesce(round((SELECT sum(r.p_r * log2(r.p_r / (t.cf / CAST(g.total_tokens AS DOUBLE)))) "
+            f"  FROM kpr_{i} r JOIN terms t USING (term) CROSS JOIN gstats g WHERE r.p_r > 0) * 1e6), 0) AS BIGINT) AS clarity_micro, "
+            f"(SELECT count(*) FROM ktop_{i}) AS n_fb"
+        )
+    return PRELUDE + ", " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _corpus_law_sql(top_r: int, points: int) -> str:
+    return (
+        PRELUDE
+        + f""",
+ztop AS (SELECT cf, ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS r
+         FROM terms ORDER BY cf DESC, term LIMIT {top_r}),
+zp AS (SELECT ln(r) AS x, ln(cf) AS y FROM ztop),
+zs AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx FROM zp),
+zr AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+              (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS icept FROM zs),
+fd AS (SELECT term, min(doc_id) AS first_doc FROM postings GROUP BY term),
+cuts AS (SELECT greatest(1, (g.num_docs * i.i) // {points}) AS cut
+         FROM gstats g CROSS JOIN (SELECT unnest(generate_series(1, {points})) AS i) i),
+hp AS (SELECT ln((SELECT sum(doc_len) FROM docs WHERE doc_id <= cut)) AS x,
+              ln((SELECT count(*) FROM fd WHERE first_doc <= cut)) AS y
+       FROM cuts),
+hs AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx FROM hp),
+hr AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+              (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS icept FROM hs)
+SELECT CAST(round(zr.slope * 1e6) AS BIGINT) AS zipf_slope_micro,
+       CAST(round(zr.icept * 1e6) AS BIGINT) AS zipf_intercept_micro,
+       CAST(round(hr.slope * 1e6) AS BIGINT) AS heaps_beta_micro,
+       CAST(round(hr.icept * 1e6) AS BIGINT) AS heaps_logk_micro
+FROM zr CROSS JOIN hr
+"""
+    )
+
+
+def _kmeans_sql(k: int, n_iters: int) -> str:
+    """Loop-unrolled Lloyd twin of clustering.kmeans_cluster: same
+    deterministic init (k smallest vec_ids), same 1e-6 centroid
+    quantization per iteration, same lowest-cluster tie-break."""
+    parts = [
+        "WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "list_transform(v, x -> round(x * 1e6) / 1e6) AS cv "
+        f"FROM ev ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", a{i} AS (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rn "
+            f"FROM ev e CROSS JOIN {prev} c), "
+            f"ab{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1), "
+            f"mx{i} AS (SELECT a.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val "
+            f"FROM ab{i} a JOIN ev e USING (vec_id)), "
+            f"cm{i} AS (SELECT cid, pos, avg(val) AS mval FROM mx{i} GROUP BY cid, pos), "
+            f"c{i} AS (SELECT p.cid, CASE WHEN EXISTS (SELECT 1 FROM cm{i} m WHERE m.cid = p.cid) "
+            f"THEN (SELECT list_transform(list(m.mval ORDER BY m.pos), x -> round(x * 1e6) / 1e6) "
+            f"      FROM cm{i} m WHERE m.cid = p.cid) ELSE p.cv END AS cv FROM {prev} p)"
+        )
+        prev = f"c{i}"
+    parts.append(
+        f", af AS (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+        "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rn "
+        f"FROM ev e CROSS JOIN {prev} c) "
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af WHERE rn = 1"
+    )
+    return "".join(parts)
+
+
+def _contrastive_sql(anchors: list[int], n_neg: int, m: int) -> str:
+    """Per-anchor unrolled twin of contrastive.contrastive_pairs: top-m
+    tf-idf query terms, BM25 candidates padded by the widest conv,
+    same-conv exclusion, rank re-numbered after exclusion."""
+    pad = "(SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM docs GROUP BY conv_id))"
+    ctes, selects = [], []
+    for i, a in enumerate(sorted(set(int(x) for x in anchors))):
+        ctes.append(
+            f", xq{i} AS (SELECT p.term FROM postings p JOIN terms t USING (term) "
+            f"CROSS JOIN gstats g WHERE p.doc_id = {a} "
+            f"ORDER BY p.tf * ln(CAST(g.num_docs AS DOUBLE) / t.df) DESC, p.term LIMIT {m})"
+            f", xs{i} AS (SELECT p.doc_id, sum({_BM25_CONTRIB}) AS score "
+            f"FROM postings p JOIN xq{i} q USING (term) JOIN terms t USING (term) "
+            f"JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id)"
+            f", xr{i} AS (SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM xs{i})"
+            f", xt{i} AS (SELECT * FROM xr{i} WHERE rnk <= {n_neg} + {pad})"
+            f", xp{i} AS (SELECT d2.doc_id AS pos_doc_id FROM docs d1 "
+            f"JOIN docs d2 ON d2.conv_id = d1.conv_id AND d2.turn_idx = d1.turn_idx + 1 "
+            f"WHERE d1.doc_id = {a})"
+            f", xn{i} AS (SELECT t.doc_id AS neg_doc_id, "
+            "ROW_NUMBER() OVER (ORDER BY t.score DESC, t.doc_id) AS neg_rank "
+            f"FROM xt{i} t JOIN docs dd ON dd.doc_id = t.doc_id "
+            f"WHERE dd.conv_id <> (SELECT conv_id FROM docs WHERE doc_id = {a}))"
+        )
+        selects.append(
+            f"SELECT CAST({a} AS BIGINT) AS anchor_doc_id, p.pos_doc_id, "
+            f"n.neg_doc_id, CAST(n.neg_rank AS INT) AS neg_rank "
+            f"FROM xn{i} n CROSS JOIN xp{i} p WHERE n.neg_rank <= {n_neg}"
+        )
+    return PRELUDE + "".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3234,5 +3486,13 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
             "FROM embeddings e CROSS JOIN q) "
             f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
             f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
+        "ftse_significant_terms": _significant_terms_sql(SIGTERMS_K, 2),
+        "events_sessionize": _sessionize_sql(SESSION_GAP_S),
+        "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
+        "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
+        "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "contrastive_pairs": _contrastive_sql(
+            CONTRASTIVE_ANCHORS, CONTRASTIVE_NEG, CONTRASTIVE_M
         ),
     }

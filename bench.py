@@ -356,6 +356,35 @@ def main() -> None:
         repeat=reps,
     )
 
+    # round-3 session-8 surface: corpus analytics, sessions, clustering
+    from fulltextsearchengine_spark.operators.clustering import kmeans_cluster
+    from fulltextsearchengine_spark.operators.contrastive import contrastive_pairs
+    from fulltextsearchengine_spark.operators.feedback import query_clarity
+    from fulltextsearchengine_spark.operators.keywords import significant_terms
+    from fulltextsearchengine_spark.operators.report import corpus_law_report
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    timed(
+        "significant_terms",
+        lambda: significant_terms(idx, F.col("role") == "user", k=20).collect(),
+        repeat=reps,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("events_sessionize", lambda: session_stats(ev).count(), repeat=reps)
+    timed("corpus_law_fit", lambda: corpus_law_report(idx).collect(), repeat=reps)
+    timed(
+        "query_clarity",
+        lambda: query_clarity(searcher, gq, fb_docs=10).collect(),
+        repeat=reps,
+    )
+    timed("emb_kmeans_k8", lambda: kmeans_cluster(emb, k=8, n_iters=3).count(), repeat=reps)
+    anchor_ids = [10, 200, 1000, 2000]
+    timed(
+        "contrastive_pairs",
+        lambda: contrastive_pairs(searcher, anchor_ids, n_neg=3).count(),
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

@@ -118,6 +118,80 @@ def bm25_weighted_scores(
     return piv.select("doc_id", score.alias("score"))
 
 
+def query_clarity(
+    searcher: Searcher,
+    queries: dict[str, list[str]],
+    fb_docs: int = RM3_FB_DOCS,
+) -> DataFrame:
+    """(query_id, clarity_micro, n_fb): the Clarity score — query
+    performance prediction (Cronen-Townsend, Zhou & Croft, SIGIR'02):
+
+        clarity(q) = Σ_t  P(t|R) · log2( P(t|R) / P(t|C) )
+
+    the KL divergence between the query's relevance model (the same
+    score-weighted top-``fb_docs`` language model RM3 builds) and the
+    collection model P(t|C) = cf_t / total_tokens. High clarity = the
+    top results speak a focused vocabulary (the query will likely
+    perform well); clarity near 0 = the results look like the corpus
+    background (ambiguous query). The standard pre-retrieval triage
+    signal for routing queries to expansion/feedback.
+
+    Batch shape — THREE cluster jobs for the whole query set, each
+    eval-set-sized (the rm3_expand bounded-collect contract): one
+    bm25_search_batch over all queries, one pruned postings collect for
+    the union of feedback doc_ids, one terms lookup for the union of
+    their terms. Queries with no results report clarity 0, n_fb 0.
+    Float sums accumulate in (term, doc_id) order, so the score is
+    reproducible across partitionings."""
+    spark = searcher.index.postings.sparkSession
+    folded = {qid: normalize_query(q) for qid, q in queries.items()}
+    res = searcher.bm25_search_batch(
+        {qid: q for qid, q in folded.items() if q}, fb_docs
+    )
+    hits: dict[str, list] = {qid: [] for qid in queries}
+    for r in res.collect():
+        hits[r["query_id"]].append(r)
+
+    all_ids = sorted({int(r["doc_id"]) for rs in hits.values() for r in rs})
+    rows_by_doc: dict[int, list] = {d: [] for d in all_ids}
+    if all_ids:
+        for r in (
+            searcher.index.postings.filter(F.col("doc_id").isin(all_ids))
+            .select("term", "doc_id", "tf", "doc_len")
+            .collect()
+        ):
+            rows_by_doc[int(r["doc_id"])].append(r)
+
+    p_r_by_q: dict[str, dict[str, float]] = {}
+    for qid, rs in hits.items():
+        total = sum(r["score"] for r in rs)
+        p_d = {int(r["doc_id"]): (r["score"] / total if total > 0 else 0.0) for r in rs}
+        p_r: dict[str, float] = {}
+        fb_rows = [row for d in sorted(p_d) for row in rows_by_doc[d]]
+        for row in sorted(fb_rows, key=lambda r: (r["term"], r["doc_id"])):
+            p_r[row["term"]] = p_r.get(row["term"], 0.0) + p_d[int(row["doc_id"])] * (
+                row["tf"] / row["doc_len"]
+            )
+        p_r_by_q[qid] = p_r
+
+    all_terms = sorted({t for pr in p_r_by_q.values() for t in pr})
+    cf = {t: c for t, (_, c) in searcher.term_stats(all_terms).items()} if all_terms else {}
+    total_tokens = searcher.stats["total_tokens"]
+
+    out = []
+    for qid in sorted(queries):
+        p_r = p_r_by_q.get(qid, {})
+        clarity = 0.0
+        for t in sorted(p_r):
+            p_c = cf[t] / total_tokens
+            if p_r[t] > 0.0 and p_c > 0.0:
+                clarity += p_r[t] * math.log2(p_r[t] / p_c)
+        out.append((qid, int(round(clarity * 1e6)), len(hits.get(qid, []))))
+    return spark.createDataFrame(
+        out, "query_id string, clarity_micro long, n_fb long"
+    )
+
+
 def rm3_search(
     searcher: Searcher,
     query: list[str],

@@ -17,6 +17,11 @@ an analytical fact table (SURVEY §4's argument for flat postings).
   exists after the agg. Ordering key is the integer micro-score, so
   ranks are reproducible across engines (no float tie ambiguity).
 
+``significant_terms`` — the ES significant_terms aggregation: terms
+  over-represented in a document slice vs the whole corpus (JLH score).
+  Slice selector is a Column predicate on docs, so it pushes into the
+  scan; everything after the first agg is vocab-sized.
+
 ``term_cooccurrence`` — top-k co-occurring term pairs with PMI over a
   df-banded vocabulary:
   pmi(a,b) = ln(N · c_ab / (df_a · df_b)), c_ab = #docs containing both.
@@ -84,6 +89,62 @@ def term_trends(
         bucketed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("bucket_ts", "term", "tf_sum", "rank")
+    )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    foreground: F.Column,
+    k: int = 20,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """(term, fg_df, df, jlh_micro): top-k terms over-represented in the
+    foreground document set vs the whole corpus — the Elasticsearch
+    significant_terms aggregation (the "what is DIFFERENT about this
+    slice" question: per-tool vocabularies, per-role phrasing, drift in
+    one source stratum), scored by JLH:
+
+        jlh = (fgp − bgp) · (fgp / bgp),
+        fgp = fg_df / |fg docs|,  bgp = df / num_docs
+
+    — the product of the absolute rate change (favors common terms) and
+    the relative lift (favors rare ones). Ranked by jlh_micro desc, term
+    asc; ``min_fg_df`` drops one-off noise terms.
+
+    ``foreground`` is a Column predicate over the docs table's columns
+    (role/tool/turn_idx/conv_id/ts/doc_len), so the selector pushes into
+    the docs scan.
+
+    Plan shape at 100 TB: fg doc_ids ⋈ postings on doc_id (ONE shuffle;
+    Spark broadcasts the fg side when the slice is small), map-side
+    partial (term) agg to vocab-sized rows, then a term join against the
+    vocab-sized terms table (AQE broadcast). No corpus-sized frame
+    survives past the first agg. The fg-size count is one metadata-light
+    aggregate."""
+    n_docs = int(index.stats_row()["num_docs"])
+    fg_docs = index.docs.filter(foreground).select("doc_id")
+    fg_size = fg_docs.count()
+    if fg_size == 0:
+        raise ValueError("foreground selects no documents")
+    fg = (
+        index.postings.select("term", "doc_id")
+        .join(fg_docs, "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    fgp = F.col("fg_df") / F.lit(float(fg_size))
+    bgp = F.col("df") / F.lit(float(n_docs))
+    return (
+        fg.join(index.terms.select("term", "df"), "term")
+        .select(
+            "term",
+            "fg_df",
+            "df",
+            F.round((fgp - bgp) * (fgp / bgp) * 1e6).cast("long").alias("jlh_micro"),
+        )
+        .orderBy(F.desc("jlh_micro"), F.asc("term"))
+        .limit(k)
     )
 
 

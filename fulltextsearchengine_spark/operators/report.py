@@ -63,6 +63,87 @@ def index_report(index: InvertedIndex) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
+def corpus_law_report(
+    index: InvertedIndex, top_r: int = 100, heaps_points: int = 8
+) -> DataFrame:
+    """One row: (zipf_slope_micro, zipf_intercept_micro, heaps_beta_micro,
+    heaps_logk_micro) — the two corpus-statistics power-law fits every
+    collection profile reports (Manning/Raghavan/Schütze IIR §5.1):
+
+      Zipf:  ln cf_r ≈ intercept + slope · ln r   over the top-``top_r``
+             terms by cf (slope ≈ −1 for natural language; a synthetic
+             or degenerate corpus shows up as a very different slope);
+      Heaps: ln V(N) ≈ log_k + β · ln N — vocabulary growth against
+             corpus size, measured at ``heaps_points`` doc_id-prefix
+             checkpoints (β ≈ 0.5 for natural text; β drives dictionary
+             capacity planning at 100 TB — it predicts the terms-table
+             size of the next 10× of corpus).
+
+    Both fits are closed-form OLS over a handful of (ln x, ln y) points,
+    computed declaratively so the DuckDB twin runs the identical
+    arithmetic. Plan shape: the Zipf side is TakeOrderedAndProject
+    (top_r rows) off the vocab-sized terms table; the Heaps side is ONE
+    vocab-sized agg over first-occurrence doc_ids (min(doc_id) per term
+    — a map-side-combining groupBy) plus ONE docs-table agg with
+    ``heaps_points`` conditional sums — no window over the corpus, no
+    per-checkpoint rescan."""
+    stats = index.stats_row()
+    n_docs = int(stats["num_docs"])
+    if n_docs < heaps_points:
+        raise ValueError(f"need at least {heaps_points} docs, got {n_docs}")
+
+    def ols(points: DataFrame, slope_name: str, icept_name: str) -> DataFrame:
+        s = points.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        return s.select(
+            F.round(slope * 1e6).cast("long").alias(slope_name),
+            F.round(((F.col("sy") - slope * F.col("sx")) / F.col("n")) * 1e6)
+            .cast("long")
+            .alias(icept_name),
+        )
+
+    from pyspark.sql import Window
+
+    # top_r rows post-limit: the rank window runs over a driver-sized frame
+    top = index.terms.orderBy(F.desc("cf"), F.asc("term")).limit(top_r)
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    zipf_pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.log("r").alias("x"), F.log("cf").alias("y")
+    )
+    zipf = ols(zipf_pts, "zipf_slope_micro", "zipf_intercept_micro")
+
+    # integer floor-division checkpoints — exact cross-engine semantics
+    # (python round() is banker's; SQL round() is half-away)
+    cuts = [max(1, (n_docs * i) // heaps_points) for i in range(1, heaps_points + 1)]
+    first_doc = index.postings.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vrow = first_doc.agg(
+        *[
+            F.count(F.when(F.col("first_doc") <= d, 1)).alias(f"v{i}")
+            for i, d in enumerate(cuts)
+        ]
+    )
+    nrow = index.docs.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= d, F.col("doc_len"))).alias(f"n{i}")
+            for i, d in enumerate(cuts)
+        ]
+    )
+    stack = ", ".join(f"ln(n{i}), ln(v{i})" for i in range(len(cuts)))
+    heaps_pts = vrow.crossJoin(nrow).selectExpr(
+        f"stack({len(cuts)}, {stack}) AS (x, y)"
+    )
+    heaps = ols(heaps_pts, "heaps_beta_micro", "heaps_logk_micro")
+    return zipf.crossJoin(heaps)
+
+
 def tool_usage_report(transcripts: DataFrame) -> DataFrame:
     """(tool, n_turns, n_convs, total_tokens, avg_turn_tokens_micro):
     per-tool usage over a transcript corpus (NULL tool — plain text

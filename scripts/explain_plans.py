@@ -417,6 +417,55 @@ def main() -> None:
         ["In(term", "WindowGroupLimit", "!BatchEvalPython"],
     ))
 
+    # --- session-8: corpus analytics / sessions / clustering / mining --
+    from fulltextsearchengine_spark.operators.keywords import significant_terms
+
+    p = grab_plan(significant_terms(idx, F.col("role") == "user", k=15))
+    sections.append((
+        "Significant terms (fg slice agg → vocab-sized JLH join, no row-Python)", p,
+        ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "a", 1.0, None)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = grab_plan(session_stats(ev))
+    sections.append((
+        "Sessionization (one user_id exchange feeds window + session agg)", p,
+        ["Window", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.report import corpus_law_report
+
+    p = grab_plan(corpus_law_report(idx, top_r=50, heaps_points=4))
+    sections.append((
+        "Corpus power-law fits (top-r TakeOrdered + single-pass conditional aggs)", p,
+        ["TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.clustering import (
+        init_centroids,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = grab_plan(kmeans_assign(emb, init_centroids(emb, 4)))
+    sections.append((
+        "K-means assignment (Arrow map pass, zero shuffles)", p,
+        ["MapInPandas", "!Exchange", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.contrastive import contrastive_pairs
+
+    p = grab_plan(contrastive_pairs(s, [5, 17], n_neg=2))
+    sections.append((
+        "Contrastive pair mining (batch BM25 candidates + bounded rank window)", p,
+        ["In(term", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
