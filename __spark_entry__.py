@@ -2217,6 +2217,51 @@ def _q_contrastive(spark, sf_dir):
     )
 
 
+TS_RANGE = ("2026-01-01 01:00:00", "2026-01-01 05:00:00")
+TS_GRANULARITY = "hour"
+SPANS_N = 6
+SPANS_MIN_COUNT = 2
+INTERLEAVE_DEPTH = 10
+_TS_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _q_bm25_time_range(spark, sf_dir):
+    import tempfile
+
+    from fulltextsearchengine_spark.operators.timeslice import TimeSlicedIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _TS_CACHE:
+        path = tempfile.mkdtemp(prefix="ftse_tsidx_")
+        _TS_CACHE[key] = TimeSlicedIndex.build(
+            _index(spark, sf_dir), path, granularity=TS_GRANULARITY
+        )
+    lo, hi = TS_RANGE
+    return (
+        _TS_CACHE[key]
+        .bm25_search_time_range(Q_BM25, lo, hi, TOPK)
+        .select("doc_id", _micro("score", "score_micro"))
+    )
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_ngram_spans(docs, n=SPANS_N, min_count=SPANS_MIN_COUNT)
+
+
+def _q_interleave(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.interleave import team_draft_interleave
+
+    s = Searcher(_index(spark, sf_dir))
+    return team_draft_interleave(
+        s.bm25_search(Q_BM25, 2 * INTERLEAVE_DEPTH),
+        s.bm25_search(Q_LNN, 2 * INTERLEAVE_DEPTH),
+        depth=INTERLEAVE_DEPTH,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftse_docs": _q_docs,
@@ -2326,6 +2371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_law_fit": _q_corpus_law,
         "emb_kmeans": _q_kmeans,
         "contrastive_pairs": _q_contrastive,
+        "ftse_bm25_time_range": _q_bm25_time_range,
+        "dedup_duplicate_spans": _q_duplicate_spans,
+        "ftse_interleave": _q_interleave,
     }
 
 
@@ -2715,6 +2763,98 @@ FROM gstats g
 
 
 # --- session-8 SQL twins ----------------------------------------------------
+
+
+def _time_range_bm25_sql(query: list[str], lo: str, hi: str, k: int) -> str:
+    """Filter-not-reweight BM25 over a ts range (global stats): the
+    twin of TimeSlicedIndex.bm25_search_time_range — the slice layout is
+    a physical optimization, the answer is the plain filtered query."""
+    return (
+        PRELUDE
+        + f""",
+tq AS (SELECT unnest({_sql_list(query)}) AS term),
+tsc AS (
+  SELECT p.doc_id,
+         sum( ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score
+  FROM postings p JOIN tq USING (term) JOIN terms t USING (term)
+  JOIN docs d USING (doc_id) JOIN ranked r ON r.doc_id = p.doc_id
+  CROSS JOIN gstats g
+  WHERE r.ts BETWEEN TIMESTAMP '{lo}' AND TIMESTAMP '{hi}'
+  GROUP BY p.doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM tsc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _duplicate_spans_sql(n: int, min_count: int) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+gr0 AS (SELECT doc_id, tokens,
+               unnest(range(greatest(len(tokens) - {n} + 1, 0))) AS pos
+        FROM toks),
+gr AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+              array_to_string(tokens[pos + 1 : pos + {n}], ' ') AS gram
+       FROM gr0),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
+mk AS (SELECT g.doc_id, g.pos FROM gr g JOIN dup USING (gram)),
+sp AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {n}
+                   THEN 1 ELSE 0 END AS ns
+       FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp2 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM sp)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) + {n} - min(pos) AS BIGINT) AS span_tokens,
+       count(*) AS n_dup_grams
+FROM sp2 GROUP BY doc_id, sid
+"""
+
+
+def _interleave_sql(qa: list[str], qb: list[str], depth: int) -> str:
+    """Recursive-CTE twin of interleave.team_draft_interleave over the
+    two arms' full BM25 orderings (the engine's 2·depth pool is exact by
+    the pointer bound, so both sides see the same draft)."""
+    arm = (
+        "SELECT p.doc_id, sum({c}) AS score "
+        "FROM postings p JOIN {q} USING (term) JOIN terms t USING (term) "
+        "JOIN docs d USING (doc_id) CROSS JOIN gstats g GROUP BY p.doc_id"
+    )
+    prelude_rec = PRELUDE.replace("WITH transcripts", "WITH RECURSIVE transcripts", 1)
+    return (
+        prelude_rec
+        + f""",
+iqa AS (SELECT unnest({_sql_list(qa)}) AS term),
+iqb AS (SELECT unnest({_sql_list(qb)}) AS term),
+isa AS ({arm.format(c=_BM25_CONTRIB, q='iqa')}),
+isb AS ({arm.format(c=_BM25_CONTRIB, q='iqb')}),
+ira AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM isa),
+irb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM isb),
+draft AS (
+  SELECT 1 AS position, CAST('A' AS VARCHAR) AS team,
+         (SELECT min_by(doc_id, rnk) FROM ira) AS doc_id,
+         [(SELECT min_by(doc_id, rnk) FROM ira)] AS taken
+  UNION ALL
+  SELECT d.position + 1,
+         CASE WHEN d.team = 'A' THEN 'B' ELSE 'A' END,
+         pick.doc_id, list_append(d.taken, pick.doc_id)
+  FROM draft d, LATERAL (
+     SELECT doc_id FROM (
+       SELECT doc_id, rnk FROM irb
+       WHERE d.team = 'A' AND NOT list_contains(d.taken, doc_id)
+       UNION ALL
+       SELECT doc_id, rnk FROM ira
+       WHERE d.team = 'B' AND NOT list_contains(d.taken, doc_id)
+     ) ORDER BY rnk LIMIT 1) pick
+  WHERE d.position < {depth}
+)
+SELECT CAST(position AS INT) AS position, doc_id, team FROM draft
+"""
+    )
 
 _BM25_CONTRIB = (
     "ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) * p.tf * 2.2 "
@@ -3495,4 +3635,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "contrastive_pairs": _contrastive_sql(
             CONTRASTIVE_ANCHORS, CONTRASTIVE_NEG, CONTRASTIVE_M
         ),
+        "ftse_bm25_time_range": _time_range_bm25_sql(
+            Q_BM25, TS_RANGE[0], TS_RANGE[1], TOPK
+        ),
+        "dedup_duplicate_spans": _duplicate_spans_sql(SPANS_N, SPANS_MIN_COUNT),
+        "ftse_interleave": _interleave_sql(Q_BM25, Q_LNN, INTERLEAVE_DEPTH),
     }

@@ -385,6 +385,35 @@ def main() -> None:
         repeat=reps,
     )
 
+    from fulltextsearchengine_spark.operators.dedup import duplicate_ngram_spans
+    from fulltextsearchengine_spark.operators.interleave import team_draft_interleave
+    from fulltextsearchengine_spark.operators.timeslice import TimeSlicedIndex
+
+    tsi = timed(
+        "timeslice_build",
+        lambda: TimeSlicedIndex.build(idx, f"{workdir}/tsidx", granularity="hour"),
+    )
+    timed(
+        "bm25_time_range",
+        lambda: [
+            tsi.bm25_search_time_range(
+                qq, "2026-01-01 06:00:00", "2026-01-02 06:00:00", 10
+            ).collect()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    timed("dup_spans_n8", lambda: duplicate_ngram_spans(docs_raw, n=8).count(), repeat=reps)
+    timed(
+        "interleave_draft",
+        lambda: team_draft_interleave(
+            searcher.bm25_search(BENCH_QUERIES[0], 20),
+            searcher.bm25_search(BENCH_QUERIES[1], 20),
+            depth=10,
+        ).count(),
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

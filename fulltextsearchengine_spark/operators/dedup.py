@@ -332,3 +332,82 @@ def ngram_containment_pairs(
             F.round(F.col("cont_b") * 1e6).cast("long").alias("cont_b_micro"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_dup_grams): maximal
+    token spans covered by corpus-duplicated n-grams — the exact-substring
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), which removes repeated SPANS rather
+    than whole near-dup documents (boilerplate headers, license blocks,
+    quoted replies inside otherwise-unique docs).
+
+    Contract: a token n-gram is "duplicated" if it occurs ≥ ``min_count``
+    times corpus-wide (occurrences, not distinct docs — a doc repeating
+    its own block counts, as in the paper). A duplicated RUN of L ≥ n
+    tokens appears as L−n+1 consecutive duplicated n-gram starts; start
+    positions are merged into one span while the gap between starts is
+    ≤ n (i.e. the covered intervals touch or overlap), so each output
+    row is a maximal duplicated region. Positions are 0-based token
+    offsets; span_end is inclusive.
+
+    Plan shape at 100 TB: the n-gram expansion is row-local (HOF over
+    the token array, zero shuffles); ONE groupBy on the gram string
+    (uniform md5-like key distribution — natural-language grams are
+    long enough to avoid hot keys at n≥8, and the paper's suffix-array
+    construction is the single-machine alternative this replaces); one
+    semi-join back and ONE doc_id window for the span merge. The gram
+    string is the exact join key — hashing it to 64 bits halves shuffle
+    bytes at a measurable false-positive risk (~(grams²)/2⁶⁵), noted
+    here as the scale knob."""
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2, got {min_count}")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # sequence() descends when stop < start — short docs get []
+                F.when(
+                    F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("toks", i + 1, n), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    marked = grams.join(dup.select("gram"), "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = marked.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")

@@ -466,6 +466,28 @@ def main() -> None:
         ["In(term", "!CartesianProduct", "!BatchEvalPython"],
     ))
 
+    from fulltextsearchengine_spark.operators.timeslice import TimeSlicedIndex
+
+    tsi = TimeSlicedIndex.build(idx, f"{wd}/tsidx", granularity="day")
+    p = grab_plan(
+        tsi.bm25_search_time_range(
+            ["spark", "join"], "2026-01-01 00:30:00", "2026-01-01 04:00:00", 10
+        )
+    )
+    sections.append((
+        "Time-ranged BM25 over the sliced layout (partition pruning + ts pushdown)", p,
+        ["PartitionFilters", "slice", "TakeOrderedAndProject", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.dedup import duplicate_ngram_spans
+
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = grab_plan(duplicate_ngram_spans(docs_raw, n=6))
+    sections.append((
+        "Duplicate n-gram spans (row-local gram expansion, one gram agg, one doc window)", p,
+        ["HashAggregate", "Window", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
