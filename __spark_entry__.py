@@ -1448,6 +1448,20 @@ def _q_unigram_xent(spark, sf_dir):
     return unigram_xent(_docs_raw(spark, sf_dir))
 
 
+def _q_bigram_ppl(spark, sf_dir):
+    """CCNet shape: train the stupid-backoff bigram LM on the even-
+    doc_id slice (the 'trusted target corpus'), score EVERY document —
+    exercises the seen-bigram, backoff, and OOV paths in one gate."""
+    from fulltextsearchengine_spark.operators.ngram_lm import (
+        bigram_xent,
+        train_bigram_lm,
+    )
+
+    d = _docs_raw(spark, sf_dir)
+    lm = train_bigram_lm(d.filter("doc_id % 2 = 0"))
+    return bigram_xent(d, lm)
+
+
 def _q_faceted(spark, sf_dir):
     from fulltextsearchengine_spark.operators.facets import faceted_search
 
@@ -2336,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_trends": _q_term_trends,
         "dedup_containment": _q_containment,
         "text_unigram_xent": _q_unigram_xent,
+        "text_bigram_ppl": _q_bigram_ppl,
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
@@ -3526,6 +3541,39 @@ UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
             "SELECT t.doc_id, coalesce(s.n, 0) AS n_tokens, "
             "coalesce(CAST(round(s.nll / s.n * 1e6) AS BIGINT), 0) AS xent_micro "
             "FROM t LEFT JOIN s USING (doc_id)"
+        ),
+        "text_bigram_ppl": (
+            "WITH t AS (SELECT doc_id, " + _TOKENS + " AS toks FROM documents), "
+            "tokx AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t), "
+            "postok AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, "
+            "toks[CAST(i AS INT)] AS term FROM tokx), "
+            "tok AS (SELECT doc_id, term, ord FROM postok WHERE doc_id % 2 = 0), "
+            "uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term), "
+            "big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS c "
+            "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+            "GROUP BY 1, 2), "
+            "g AS (SELECT (SELECT coalesce(sum(c), 0) FROM uni) AS n, "
+            "(SELECT count(*) FROM uni) AS v), "
+            "alltok AS (SELECT doc_id, term, ord, "
+            "lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev "
+            "FROM postok), "
+            "s AS (SELECT a.doc_id, CASE "
+            "WHEN a.prev IS NULL THEN (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) "
+            "WHEN bc.c IS NOT NULL THEN CAST(bc.c AS DOUBLE) / up.c "
+            "ELSE 0.4 * (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) END AS p "
+            "FROM alltok a CROSS JOIN g "
+            "LEFT JOIN uni uc ON uc.term = a.term "
+            "LEFT JOIN uni up ON up.term = a.prev "
+            "LEFT JOIN big bc ON bc.w1 = a.prev AND bc.w2 = a.term), "
+            "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(-ln(p)) AS nll "
+            "FROM s GROUP BY doc_id), "
+            "x AS (SELECT t.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, "
+            "coalesce(CAST(round(agg.nll / agg.n_tokens * 1e6) AS BIGINT), 0) AS xent_micro "
+            "FROM t LEFT JOIN agg USING (doc_id)) "
+            "SELECT doc_id, n_tokens, xent_micro, "
+            "CASE WHEN n_tokens = 0 THEN 0 "
+            "ELSE CAST(round(exp(xent_micro / 1e6) * 1e6) AS BIGINT) END AS ppl_micro "
+            "FROM x"
         ),
         "ftse_faceted_search": (
             _bm25_scored_cte(Q_BM25)

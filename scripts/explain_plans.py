@@ -488,6 +488,15 @@ def main() -> None:
         ["HashAggregate", "Window", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    from fulltextsearchengine_spark.operators.ngram_lm import bigram_xent, train_bigram_lm
+
+    lm = train_bigram_lm(docs_raw.filter("doc_id % 2 = 0"))
+    p = grab_plan(bigram_xent(docs_raw, lm))
+    sections.append((
+        "Bigram LM perplexity (pair pre-agg to postings shape, vocab joins, one doc agg)", p,
+        ["HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
