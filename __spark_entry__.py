@@ -1212,6 +1212,48 @@ def _q_apss_pairs(spark, sf_dir):
     return sparse_cosine_pairs(_index(spark, sf_dir), APSS_THRESHOLD)
 
 
+def _hex2long_sql(e: str, n_hex: int = 8) -> str:
+    """DuckDB: first ``n_hex`` hex chars of expression ``e`` → BIGINT
+    (twin of Spark's conv(substring(x, 1, n), 16, 10)). n_hex ≤ 15 so
+    the value fits a signed 64-bit int exactly."""
+    return (
+        f"CAST(list_sum(list_transform(range({n_hex}), p -> "
+        f"CAST(strpos('0123456789abcdef', substring({e}, CAST(p + 1 AS INT), 1)) - 1 AS BIGINT)"
+        f" * CAST(power(16, {n_hex - 1} - p) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _dsir_weights_sql() -> str:
+    """Shared CTE chain for the DSIR gates: hashed unigram+bigram
+    features (md5→uint32 % B, same trick as dedup.simhash64), add-one
+    bag-of-buckets fit of target (lang='en') vs raw (all docs), per-doc
+    log importance weights. Ends with CTE ``wt``."""
+    b8 = _hex2long_sql("md5(gram)", 8)
+    b = DSIR_BUCKETS
+    return (
+        f"WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents), "
+        "gx AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks)+1)) AS i FROM t), "
+        "uni AS (SELECT doc_id, lang, toks[CAST(i AS INT)] AS gram FROM gx), "
+        "big AS (SELECT doc_id, lang, toks[CAST(i AS INT)] || ' ' || "
+        "toks[CAST(i + 1 AS INT)] AS gram FROM gx WHERE i + 1 <= len(toks)), "
+        "grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+        f"bk AS (SELECT doc_id, lang, {b8} % {b} AS bucket FROM grams), "
+        "rawc AS (SELECT bucket, count(*) AS rc FROM bk GROUP BY bucket), "
+        "tgtc AS (SELECT bucket, count(*) AS tc FROM bk WHERE lang = 'en' GROUP BY bucket), "
+        "tot AS (SELECT (SELECT count(*) FROM bk) AS r, "
+        "(SELECT count(*) FROM bk WHERE lang = 'en') AS tt), "
+        # raw = whole corpus ⇒ every target bucket ⊆ raw buckets: LEFT JOIN ≡ FULL OUTER
+        f"lam AS (SELECT rawc.bucket, ln((coalesce(tc, 0) + 1) / (tt + {b})) - "
+        f"ln((rc + 1) / (r + {b})) AS lr FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN tot), "
+        "feats AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY doc_id, bucket), "
+        "w AS (SELECT f.doc_id, CAST(sum(c) AS BIGINT) AS n_feats, sum(c * lr) AS logw "
+        "FROM feats f JOIN lam USING (bucket) GROUP BY f.doc_id), "
+        "wt AS (SELECT t.doc_id, coalesce(w.n_feats, 0) AS n_feats, "
+        "coalesce(CAST(round(logw * 1e6) AS BIGINT), 0) AS logw_micro "
+        "FROM t LEFT JOIN w USING (doc_id)) "
+    )
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of dedup.simhash64: md5-half hex→uint32, 64 tf-weighted
     bit votes, sign bit via two's-complement add (mirrors Spark's
@@ -1460,6 +1502,38 @@ def _q_bigram_ppl(spark, sf_dir):
     d = _docs_raw(spark, sf_dir)
     lm = train_bigram_lm(d.filter("doc_id % 2 = 0"))
     return bigram_xent(d, lm)
+
+
+DSIR_BUCKETS = 512
+DSIR_SEED = 7
+DSIR_SAMPLE_N = 50
+
+
+def _dsir_fit(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dsir import dsir_fit
+
+    d = _docs_raw(spark, sf_dir)
+    return d, dsir_fit(d, d.filter("lang = 'en'"), n_buckets=DSIR_BUCKETS)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR shape: target = the English slice, raw = the whole corpus;
+    per-doc hashed-ngram log importance weights."""
+    from fulltextsearchengine_spark.operators.dsir import dsir_log_weights
+
+    d, fit = _dsir_fit(spark, sf_dir)
+    return dsir_log_weights(d, fit, n_buckets=DSIR_BUCKETS)
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """Deterministic Gumbel top-k importance resample (seeded md5
+    noise — reproducible across engines)."""
+    from fulltextsearchengine_spark.operators.dsir import dsir_resample
+
+    d, fit = _dsir_fit(spark, sf_dir)
+    return dsir_resample(
+        d, fit, n=DSIR_SAMPLE_N, seed=DSIR_SEED, n_buckets=DSIR_BUCKETS
+    )
 
 
 def _q_faceted(spark, sf_dir):
@@ -2351,6 +2425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment,
         "text_unigram_xent": _q_unigram_xent,
         "text_bigram_ppl": _q_bigram_ppl,
+        "dsir_doc_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
@@ -3574,6 +3650,19 @@ UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
             "CASE WHEN n_tokens = 0 THEN 0 "
             "ELSE CAST(round(exp(xent_micro / 1e6) * 1e6) AS BIGINT) END AS ppl_micro "
             "FROM x"
+        ),
+        "dsir_doc_weights": (
+            _dsir_weights_sql() + "SELECT doc_id, n_feats, logw_micro FROM wt"
+        ),
+        "dsir_sample": (
+            _dsir_weights_sql()
+            + "SELECT doc_id, logw_micro, CAST(round((logw_micro / 1e6 + "
+            "-ln(-ln(("
+            + _hex2long_sql(
+                f"md5('{DSIR_SEED}:' || CAST(doc_id AS VARCHAR))", 13
+            )
+            + " + 0.5) / 4503599627370496.0))) * 1e6) AS BIGINT) AS key_micro "
+            f"FROM wt ORDER BY key_micro DESC, doc_id LIMIT {DSIR_SAMPLE_N}"
         ),
         "ftse_faceted_search": (
             _bm25_scored_cte(Q_BM25)

@@ -497,6 +497,15 @@ def main() -> None:
         ["HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    from fulltextsearchengine_spark.operators.dsir import dsir_fit, dsir_log_weights
+
+    fit = dsir_fit(docs_raw, docs_raw.filter("lang = 'en'"), n_buckets=512)
+    p = grab_plan(dsir_log_weights(docs_raw, fit, n_buckets=512))
+    sections.append((
+        "DSIR log weights (postings-shape feature agg, broadcast bucket-ratio join)", p,
+        ["HashAggregate", "BroadcastHashJoin", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
