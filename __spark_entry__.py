@@ -1223,6 +1223,41 @@ def _hex2long_sql(e: str, n_hex: int = 8) -> str:
     )
 
 
+def _nb_scores_sql() -> str:
+    """DuckDB twin of nbayes.train_nb + nb_scores: add-one multinomial
+    NB trained on the even-doc slice (label = lang), scored over every
+    doc × class. Ends with CTE ``sc``."""
+    return (
+        f"WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents), "
+        "tr AS (SELECT * FROM t WHERE doc_id % 2 = 0), "
+        "trtok AS (SELECT lang AS label, unnest(toks) AS term FROM tr), "
+        "term_c AS (SELECT label, term, count(*) AS c FROM trtok GROUP BY 1, 2), "
+        "vocab AS (SELECT DISTINCT term FROM term_c), "
+        "vs AS (SELECT count(*) AS v FROM vocab), "
+        "cls AS (SELECT lang AS label, count(*) AS n_docs, "
+        "CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tr GROUP BY 1), "
+        "ntot AS (SELECT count(*) AS n FROM tr), "
+        "pri AS (SELECT label, ln(n_docs / CAST(n AS DOUBLE)) AS log_prior, "
+        "ln(1.0 / (n_tokens + v)) AS oov_logp "
+        "FROM cls CROSS JOIN ntot CROSS JOIN vs), "
+        "dense AS (SELECT c2.label, vocab.term, "
+        "ln((coalesce(tc.c, 0) + 1) / CAST(c2.n_tokens + v AS DOUBLE)) AS logp "
+        "FROM vocab CROSS JOIN cls c2 CROSS JOIN vs "
+        "LEFT JOIN term_c tc ON tc.label = c2.label AND tc.term = vocab.term), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2), "
+        "main AS (SELECT tf.doc_id, dense.label, sum(tf * logp) AS main, "
+        "CAST(sum(tf) AS BIGINT) AS mt FROM tf JOIN dense USING (term) GROUP BY 1, 2), "
+        "nt AS (SELECT doc_id, len(toks) AS n_tokens FROM t), "
+        "grid AS (SELECT nt.doc_id, pri.label, pri.log_prior, pri.oov_logp, "
+        "nt.n_tokens FROM nt CROSS JOIN pri), "
+        "sc AS (SELECT g.doc_id, g.label, CAST(round((g.log_prior + "
+        "coalesce(m.main, 0) + (g.n_tokens - coalesce(m.mt, 0)) * g.oov_logp) "
+        "* 1e6) AS BIGINT) AS score_micro "
+        "FROM grid g LEFT JOIN main m ON m.doc_id = g.doc_id AND m.label = g.label) "
+    )
+
+
 def _dsir_weights_sql() -> str:
     """Shared CTE chain for the DSIR gates: hashed unigram+bigram
     features (md5→uint32 % B, same trick as dedup.simhash64), add-one
@@ -1502,6 +1537,30 @@ def _q_bigram_ppl(spark, sf_dir):
     d = _docs_raw(spark, sf_dir)
     lm = train_bigram_lm(d.filter("doc_id % 2 = 0"))
     return bigram_xent(d, lm)
+
+
+def _nb_model(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.nbayes import train_nb
+
+    d = _docs_raw(spark, sf_dir)
+    return d, train_nb(d.filter("doc_id % 2 = 0"), "lang")
+
+
+def _q_nb_scores(spark, sf_dir):
+    """Multinomial NB trained on the even-doc slice's lang labels,
+    scoring EVERY document × class (held-out half exercises
+    generalization and the OOV path)."""
+    from fulltextsearchengine_spark.operators.nbayes import nb_scores
+
+    d, model = _nb_model(spark, sf_dir)
+    return nb_scores(d, model)
+
+
+def _q_nb_predict(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.nbayes import nb_predict
+
+    d, model = _nb_model(spark, sf_dir)
+    return nb_predict(d, model)
 
 
 DSIR_BUCKETS = 512
@@ -2427,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_ppl": _q_bigram_ppl,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
+        "nb_lang_scores": _q_nb_scores,
+        "nb_lang_predict": _q_nb_predict,
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
@@ -3650,6 +3711,19 @@ UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
             "CASE WHEN n_tokens = 0 THEN 0 "
             "ELSE CAST(round(exp(xent_micro / 1e6) * 1e6) AS BIGINT) END AS ppl_micro "
             "FROM x"
+        ),
+        "nb_lang_scores": (
+            _nb_scores_sql() + "SELECT doc_id, label, score_micro FROM sc"
+        ),
+        "nb_lang_predict": (
+            _nb_scores_sql()
+            + ", rk AS (SELECT doc_id, label, score_micro, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn, "
+            "lead(score_micro) OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS runner_up "
+            "FROM sc) "
+            "SELECT doc_id, label AS pred_label, "
+            "score_micro - coalesce(runner_up, score_micro) AS margin_micro "
+            "FROM rk WHERE rn = 1"
         ),
         "dsir_doc_weights": (
             _dsir_weights_sql() + "SELECT doc_id, n_feats, logw_micro FROM wt"

@@ -506,6 +506,15 @@ def main() -> None:
         ["HashAggregate", "BroadcastHashJoin", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    from fulltextsearchengine_spark.operators.nbayes import nb_scores, train_nb
+
+    nbm = train_nb(docs_raw.filter("doc_id % 2 = 0"), "lang")
+    p = grab_plan(nb_scores(docs_raw, nbm))
+    sections.append((
+        "NB classifier scoring (postings-shape tf agg, broadcast likelihood join)", p,
+        ["HashAggregate", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
