@@ -875,6 +875,12 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(_docs_raw(spark, sf_dir), _lsh_pairs_034(spark, sf_dir))
 
 
+def _q_soft_dedup_weights(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup_groups import soft_dedup_weights
+
+    return soft_dedup_weights(_docs_raw(spark, sf_dir), _lsh_pairs_034(spark, sf_dir))
+
+
 def _q_dedup_canonical(spark, sf_dir):
     from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
 
@@ -2451,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_strat_sample,
         "sample_report": _q_sample_report,
         "dedup_groups": _q_dedup_groups,
+        "dedup_soft_weights": _q_soft_dedup_weights,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_canonical_best": _q_dedup_canonical_best,
         "dedup_snapshot_exact": _q_dedup_snapshot_exact,
@@ -3389,6 +3396,15 @@ def oracle_sql() -> dict[str, str]:
             shingle_cte, minhash_aggs, band_selects,
             "SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id "
             "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id",
+        ),
+        "dedup_soft_weights": _dedup_groups_sql(
+            shingle_cte, minhash_aggs, band_selects,
+            ", lab AS (SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id "
+            "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id), "
+            "gs AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY group_id) "
+            "SELECT lab.doc_id, lab.group_id, CAST(group_size AS BIGINT) AS group_size, "
+            "CAST(round(1e6 / group_size) AS BIGINT) AS weight_micro "
+            "FROM lab JOIN gs USING (group_id)",
         ),
         "dedup_canonical": _dedup_groups_sql(
             shingle_cte, minhash_aggs, band_selects,

@@ -122,3 +122,32 @@ def dedup_canonical(
             .select(id_col)
         )
     return docs.join(keep, id_col, "inner")
+
+
+def soft_dedup_weights(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 50
+) -> DataFrame:
+    """(doc_id, group_id, group_size, weight_micro): SOFT dedup — keep
+    every document but downweight duplicates by their near-dup family
+    size, weight = 1/|component| (singletons keep 1.0). The sampling /
+    loss-reweighting alternative to ``dedup_canonical`` when hard
+    removal is too aggressive (e.g. SlimPajama-style pipelines keep
+    one weighted epoch's worth of each duplicate family rather than
+    betting on a single canonical copy).
+
+    Scale shape: the group-size table has ~one row per DOCUMENT
+    (every singleton is its own group), so it must never be broadcast
+    or re-joined — a single window count over the group_id partition
+    gets size and weight in ONE shuffle of the label table.
+    weight_micro = round(1e6 / size) — integer arithmetic,
+    engine-independent."""
+    from pyspark.sql import Window
+
+    groups = dedup_groups(docs, pairs, id_col=id_col, max_iter=max_iter)
+    size = F.count("*").over(Window.partitionBy("group_id"))
+    return groups.select(
+        id_col,
+        "group_id",
+        size.cast("long").alias("group_size"),
+        F.round(F.lit(1e6) / size).cast("long").alias("weight_micro"),
+    )

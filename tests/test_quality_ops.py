@@ -284,3 +284,27 @@ def test_source_quality_percentiles(spark):
         for q, col in ((50, "tok_p50_micro"), (90, "tok_p90_micro"), (99, "tok_p99_micro")):
             assert got[src][col] == round(float(np.percentile(ntok, q)) * 1e6), (src, q)
         assert got[src]["n_docs"] == len(grp)
+
+
+def test_soft_dedup_weights(spark):
+    from fulltextsearchengine_spark.operators.dedup_groups import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["weight_micro"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    third = round(1e6 / 3)
+    assert got == {
+        0: (0, 1, 1000000),
+        1: (1, 3, third),
+        2: (2, 1, 1000000),
+        3: (1, 3, third),
+        4: (4, 1, 1000000),
+        5: (1, 3, third),
+    }
+    # every family's weights sum to ~1.0 -> one weighted epoch per family
+    assert sum(w for _, _, w in got.values()) == pytest.approx(
+        4 * 1000000, abs=len(got)
+    )
