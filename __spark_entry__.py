@@ -1229,6 +1229,80 @@ def _hex2long_sql(e: str, n_hex: int = 8) -> str:
     )
 
 
+def _bigram_xent_ctes(p: str = "") -> str:
+    """CTE chain (no WITH) for the bigram stupid-backoff LM twin:
+    train on even doc_ids, score all docs. All CTE names prefixed with
+    ``p`` so the chain composes into larger oracles; ends with CTE
+    ``{p}x`` = (doc_id, n_tokens, xent_micro)."""
+    return (
+        f"{p}t AS (SELECT doc_id, " + _TOKENS + " AS toks FROM documents), "
+        f"{p}tokx AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM {p}t), "
+        f"{p}postok AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, "
+        f"toks[CAST(i AS INT)] AS term FROM {p}tokx), "
+        f"{p}tok AS (SELECT doc_id, term, ord FROM {p}postok WHERE doc_id % 2 = 0), "
+        f"{p}uni AS (SELECT term, count(*) AS c FROM {p}tok GROUP BY term), "
+        f"{p}big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS c "
+        f"FROM {p}tok a JOIN {p}tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
+        "GROUP BY 1, 2), "
+        f"{p}g AS (SELECT (SELECT coalesce(sum(c), 0) FROM {p}uni) AS n, "
+        f"(SELECT count(*) FROM {p}uni) AS v), "
+        f"{p}alltok AS (SELECT doc_id, term, ord, "
+        "lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev "
+        f"FROM {p}postok), "
+        f"{p}s AS (SELECT a.doc_id, CASE "
+        "WHEN a.prev IS NULL THEN (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) "
+        "WHEN bc.c IS NOT NULL THEN CAST(bc.c AS DOUBLE) / up.c "
+        "ELSE 0.4 * (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) END AS p "
+        f"FROM {p}alltok a CROSS JOIN {p}g g "
+        f"LEFT JOIN {p}uni uc ON uc.term = a.term "
+        f"LEFT JOIN {p}uni up ON up.term = a.prev "
+        f"LEFT JOIN {p}big bc ON bc.w1 = a.prev AND bc.w2 = a.term), "
+        f"{p}agg AS (SELECT doc_id, count(*) AS n_tokens, sum(-ln(p)) AS nll "
+        f"FROM {p}s GROUP BY doc_id), "
+        f"{p}x AS (SELECT {p}t.doc_id, coalesce({p}agg.n_tokens, 0) AS n_tokens, "
+        f"coalesce(CAST(round({p}agg.nll / {p}agg.n_tokens * 1e6) AS BIGINT), 0) AS xent_micro "
+        f"FROM {p}t LEFT JOIN {p}agg USING (doc_id)) "
+    )
+
+
+def _funnel_sql(hits: dict, best: str, lang_case: str) -> str:
+    """Twin of pipeline.curation_funnel: staged flags (quality →
+    language → first-wins dedup among survivors) + the prefixed bigram
+    LM chain for stage 4's integer below-mean rule; emits the 4-row
+    funnel via UNION ALL."""
+    hit_cols = ", ".join(f"{h} AS h_{c}" for c, h in sorted(hits.items()))
+    qual = "n_tokens >= 20 AND uniq_ratio_micro >= 350000 AND punct_ratio_micro <= 400000"
+    return (
+        "WITH t AS (SELECT doc_id, coalesce(text,'') AS text, " + _TOKENS + " AS tokens, "
+        "length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]', '', 'g')) AS alnum FROM documents), "
+        "sig AS (SELECT doc_id, text, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        "CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS uniq_ratio_micro, "
+        "CAST(CASE WHEN length(text) > 0 THEN round(CAST(length(text) - alnum AS DOUBLE) / length(text) * 1e6) ELSE 0 END AS BIGINT) AS punct_ratio_micro, "
+        f"{hit_cols} FROM t), "
+        f"lang AS (SELECT *, CASE WHEN {best} > 0 THEN CASE {lang_case} END ELSE 'und' END AS lang_pred FROM sig), "
+        f"flags0 AS (SELECT doc_id, tokens, ({qual}) AS q, "
+        f"({qual} AND lang_pred IN ('en')) AS l, "
+        "md5(array_to_string(tokens, ' ')) AS th FROM lang), "
+        "flags AS (SELECT doc_id, q, l, "
+        "l AND doc_id = min(CASE WHEN l THEN doc_id END) OVER (PARTITION BY th) AS d "
+        "FROM flags0), "
+        + _bigram_xent_ctes("px")
+        + ", j AS (SELECT f.doc_id, f.q, f.l, f.d, x.xent_micro "
+        "FROM flags f LEFT JOIN pxx x USING (doc_id)), "
+        "tot AS (SELECT count(*) AS n0, "
+        "CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        "CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        "CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n3, "
+        "CAST(coalesce(sum(CASE WHEN d THEN xent_micro END), 0) AS BIGINT) AS xsum FROM j), "
+        "s4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM j CROSS JOIN tot "
+        "WHERE d AND xent_micro * n3 <= xsum) "
+        "SELECT 1 AS stage_idx, 'quality' AS stage, n0 AS n_in, n1 AS n_out FROM tot "
+        "UNION ALL SELECT 2, 'language', n1, n2 FROM tot "
+        "UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM tot "
+        "UNION ALL SELECT 4, 'lm_ppl', n3, n4 FROM tot CROSS JOIN s4"
+    )
+
+
 def _nb_scores_sql() -> str:
     """DuckDB twin of nbayes.train_nb + nb_scores: add-one multinomial
     NB trained on the even-doc slice (label = lang), scored over every
@@ -1550,6 +1624,16 @@ def _nb_model(spark, sf_dir):
 
     d = _docs_raw(spark, sf_dir)
     return d, train_nb(d.filter("doc_id % 2 = 0"), "lang")
+
+
+def _q_curation_funnel(spark, sf_dir):
+    """Full curation funnel at default thresholds; stage-4 LM trained
+    on the even-doc slice (same model as text_bigram_ppl)."""
+    from fulltextsearchengine_spark.operators.ngram_lm import train_bigram_lm
+    from fulltextsearchengine_spark.operators.pipeline import curation_funnel
+
+    d = _docs_raw(spark, sf_dir)
+    return curation_funnel(d, train_bigram_lm(d.filter("doc_id % 2 = 0")))
 
 
 def _q_nb_scores(spark, sf_dir):
@@ -2495,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
         "nb_lang_predict": _q_nb_predict,
+        "pipeline_curation_funnel": _q_curation_funnel,
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
@@ -3265,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "ftse_lnnltc_topk": _lnnltc_sql(Q_LNN, TOPK),
         "ftse_lm_topk": _lm_sql(Q_LM, TOPK),
         "ftse_conv_search": _conv_search_sql(Q_CONV, 10),
+        "pipeline_curation_funnel": _funnel_sql(hits, best, lang_case),
         "pipeline_clean_corpus": _pipeline_sql(hits, best, lang_case)
         + "SELECT doc_id, lang_pred, n_tokens, uniq_ratio_micro FROM cleaned",
         "pipeline_corpus_report": _pipeline_sql(hits, best, lang_case)
@@ -3696,63 +3782,11 @@ UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
             "FROM t LEFT JOIN s USING (doc_id)"
         ),
         "text_bigram_ppl": (
-            "WITH t AS (SELECT doc_id, " + _TOKENS + " AS toks FROM documents), "
-            "tokx AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t), "
-            "postok AS (SELECT doc_id, CAST(i AS BIGINT) AS ord, "
-            "toks[CAST(i AS INT)] AS term FROM tokx), "
-            "tok AS (SELECT doc_id, term, ord FROM postok WHERE doc_id % 2 = 0), "
-            "uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term), "
-            "big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS c "
-            "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1 "
-            "GROUP BY 1, 2), "
-            "g AS (SELECT (SELECT coalesce(sum(c), 0) FROM uni) AS n, "
-            "(SELECT count(*) FROM uni) AS v), "
-            "alltok AS (SELECT doc_id, term, ord, "
-            "lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev "
-            "FROM postok), "
-            "s AS (SELECT a.doc_id, CASE "
-            "WHEN a.prev IS NULL THEN (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) "
-            "WHEN bc.c IS NOT NULL THEN CAST(bc.c AS DOUBLE) / up.c "
-            "ELSE 0.4 * (coalesce(uc.c, 0) + 1) / (g.n + g.v + 1) END AS p "
-            "FROM alltok a CROSS JOIN g "
-            "LEFT JOIN uni uc ON uc.term = a.term "
-            "LEFT JOIN uni up ON up.term = a.prev "
-            "LEFT JOIN big bc ON bc.w1 = a.prev AND bc.w2 = a.term), "
-            "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(-ln(p)) AS nll "
-            "FROM s GROUP BY doc_id), "
-            "x AS (SELECT t.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens, "
-            "coalesce(CAST(round(agg.nll / agg.n_tokens * 1e6) AS BIGINT), 0) AS xent_micro "
-            "FROM t LEFT JOIN agg USING (doc_id)) "
-            "SELECT doc_id, n_tokens, xent_micro, "
+            "WITH " + _bigram_xent_ctes()
+            + "SELECT doc_id, n_tokens, xent_micro, "
             "CASE WHEN n_tokens = 0 THEN 0 "
             "ELSE CAST(round(exp(xent_micro / 1e6) * 1e6) AS BIGINT) END AS ppl_micro "
             "FROM x"
-        ),
-        "nb_lang_scores": (
-            _nb_scores_sql() + "SELECT doc_id, label, score_micro FROM sc"
-        ),
-        "nb_lang_predict": (
-            _nb_scores_sql()
-            + ", rk AS (SELECT doc_id, label, score_micro, "
-            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn, "
-            "lead(score_micro) OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS runner_up "
-            "FROM sc) "
-            "SELECT doc_id, label AS pred_label, "
-            "score_micro - coalesce(runner_up, score_micro) AS margin_micro "
-            "FROM rk WHERE rn = 1"
-        ),
-        "dsir_doc_weights": (
-            _dsir_weights_sql() + "SELECT doc_id, n_feats, logw_micro FROM wt"
-        ),
-        "dsir_sample": (
-            _dsir_weights_sql()
-            + "SELECT doc_id, logw_micro, CAST(round((logw_micro / 1e6 + "
-            "-ln(-ln(("
-            + _hex2long_sql(
-                f"md5('{DSIR_SEED}:' || CAST(doc_id AS VARCHAR))", 13
-            )
-            + " + 0.5) / 4503599627370496.0))) * 1e6) AS BIGINT) AS key_micro "
-            f"FROM wt ORDER BY key_micro DESC, doc_id LIMIT {DSIR_SAMPLE_N}"
         ),
         "ftse_faceted_search": (
             _bm25_scored_cte(Q_BM25)

@@ -251,6 +251,35 @@ def main() -> None:
     qemb.count()
     timed("ann_int8_topk", lambda: quantized_dot_topk(qemb, qvec, 10).collect(), repeat=reps)
 
+    # round-3 session-9 curation surface: LM perplexity filter, DSIR, NB
+    from fulltextsearchengine_spark.operators.dsir import dsir_fit, dsir_log_weights
+    from fulltextsearchengine_spark.operators.nbayes import nb_scores, train_nb
+    from fulltextsearchengine_spark.operators.ngram_lm import bigram_xent, train_bigram_lm
+
+    timed(
+        "bigram_ppl_train_score",
+        lambda: bigram_xent(
+            docs_raw, train_bigram_lm(docs_raw.filter("doc_id % 2 = 0"))
+        ).count(),
+        repeat=reps,
+    )
+    timed(
+        "dsir_weights",
+        lambda: dsir_log_weights(
+            docs_raw,
+            dsir_fit(docs_raw, docs_raw.filter("lang = 'en'"), n_buckets=512),
+            n_buckets=512,
+        ).count(),
+        repeat=reps,
+    )
+    timed(
+        "nb_train_score",
+        lambda: nb_scores(
+            docs_raw, train_nb(docs_raw.filter("doc_id % 2 = 0"), "lang")
+        ).count(),
+        repeat=reps,
+    )
+
     # round-3 session-3 index-consumer surface
     from fulltextsearchengine_spark.operators.deletes import (
         exclude_docs,

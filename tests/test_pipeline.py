@@ -57,3 +57,41 @@ def test_clean_corpus_single_scan_no_python(spark):
     plan = clean_corpus(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # dedup window partitioning (+AQE variant)
+
+
+def test_curation_funnel_stages(spark):
+    from fulltextsearchengine_spark.operators.ngram_lm import bigram_xent, train_bigram_lm
+    from fulltextsearchengine_spark.operators.pipeline import curation_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (0, "xx yy"),  # fails quality (min_tokens=3)
+            (1, "el la de que y en los"),  # fails language (es)
+            (2, "the cat and the dog in a field"),
+            (3, "the cat and the dog in a field"),  # exact dup of 2
+            (4, "the quick fox is that it for with a"),
+            (5, "the zzz qqq vvv www of to in is"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(docs.filter("doc_id IN (2, 4)"))
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_in"], r["n_out"])
+        for r in curation_funnel(
+            docs, lm, min_tokens=3, min_uniq_ratio_micro=0,
+            max_punct_ratio_micro=1_000_000,
+        ).collect()
+    }
+    assert got["quality"] == (1, 6, 5)
+    assert got["language"] == (2, 5, 4)
+    assert got["exact_dedup"] == (3, 4, 3)
+    # stage 4 expectation from the (already parity-tested) xent op +
+    # the integer below-mean rule
+    x = {
+        r["doc_id"]: r["xent_micro"]
+        for r in bigram_xent(docs, lm).collect()
+        if r["doc_id"] in (2, 4, 5)
+    }
+    n4 = sum(1 for v in x.values() if v * len(x) <= sum(x.values()))
+    assert got["lm_ppl"] == (4, 3, n4)
+    assert 0 < n4 < 3  # the rule actually bites on this corpus
