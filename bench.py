@@ -367,7 +367,17 @@ def main() -> None:
         percolate_index,
     )
 
-    timed("apss_pairs_t08", lambda: sparse_cosine_pairs(idx, 0.8).count(), repeat=reps)
+    # APSS times a 1500-turn slice: the synthetic corpus's ~30-term
+    # vocabulary makes every doc share every hot term, so the Bayardo
+    # prefix filter cannot prune (cos≥0.8 pairs are GENUINELY dense —
+    # 38k true pairs in 1500 docs) and full-corpus APSS measures an
+    # O(n²)-degenerate input (248 s at 5000 docs pre-persist-fix,
+    # 2026-08-18), not the operator. Real text's Zipf tail is what the
+    # filter exploits (the prune-bites pytest asserts it fires there).
+    from fulltextsearchengine_spark.operators.index_build import build_index
+
+    apss_idx = build_index(t.filter("turn_idx < 30"))
+    timed("apss_pairs_t08", lambda: sparse_cosine_pairs(apss_idx, 0.8).count(), repeat=reps)
     gq = {f"g{i}": qq for i, qq in enumerate(BENCH_QUERIES)}
     timed("graded_eval", lambda: graded_eval(searcher, gq, k=10).collect(), repeat=reps)
     timed("ltr_features", lambda: ltr_features(searcher, gq, k=100).count(), repeat=reps)
