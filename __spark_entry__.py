@@ -176,6 +176,32 @@ def _phrase_sql(phrase: list[str], k: int) -> str:
     )
 
 
+def _window_sql(terms: list[str], slop: int, k: int) -> str:
+    """Twin of positions.unordered_window_search: per-slot running
+    MAX-FILTER last-seen over the merged position stream, span at each
+    position, min per doc, keep min_span ≤ m + slop."""
+    ts = sorted({t.lower() for t in terms})
+    m = len(ts)
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    lasts = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{i}"
+        for i, t in enumerate(ts)
+    )
+    all_seen = " AND ".join(f"l{i} IS NOT NULL" for i in range(m))
+    least = ", ".join(f"l{i}" for i in range(m))
+    return (
+        PRELUDE
+        + _POSX_CTE
+        + f", ex AS (SELECT doc_id, term, pos FROM posx WHERE term IN ({in_list}))"
+        f", sp AS (SELECT doc_id, pos, {lasts} FROM ex "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING))"
+        f", mw AS (SELECT doc_id, min(CASE WHEN {all_seen} "
+        f"THEN pos - least({least}) + 1 END) AS min_span FROM sp GROUP BY doc_id) "
+        "SELECT doc_id, CAST(min_span AS BIGINT) AS min_span FROM mw "
+        f"WHERE min_span <= {m + slop} ORDER BY min_span, doc_id LIMIT {k}"
+    )
+
+
 def _mmr_sql(k: int, pool: int, lam: float) -> str:
     """Recursive-CTE DuckDB twin of similarity.mmr_rerank: the selected
     set rides along as a list column; each recursion step re-derives the
@@ -1443,6 +1469,8 @@ def _q_cooccurrence(spark, sf_dir):
 
 
 PHRASE_Q = ["table", "hash"]
+WINDOW_Q = ["table", "hash", "scan"]
+WINDOW_SLOP = 2
 MLT_DOC, MLT_M = 42, 5
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 2000.0
@@ -1581,6 +1609,17 @@ def _q_phrase_search(spark, sf_dir):
     return phrase_search(pos, PHRASE_Q, TOPK).withColumn(
         "phrase_tf", F.col("phrase_tf").cast("long")
     )
+
+
+def _q_window_search(spark, sf_dir):
+    """Unordered-window (#uwN) proximity search over the positional
+    side-table: all query terms within m+slop positions."""
+    from fulltextsearchengine_spark.operators.positions import (
+        unordered_window_search,
+    )
+
+    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    return unordered_window_search(pos, WINDOW_Q, slop=WINDOW_SLOP, k=TOPK)
 
 
 def _q_snippets(spark, sf_dir):
@@ -2565,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_snippets": _q_snippets,
         "ftse_positional_postings": _q_positional_postings,
         "ftse_phrase_search": _q_phrase_search,
+        "ftse_window_search": _q_window_search,
         "ftse_more_like_this": _q_more_like_this,
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
@@ -3703,6 +3743,7 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
             PRELUDE + _POSX_CTE + " SELECT term, doc_id, pos FROM posx"
         ),
         "ftse_phrase_search": _phrase_sql(PHRASE_Q, TOPK),
+        "ftse_window_search": _window_sql(WINDOW_Q, WINDOW_SLOP, TOPK),
         "ftse_more_like_this": _mlt_sql(MLT_DOC, MLT_M, TOPK),
         "mixture_plan": (
             _mix_cte()

@@ -624,7 +624,14 @@ def main() -> None:
 
     shutil.rmtree(workdir, ignore_errors=True)
     cpu_post = cpu_control_mops(cpus)
-    total = round(sum(q.values()), 3)
+    # headline = sum of SECOND-valued timings only; derived per-query
+    # metrics (ms/query rates, recall ratios) ride in `queries` for
+    # round-over-round comparison but are not wall-clock and must not
+    # inflate the suite total (pre-fix they added ~540 fake "seconds")
+    _non_time = ("_ms_per_query", "_recall_at_10")
+    total = round(
+        sum(v for k, v in q.items() if not k.endswith(_non_time)), 3
+    )
     print(
         json.dumps(
             {

@@ -28,7 +28,7 @@ free (the same sorted array participates at both slots).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_col
@@ -119,5 +119,86 @@ def phrase_search(
     return (
         phrase_match_docs(pos_postings, phrase)
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def min_window_spans(pos_postings: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, min_span): smallest position window containing ALL
+    distinct query terms, for every doc that contains all of them —
+    the INQUERY/Indri unordered-window (#uwN) primitive and Clarke et
+    al.'s minimal "cover" (public IR operators). NOTE: unordered
+    semantics, not Lucene's move-based phrase slop — documented
+    deviation; for ordered adjacency use ``phrase_search``.
+
+    Plan shape: pruned ``In(term,…)`` scan of the positional
+    side-table → explode positions for the ≤|q| terms (candidate docs
+    only) → ONE doc_id-keyed sort window computing per-slot last-seen
+    positions (the classic min-window two-pointer, vectorized as m
+    running MAX-FILTER columns) → span at each merged position →
+    map-side-combined min per doc. The window and the final agg share
+    the doc_id partitioning, so this costs one exchange over
+    query-term rows only.
+    """
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("empty term list")
+    m = len(terms)
+    slot_arr = F.array(*[F.lit(t) for t in terms])
+    ex = (
+        pos_postings.filter(F.col("term").isin(terms))
+        .select(
+            "doc_id",
+            F.array_position(slot_arr, F.col("term")).alias("slot"),
+            F.explode("positions").alias("pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("slot") == i + 1, F.col("pos"))).over(w).alias(f"l{i}")
+        for i in range(m)
+    ]
+    spanned = ex.select("doc_id", "pos", *lasts)
+    all_seen = spanned["l0"].isNotNull()
+    for i in range(1, m):
+        all_seen = all_seen & spanned[f"l{i}"].isNotNull()
+    # least() skips NULLs, so gate on every slot seen first (m=1:
+    # least of one column is the column itself — least() requires ≥2)
+    earliest = (
+        F.col("l0")
+        if m == 1
+        else F.least(*[F.col(f"l{i}") for i in range(m)])
+    )
+    span = F.when(all_seen, F.col("pos") - earliest + 1)
+    return (
+        spanned.select("doc_id", span.alias("span"))
+        .groupBy("doc_id")
+        .agg(F.min("span").alias("min_span"))
+        .filter(F.col("min_span").isNotNull())
+        .select("doc_id", F.col("min_span").cast("long").alias("min_span"))
+    )
+
+
+def unordered_window_search(
+    pos_postings: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k docs whose minimal window over the distinct query terms is
+    ≤ m + slop positions (slop=0 ⇒ the terms are consecutive in SOME
+    order), tightest-window-first then doc_id asc. The proximity
+    filter-clause of the search-box language family."""
+    if slop < 0:
+        raise ValueError(f"slop must be ≥ 0, got {slop}")
+    m = len({t.lower() for t in terms})
+    return (
+        min_window_spans(pos_postings, terms)
+        .filter(F.col("min_span") <= m + slop)
+        .orderBy(F.asc("min_span"), F.asc("doc_id"))
         .limit(k)
     )

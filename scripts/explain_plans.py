@@ -515,6 +515,18 @@ def main() -> None:
         ["HashAggregate", "BroadcastHashJoin", "!BatchEvalPython"],
     ))
 
+    from fulltextsearchengine_spark.operators.positions import (
+        build_positional_postings,
+        min_window_spans,
+    )
+
+    posp = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    p = grab_plan(min_window_spans(posp, ["table", "hash", "scan"]))
+    sections.append((
+        "Min-window proximity (pruned In scan, one doc_id window, map-combined min)", p,
+        ["Window", "HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:

@@ -101,3 +101,71 @@ def test_saved_positional_layout_prunes(setup, spark, tmp_path_factory):
     assert [tuple(r) for r in got_df.collect()] == [
         tuple(r) for r in phrase_search(pos, some[:2], k=10).collect()
     ]
+
+
+def _brute_min_window(toks: list[str], terms: set[str]) -> int | None:
+    best = None
+    for i, t in enumerate(toks):
+        if t not in terms:
+            continue
+        seen = set()
+        for j in range(i, len(toks)):
+            if toks[j] in terms:
+                seen.add(toks[j])
+                if seen == terms:
+                    span = j - i + 1
+                    best = span if best is None else min(best, span)
+                    break
+    return best
+
+
+def test_min_window_spans_vs_bruteforce(setup):
+    from fulltextsearchengine_spark.operators.positions import min_window_spans
+
+    doc_tokens, pos = setup
+    for terms in (["table", "hash"], ["table", "hash", "scan"], ["merge"]):
+        tset = set(terms)
+        expected = {
+            d: _brute_min_window(toks, tset)
+            for d, toks in doc_tokens.items()
+        }
+        expected = {d: s for d, s in expected.items() if s is not None}
+        got = {
+            r["doc_id"]: r["min_span"]
+            for r in min_window_spans(pos, terms).collect()
+        }
+        assert got == expected, terms
+
+
+def test_unordered_window_search_semantics(spark):
+    from fulltextsearchengine_spark.operators.positions import (
+        build_positional_postings,
+        unordered_window_search,
+    )
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    import datetime as dt
+    import pandas as pd
+
+    rows = [
+        # doc 0: adjacent reversed ("hash table") -> span 2
+        ("c0", 0, "user", "the hash table wins", None, dt.datetime(2026, 1, 1)),
+        # doc 1: one filler between -> span 3
+        ("c0", 1, "user", "table of hash", None, dt.datetime(2026, 1, 1)),
+        # doc 2: only one term -> never matches
+        ("c0", 2, "user", "table table table", None, dt.datetime(2026, 1, 1)),
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pos = build_positional_postings(sdf)
+    # docIDs are the dense 1-based (conv_id, turn_idx) assignment
+    # slop=0: consecutive in SOME order -> the "hash table" doc only
+    assert [r["doc_id"] for r in unordered_window_search(pos, ["table", "hash"], 0).collect()] == [1]
+    # slop=1 admits the one-filler doc, tightest first
+    got = unordered_window_search(pos, ["table", "hash"], 1).collect()
+    assert [(r["doc_id"], r["min_span"]) for r in got] == [(1, 2), (2, 3)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        unordered_window_search(pos, ["table"], -1)
