@@ -88,6 +88,8 @@ def dsir_fit(
     n_buckets: int = DSIR_DEFAULT_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    raw_features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket log importance ratio λ_b (only buckets observed in
     at least one corpus — absent buckets' λ is irrelevant because no
@@ -95,17 +97,23 @@ def dsir_fit(
 
     Returns (bucket, target_c, raw_c, log_ratio) with add-one
     smoothing: λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)).
+
+    ``raw_features`` / ``target_features``: precomputed
+    ``hashed_ngram_features`` output (MUST be the same ``n_buckets``).
+    At 100 TB the raw corpus is featurized once, persisted, and shared
+    between this fit and ``dsir_log_weights`` — passing it here avoids
+    the second full-corpus scan.
     """
 
-    def corpus_counts(d: DataFrame, name: str) -> DataFrame:
-        return (
-            hashed_ngram_features(d, n_buckets, text_col, id_col)
-            .groupBy("bucket")
-            .agg(F.sum("c").alias(name))
-        )
+    def corpus_counts(
+        d: DataFrame, feats: DataFrame | None, name: str
+    ) -> DataFrame:
+        if feats is None:
+            feats = hashed_ngram_features(d, n_buckets, text_col, id_col)
+        return feats.groupBy("bucket").agg(F.sum("c").alias(name))
 
-    tc = corpus_counts(target, "target_c")
-    rc = corpus_counts(raw, "raw_c")
+    tc = corpus_counts(target, target_features, "target_c")
+    rc = corpus_counts(raw, raw_features, "raw_c")
     tot = tc.agg(F.coalesce(F.sum("target_c"), F.lit(0))).collect()[0][0]
     rot = rc.agg(F.coalesce(F.sum("raw_c"), F.lit(0))).collect()[0][0]
     joined = tc.join(rc, "bucket", "full_outer").select(
@@ -126,6 +134,7 @@ def dsir_log_weights(
     n_buckets: int = DSIR_DEFAULT_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_feats, logw_micro): log importance weight per doc.
 
@@ -136,7 +145,10 @@ def dsir_log_weights(
     bucket) and folded in via left join + coalesce rather than
     materializing absent buckets. ``log_ratios`` is bucket-count-sized:
     broadcast join, then one map-side-combined doc agg. Feature-less
-    docs get logw 0.
+    docs get logw 0. ``features``: precomputed
+    ``hashed_ngram_features`` output for ``docs`` (same ``n_buckets``)
+    — pass the persisted frame shared with ``dsir_fit`` to avoid
+    re-featurizing the corpus.
     """
     import math
 
@@ -147,7 +159,11 @@ def dsir_log_weights(
     oov_lambda = math.log(
         (int(tot_row["r"]) + n_buckets) / (int(tot_row["t"]) + n_buckets)
     )
-    feats = hashed_ngram_features(docs, n_buckets, text_col, id_col)
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(docs, n_buckets, text_col, id_col)
+    )
     lam = F.broadcast(log_ratios.select("bucket", "log_ratio"))
     agg = (
         feats.join(lam, "bucket", "left")

@@ -8,6 +8,8 @@ syntax subset — public knowledge):
 
     spark join fast              bag-of-words terms (OR-union scorer)
     "table hash"                 quoted phrase (positional side-table)
+    "table hash"~2               proximity: terms within m+2 positions,
+                                 any order (unordered window, #uwN)
     -noise  -"bad phrase"        exclusions (post-score anti-filter)
     role:user  tool:search       metadata field filters (docs columns)
     conv:conv_000042             restrict to one conversation
@@ -39,7 +41,7 @@ _FIELDS = ("role", "tool", "conv")
 # token grammar: quoted phrase | field:value | bare word; '-' prefix negates
 _PART_RE = re.compile(
     r"""(?P<neg>-)?(?:
-          "(?P<phrase>[^"]*)"
+          "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
         | (?P<field>%s):(?P<value>[^\s"]+)
         | (?P<word>[^\s"]+)
     )""" % "|".join(_FIELDS),
@@ -53,6 +55,9 @@ class ParsedQuery:
     excluded_terms: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     excluded_phrases: list[list[str]] = field(default_factory=list)
+    # (terms, slop) unordered-window clauses from "..."~N syntax
+    proximities: list[tuple[list[str], int]] = field(default_factory=list)
+    excluded_proximities: list[tuple[list[str], int]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
 
 
@@ -70,7 +75,11 @@ def parse_query(q: str) -> ParsedQuery:
             toks = _fold(m.group("phrase"))
             if not toks:
                 continue
-            (out.excluded_phrases if neg else out.phrases).append(toks)
+            if m.group("slop") is not None:
+                tgt = out.excluded_proximities if neg else out.proximities
+                tgt.append((toks, int(m.group("slop"))))
+            else:
+                (out.excluded_phrases if neg else out.phrases).append(toks)
         elif m.group("field"):
             out.filters[m.group("field")] = m.group("value").lower()
         else:
@@ -89,10 +98,18 @@ def execute_query(
     require the opt-in positional side-table (positions.py); without
     it, a phrase query raises rather than silently degrading."""
     pq = parse_query(q) if isinstance(q, str) else q
-    if (pq.phrases or pq.excluded_phrases) and pos_postings is None:
-        raise ValueError("phrase clauses need the positional side-table")
-    # phrase terms are scoring terms too (standard search-box behavior)
-    terms = pq.terms + [t for ph in pq.phrases for t in ph]
+    needs_pos = (
+        pq.phrases or pq.excluded_phrases
+        or pq.proximities or pq.excluded_proximities
+    )
+    if needs_pos and pos_postings is None:
+        raise ValueError("phrase/proximity clauses need the positional side-table")
+    # phrase/proximity terms are scoring terms too (standard search-box behavior)
+    terms = (
+        pq.terms
+        + [t for ph in pq.phrases for t in ph]
+        + [t for ph, _ in pq.proximities for t in ph]
+    )
     if not terms:
         raise ValueError("query has no positive terms")
     scores = searcher.bm25_scores(terms)
@@ -119,6 +136,25 @@ def execute_query(
         scores = scores.join(hits, "doc_id", "left_semi")
     for ph in pq.excluded_phrases:
         hits = phrase_match_docs(pos_postings, ph).select("doc_id")
+        scores = scores.join(hits, "doc_id", "left_anti")
+
+    from .positions import min_window_spans
+
+    for ph, slop in pq.proximities:
+        m_ = len(set(ph))
+        hits = (
+            min_window_spans(pos_postings, ph)
+            .filter(F.col("min_span") <= m_ + slop)
+            .select("doc_id")
+        )
+        scores = scores.join(hits, "doc_id", "left_semi")
+    for ph, slop in pq.excluded_proximities:
+        m_ = len(set(ph))
+        hits = (
+            min_window_spans(pos_postings, ph)
+            .filter(F.col("min_span") <= m_ + slop)
+            .select("doc_id")
+        )
         scores = scores.join(hits, "doc_id", "left_anti")
 
     return Searcher.topk(scores, k)

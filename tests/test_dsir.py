@@ -151,3 +151,23 @@ def test_resample_deterministic_and_matches_python(raw_df, fit):
 def test_resample_guard(raw_df, fit):
     with pytest.raises(ValueError):
         dsir_resample(raw_df, fit, n=0, n_buckets=B)
+
+
+def test_precomputed_features_identical(raw_df, fit):
+    from fulltextsearchengine_spark.operators.dsir import (
+        dsir_fit,
+        dsir_log_weights,
+        hashed_ngram_features,
+    )
+
+    feats = hashed_ngram_features(raw_df, n_buckets=B).cache()
+    fit2 = dsir_fit(
+        raw_df,
+        raw_df.filter("doc_id % 2 = 0 AND doc_id < 5"),
+        n_buckets=B,
+        raw_features=feats,
+    )
+    assert sorted(map(tuple, fit.collect())) == sorted(map(tuple, fit2.collect()))
+    w1 = dsir_log_weights(raw_df, fit, n_buckets=B).collect()
+    w2 = dsir_log_weights(raw_df, fit, n_buckets=B, features=feats).collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))

@@ -89,3 +89,35 @@ def test_execute_query_guards(setup):
         execute_query(searcher, '"table hash"', pos_postings=None)
     with pytest.raises(ValueError):
         execute_query(searcher, "-only -negative", pos_postings=posp)
+
+
+def test_parse_proximity_clause():
+    from fulltextsearchengine_spark.operators.queryparse import parse_query
+
+    pq = parse_query('spark "table hash"~2 -"bad scan"~1 role:user')
+    assert pq.terms == ["spark"]
+    assert pq.proximities == [(["table", "hash"], 2)]
+    assert pq.excluded_proximities == [(["bad", "scan"], 1)]
+    assert pq.phrases == [] and pq.excluded_phrases == []
+    # plain quoted phrase still parses as exact-adjacency
+    assert parse_query('"table hash"').phrases == [["table", "hash"]]
+
+
+def test_execute_query_proximity_clause(setup):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+    from fulltextsearchengine_spark.operators.positions import min_window_spans
+
+    golden, searcher, posp, doc_tokens = setup
+    some_doc = next(d for d, t in doc_tokens.items() if len(t) >= 3)
+    a, b = doc_tokens[some_doc][0], doc_tokens[some_doc][2]  # gap of 1
+    q = f'"{a} {b}"~1'
+    got = {r["doc_id"] for r in execute_query(searcher, q, k=10**6, pos_postings=posp).collect()}
+    # expected: BM25 candidates restricted to min-window <= m+1
+    m = len({a, b})
+    win = {
+        r["doc_id"]
+        for r in min_window_spans(posp, [a, b]).collect()
+        if r["min_span"] <= m + 1
+    }
+    full = {d for d, _ in oracle.bm25_search(golden, [a, b] if a != b else [a], golden["num_docs"])}
+    assert got == (full & win) and some_doc in got
