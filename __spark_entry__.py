@@ -1665,6 +1665,21 @@ def _nb_model(spark, sf_dir):
     return d, train_nb(d.filter("doc_id % 2 = 0"), "lang")
 
 
+SEMDEDUP_TAU = 0.4  # synthetic embeddings peak at cos≈0.51 pairwise;
+# a production τ≈0.95 would keep everything — low τ makes the
+# keep-lowest-prototypicality rule actually bite in the gate
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup verdict table over the embeddings corpus: k-means →
+    within-cluster cos≥τ pairs → components → keep the least
+    prototypical member per component."""
+    from fulltextsearchengine_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, k=KMEANS_K, tau=SEMDEDUP_TAU, n_iters=KMEANS_ITERS)
+
+
 def _q_curation_funnel(spark, sf_dir):
     """Full curation funnel at default thresholds; stage-4 LM trained
     on the even-doc slice (same model as text_bigram_ppl)."""
@@ -2620,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_scores": _q_nb_scores,
         "nb_lang_predict": _q_nb_predict,
         "pipeline_curation_funnel": _q_curation_funnel,
+        "emb_semdedup": _q_semdedup,
         "ftse_faceted_search": _q_faceted,
         "tool_usage_report": _q_tool_usage,
         "quality_percentiles": _q_quality_percentiles,
@@ -3248,12 +3264,15 @@ FROM zr CROSS JOIN hr
     )
 
 
-def _kmeans_sql(k: int, n_iters: int) -> str:
-    """Loop-unrolled Lloyd twin of clustering.kmeans_cluster: same
-    deterministic init (k smallest vec_ids), same 1e-6 centroid
-    quantization per iteration, same lowest-cluster tie-break."""
+def _kmeans_ctes(k: int, n_iters: int, recursive: bool = False) -> str:
+    """Loop-unrolled Lloyd CTE chain (twin of clustering.kmeans_fit /
+    kmeans_assign): same deterministic init (k smallest vec_ids), same
+    1e-6 centroid quantization per iteration, same lowest-cluster
+    tie-break. Ends with ``asg`` = (vec_id, cid) and final centroids
+    ``c{n_iters}`` = (cid, cv)."""
     parts = [
-        "WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ",
+        ("WITH RECURSIVE " if recursive else "WITH ")
+        + "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ",
         "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
         "list_transform(v, x -> round(x * 1e6) / 1e6) AS cv "
         f"FROM ev ORDER BY vec_id LIMIT {k})",
@@ -3276,10 +3295,49 @@ def _kmeans_sql(k: int, n_iters: int) -> str:
     parts.append(
         f", af AS (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
         "PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rn "
-        f"FROM ev e CROSS JOIN {prev} c) "
-        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af WHERE rn = 1"
+        f"FROM ev e CROSS JOIN {prev} c), "
+        "asg AS (SELECT vec_id, cid FROM af WHERE rn = 1)"
     )
     return "".join(parts)
+
+
+def _kmeans_sql(k: int, n_iters: int) -> str:
+    return (
+        _kmeans_ctes(k, n_iters)
+        + " SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM asg"
+    )
+
+
+def _semdedup_sql(k: int, n_iters: int, tau: float) -> str:
+    """Twin of semdedup.semantic_dedup: Lloyd CTE chain → centroid
+    cosine (prototypicality) → within-cluster τ-pairs → recursive-CTE
+    components → keep min (proto_micro, vec_id) per component."""
+    tau_micro = int(round(tau * 1e6))
+    return (
+        _kmeans_ctes(k, n_iters, recursive=True)
+        + f", nv AS (SELECT e.vec_id, a.cid, e.v, "
+        "sqrt(list_inner_product(e.v, e.v)) AS nm FROM ev e JOIN asg a USING (vec_id)), "
+        f"cn AS (SELECT cid, cv, sqrt(list_inner_product(cv, cv)) AS cnm FROM c{n_iters}), "
+        "proto AS (SELECT nv.vec_id, nv.cid, "
+        "CAST(round(list_inner_product(nv.v, cn.cv) / (nv.nm * cn.cnm) * 1e6) AS BIGINT) "
+        "AS proto_micro FROM nv JOIN cn USING (cid)), "
+        "prs AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM nv a JOIN nv b "
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"AND CAST(round(list_inner_product(a.v, b.v) / (a.nm * b.nm) * 1e6) AS BIGINT) >= {tau_micro}), "
+        "edges AS (SELECT va AS a, vb AS b FROM prs UNION SELECT vb, va FROM prs), "
+        "reach AS (SELECT a AS node, a AS r FROM edges "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node), "
+        "comp AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node), "
+        "lab AS (SELECT p.vec_id, p.cid, p.proto_micro, c.group_id "
+        "FROM proto p LEFT JOIN comp c ON c.node = p.vec_id), "
+        "keepers AS (SELECT group_id, vec_id AS keeper FROM "
+        "(SELECT group_id, vec_id, ROW_NUMBER() OVER (PARTITION BY group_id "
+        "ORDER BY proto_micro, vec_id) AS rn FROM lab WHERE group_id IS NOT NULL) "
+        "WHERE rn = 1) "
+        "SELECT lab.vec_id, CAST(lab.cid AS BIGINT) AS cluster, lab.proto_micro, "
+        "(lab.group_id IS NULL OR lab.vec_id = k.keeper) AS kept "
+        "FROM lab LEFT JOIN keepers k USING (group_id)"
+    )
 
 
 def _contrastive_sql(anchors: list[int], n_neg: int, m: int) -> str:
@@ -3934,6 +3992,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
         "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
         "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "emb_semdedup": _semdedup_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         "contrastive_pairs": _contrastive_sql(
             CONTRASTIVE_ANCHORS, CONTRASTIVE_NEG, CONTRASTIVE_M
         ),
