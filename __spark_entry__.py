@@ -202,6 +202,33 @@ def _window_sql(terms: list[str], slop: int, k: int) -> str:
     )
 
 
+def _ordered_window_sql(terms: list[str], slop: int, k: int) -> str:
+    """Twin of positions.ordered_window_search: greedy smallest-next
+    chained joins (greedy minimizes each link for a fixed start, hence
+    the span — same exchange argument as the Spark HOF chain)."""
+    m = len(terms)
+    ts = [t.lower() for t in terms]
+    ctes = [f"o0 AS (SELECT doc_id, pos AS p0 FROM posx WHERE term = '{ts[0]}')"]
+    for i in range(1, m):
+        prev = ", ".join(f"p{j}" for j in range(i))
+        ctes.append(
+            f"o{i} AS (SELECT o{i-1}.doc_id, {', '.join('o' + str(i-1) + '.p' + str(j) for j in range(i))}, "
+            f"min(p.pos) AS p{i} FROM o{i-1} JOIN posx p ON p.doc_id = o{i-1}.doc_id "
+            f"AND p.term = '{ts[i]}' AND p.pos > o{i-1}.p{i-1} "
+            f"GROUP BY o{i-1}.doc_id, {prev})"
+        )
+    return (
+        PRELUDE
+        + _POSX_CTE
+        + ", "
+        + ", ".join(ctes)
+        + f", mw AS (SELECT doc_id, min(p{m-1} - p0 + 1) AS min_span "
+        f"FROM o{m-1} GROUP BY doc_id) "
+        "SELECT doc_id, CAST(min_span AS BIGINT) AS min_span FROM mw "
+        f"WHERE min_span <= {m + slop} ORDER BY min_span, doc_id LIMIT {k}"
+    )
+
+
 def _mmr_sql(k: int, pool: int, lam: float) -> str:
     """Recursive-CTE DuckDB twin of similarity.mmr_rerank: the selected
     set rides along as a list column; each recursion step re-derives the
@@ -1622,6 +1649,19 @@ def _q_window_search(spark, sf_dir):
     return unordered_window_search(pos, WINDOW_Q, slop=WINDOW_SLOP, k=TOPK)
 
 
+ORDERED_SLOP = 3
+
+
+def _q_ordered_window(spark, sf_dir):
+    """Ordered-window (#odN) search: terms in order within m+slop."""
+    from fulltextsearchengine_spark.operators.positions import (
+        ordered_window_search,
+    )
+
+    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    return ordered_window_search(pos, WINDOW_Q, slop=ORDERED_SLOP, k=TOPK)
+
+
 def _q_snippets(spark, sf_dir):
     idx = _index(spark, sf_dir)
     t = transcripts_from_documents(spark, sf_dir)
@@ -2620,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_positional_postings": _q_positional_postings,
         "ftse_phrase_search": _q_phrase_search,
         "ftse_window_search": _q_window_search,
+        "ftse_ordered_window": _q_ordered_window,
         "ftse_more_like_this": _q_more_like_this,
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
@@ -3802,6 +3843,7 @@ ORDER BY pair_count DESC, term_a, term_b LIMIT {COOC_K}
         ),
         "ftse_phrase_search": _phrase_sql(PHRASE_Q, TOPK),
         "ftse_window_search": _window_sql(WINDOW_Q, WINDOW_SLOP, TOPK),
+        "ftse_ordered_window": _ordered_window_sql(WINDOW_Q, ORDERED_SLOP, TOPK),
         "ftse_more_like_this": _mlt_sql(MLT_DOC, MLT_M, TOPK),
         "mixture_plan": (
             _mix_cte()

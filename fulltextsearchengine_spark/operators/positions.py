@@ -202,3 +202,71 @@ def unordered_window_search(
         .orderBy(F.asc("min_span"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def ordered_window_spans(
+    pos_postings: DataFrame, terms: list[str]
+) -> DataFrame:
+    """(doc_id, min_span): smallest window containing the query terms
+    IN ORDER (Indri/INQUERY ordered window, #odN) — p1 < p2 < … < pm
+    with slot i holding terms[i]; span = pm − p1 + 1. Repeated query
+    terms are rejected (the greedy chain below assumes distinct
+    slots). For the any-order variant see ``min_window_spans``.
+
+    For a fixed start p1, greedily taking the SMALLEST admissible next
+    position minimizes every later position and hence the span
+    (exchange argument), so min_span = min over t1-occurrences of the
+    greedy chain — computed entirely in Catalyst array HOFs over the
+    per-slot position arrays (positions are sorted at build time): no
+    explode, no window, no extra shuffle beyond the ≤|q|-term pivot.
+    """
+    folded = [t.lower() for t in terms]
+    if not folded:
+        raise ValueError("empty term list")
+    if len(set(folded)) != len(folded):
+        raise ValueError("ordered window requires distinct terms")
+    p = pos_postings.filter(F.col("term").isin(folded))
+    piv = p.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"a{i}")
+            for i, t in enumerate(folded)
+        ]
+    )
+    for i in range(len(folded)):
+        piv = piv.filter(F.col(f"a{i}").isNotNull())
+
+    def _after(c):
+        # NB: must return a ONE-arg lambda — a second python parameter
+        # (even a default) makes pyspark pass the array INDEX into it
+        return lambda x: x > c
+
+    def chain_span(start):
+        cur = start
+        for i in range(1, len(folded)):
+            cur = F.array_min(F.filter(F.col(f"a{i}"), _after(cur)))
+        return cur - start + 1  # null-propagates if any link missing
+
+    spans = F.transform(F.col("a0"), lambda s: chain_span(s))
+    return piv.select(
+        "doc_id", F.array_min(spans).cast("long").alias("min_span")
+    ).filter(F.col("min_span").isNotNull())
+
+
+def ordered_window_search(
+    pos_postings: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k docs whose minimal ORDERED window is ≤ m + slop
+    (slop=0 ⇔ exact-adjacency phrase match as a boolean), tightest
+    first then doc_id asc."""
+    if slop < 0:
+        raise ValueError(f"slop must be ≥ 0, got {slop}")
+    m = len(terms)
+    return (
+        ordered_window_spans(pos_postings, terms)
+        .filter(F.col("min_span") <= m + slop)
+        .orderBy(F.asc("min_span"), F.asc("doc_id"))
+        .limit(k)
+    )

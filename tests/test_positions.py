@@ -169,3 +169,71 @@ def test_unordered_window_search_semantics(spark):
 
     with _pt.raises(ValueError):
         unordered_window_search(pos, ["table"], -1)
+
+
+def test_ordered_window_spans_vs_bruteforce(setup):
+    from fulltextsearchengine_spark.operators.positions import ordered_window_spans
+
+    doc_tokens, pos = setup
+    for terms in (["table", "hash"], ["hash", "table"], ["table", "hash", "scan"]):
+        expected = {}
+        for d, toks in doc_tokens.items():
+            # greedy-from-each-start is NOT always globally minimal for
+            # the brute force; use exhaustive minimal ordered chain
+            best = None
+            import itertools
+            poss = [[i + 1 for i, t in enumerate(toks) if t == q] for q in terms]
+            if all(poss):
+                def rec(slot, prev):
+                    if slot == len(terms):
+                        return prev
+                    for p in poss[slot]:
+                        if p > prev:
+                            return rec(slot + 1, p)
+                    return None
+                for start in poss[0]:
+                    end = rec(1, start)
+                    if end is not None:
+                        span = end - start + 1
+                        best = span if best is None else min(best, span)
+            if best is not None:
+                expected[d] = best
+        got = {
+            r["doc_id"]: r["min_span"]
+            for r in ordered_window_spans(pos, terms).collect()
+        }
+        assert got == expected, terms
+
+
+def test_ordered_window_guards(setup):
+    from fulltextsearchengine_spark.operators.positions import (
+        ordered_window_search,
+        ordered_window_spans,
+    )
+
+    _, pos = setup
+    with pytest.raises(ValueError):
+        ordered_window_spans(pos, ["table", "table"])
+    with pytest.raises(ValueError):
+        ordered_window_search(pos, ["table", "hash"], -1)
+
+
+def test_ordered_window_crafted_backreference(spark):
+    # doc where the globally-smallest continuation PRECEDES the start:
+    # a correct ordered chain must skip it ("hash x table hash")
+    from fulltextsearchengine_spark.operators.positions import (
+        build_positional_postings,
+        ordered_window_spans,
+    )
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    import datetime as dt
+    import pandas as pd
+
+    rows = [("c0", 0, "user", "hash x table hash", None, dt.datetime(2026, 1, 1))]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pos = build_positional_postings(sdf)
+    got = ordered_window_spans(pos, ["table", "hash"]).collect()
+    assert [(r["doc_id"], r["min_span"]) for r in got] == [(1, 2)]
