@@ -1747,6 +1747,18 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split over LM cross-entropy (value-
+    threshold terciles — integer-exact, no percentile interpolation)."""
+    from fulltextsearchengine_spark.operators.ngram_lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    d = _docs_raw(spark, sf_dir)
+    return perplexity_buckets(d, train_bigram_lm(d.filter("doc_id % 2 = 0")))
+
+
 DSIR_BUCKETS = 512
 DSIR_SEED = 7
 DSIR_SAMPLE_N = 50
@@ -2671,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment,
         "text_unigram_xent": _q_unigram_xent,
         "text_bigram_ppl": _q_bigram_ppl,
+        "text_ppl_buckets": _q_ppl_buckets,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -3928,6 +3941,47 @@ UNION ALL SELECT 'max_conv_turns', CAST(max(n) AS BIGINT)
             "CASE WHEN n_tokens = 0 THEN 0 "
             "ELSE CAST(round(exp(xent_micro / 1e6) * 1e6) AS BIGINT) END AS ppl_micro "
             "FROM x"
+        ),
+        "text_ppl_buckets": (
+            "WITH " + _bigram_xent_ctes()
+            + ", hist AS (SELECT xent_micro, count(*) AS c FROM x GROUP BY xent_micro), "
+            "cumh AS (SELECT xent_micro, sum(c) OVER (ORDER BY xent_micro "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM hist), "
+            "tot AS (SELECT count(*) AS n FROM x), "
+            "b1 AS (SELECT min(xent_micro) AS v FROM cumh CROSS JOIN tot "
+            "WHERE cum >= (1 * n + 2) // 3), "
+            "b2 AS (SELECT min(xent_micro) AS v FROM cumh CROSS JOIN tot "
+            "WHERE cum >= (2 * n + 2) // 3) "
+            "SELECT x.doc_id, x.xent_micro, CAST(1 "
+            "+ CASE WHEN x.xent_micro > b1.v THEN 1 ELSE 0 END "
+            "+ CASE WHEN x.xent_micro > b2.v THEN 1 ELSE 0 END AS BIGINT) AS bucket "
+            "FROM x CROSS JOIN b1 CROSS JOIN b2"
+        ),
+        "nb_lang_scores": (
+            _nb_scores_sql() + "SELECT doc_id, label, score_micro FROM sc"
+        ),
+        "nb_lang_predict": (
+            _nb_scores_sql()
+            + ", rk AS (SELECT doc_id, label, score_micro, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn, "
+            "lead(score_micro) OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS runner_up "
+            "FROM sc) "
+            "SELECT doc_id, label AS pred_label, "
+            "score_micro - coalesce(runner_up, score_micro) AS margin_micro "
+            "FROM rk WHERE rn = 1"
+        ),
+        "dsir_doc_weights": (
+            _dsir_weights_sql() + "SELECT doc_id, n_feats, logw_micro FROM wt"
+        ),
+        "dsir_sample": (
+            _dsir_weights_sql()
+            + "SELECT doc_id, logw_micro, CAST(round((logw_micro / 1e6 + "
+            "-ln(-ln(("
+            + _hex2long_sql(
+                f"md5('{DSIR_SEED}:' || CAST(doc_id AS VARCHAR))", 13
+            )
+            + " + 0.5) / 4503599627370496.0))) * 1e6) AS BIGINT) AS key_micro "
+            f"FROM wt ORDER BY key_micro DESC, doc_id LIMIT {DSIR_SAMPLE_N}"
         ),
         "ftse_faceted_search": (
             _bm25_scored_cte(Q_BM25)

@@ -209,3 +209,46 @@ def perplexity_filter(
     x = bigram_xent(docs, lm, text_col=text_col, id_col=id_col, alpha=alpha)
     keep = x.filter(F.col("xent_micro") <= max_xent_micro).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: BigramLM,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = STUPID_BACKOFF_ALPHA,
+) -> DataFrame:
+    """(id_col, xent_micro, bucket): CCNet's head/middle/tail split —
+    bucket 1 = lowest cross-entropy (head, most target-like), bucket
+    ``n_buckets`` = tail. Buckets are VALUE-threshold based: boundary_k
+    = smallest xent_micro whose cumulative count reaches ⌈k·n/m⌉, and
+    bucket(x) = 1 + #{k : x > boundary_k}; ties share a bucket, so the
+    split is a pure function of the value — deterministic across
+    engines and stable under repartitioning.
+
+    Scale shape: no global sort/window. xent_micro is integer-valued,
+    so the distribution reduces to a value histogram (one map-side
+    combined agg, at most |distinct xent| rows — bounded and tiny),
+    the boundaries fold on the driver, and bucketing is a map. At
+    100 TB this is two jobs over the scored frame; persist
+    ``bigram_xent`` output if also consumed elsewhere."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2, got {n_buckets}")
+    x = bigram_xent(docs, lm, text_col=text_col, id_col=id_col, alpha=alpha)
+    hist = sorted(
+        (int(r["xent_micro"]), int(r["c"]))
+        for r in x.groupBy("xent_micro").agg(F.count("*").alias("c")).collect()
+    )
+    n = sum(c for _, c in hist)
+    boundaries = []
+    cum, k = 0, 1
+    for v, c in hist:
+        cum += c
+        while k < n_buckets and cum >= -(-k * n // n_buckets):  # ceil
+            boundaries.append(v)
+            k += 1
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + (F.col("xent_micro") > F.lit(b)).cast("int")
+    return x.select(id_col, "xent_micro", bucket.cast("long").alias("bucket"))

@@ -122,3 +122,33 @@ def test_perplexity_filter_threshold(corpus, lm):
     kept = {r["doc_id"] for r in perplexity_filter(corpus, lm, cut).collect()}
     assert kept == {i for i, v in x.items() if v <= cut}
     assert 6 in kept  # token-less doc scores 0 and passes (documented)
+
+
+def test_perplexity_buckets(corpus, lm):
+    from fulltextsearchengine_spark.operators.ngram_lm import perplexity_buckets
+
+    x = {r["doc_id"]: r["xent_micro"] for r in bigram_xent(corpus, lm).collect()}
+    for m in (2, 3):
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(corpus, lm, n_buckets=m).collect()
+        }
+        # python twin: value-threshold boundaries at ceil(k*n/m) cum counts
+        vals = sorted(x.values())
+        n = len(vals)
+        bounds = []
+        for k in range(1, m):
+            need = -(-k * n // m)
+            bounds.append(vals[need - 1])
+        expected = {
+            d: 1 + sum(v > b for b in bounds) for d, v in x.items()
+        }
+        assert got == expected, m
+        assert set(got.values()) <= set(range(1, m + 1))
+        # head bucket holds the lowest-xent doc, tail the highest
+        lo = min(x, key=lambda d: (x[d], d)); hi = max(x, key=lambda d: (x[d], d))
+        assert got[lo] == 1 and got[hi] == m
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        perplexity_buckets(corpus, lm, n_buckets=1)
