@@ -1747,6 +1747,14 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Per-source subword fertility / chars-per-unit under the frozen
+    CONFIG merge list."""
+    from fulltextsearchengine_spark.operators.bpe import bpe_fertility_report
+
+    return bpe_fertility_report(_docs_raw(spark, sf_dir), BPE_CONFIG_MERGES)
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split over LM cross-entropy (value-
     threshold terciles — integer-exact, no percentile interpolation)."""
@@ -1978,6 +1986,39 @@ SELECT word, units_text,
        CAST(len(string_split(units_text, ' ')) AS BIGINT) AS n_units
 FROM benc
 """
+    )
+
+
+def _bpe_fertility_sql(merges: list[tuple[str, str]]) -> str:
+    """Twin of bpe.bpe_fertility_report: distinct-word encode via the
+    chained list_reduce merge expr, tf-weighted per-source sums,
+    integer-exact micro ratios."""
+    seq = _BPE_INIT_SEQ
+    for lhs, rhs in merges:
+        seq = _bpe_apply_expr(seq, f"'{lhs}'", f"'{rhs}'")
+    return (
+        f"WITH tokd AS (SELECT doc_id, source, {_TOKENS} AS toks FROM documents), "
+        "tok AS (SELECT source, unnest(toks) AS term FROM tokd), "
+        "tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2), "
+        "dw AS (SELECT DISTINCT term FROM tf), "
+        f"enc AS (SELECT term AS word, {seq} AS units_text FROM dw), "
+        "nu AS (SELECT word AS term, len(string_split(units_text, ' ')) AS n_units FROM enc), "
+        "dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), "
+        "agg AS (SELECT tf.source, CAST(sum(c) AS BIGINT) AS total_words, "
+        "CAST(sum(c * n_units) AS BIGINT) AS total_units, "
+        "CAST(sum(c * length(term)) AS BIGINT) AS total_token_chars "
+        "FROM tf JOIN nu USING (term) GROUP BY tf.source) "
+        "SELECT dc.source, dc.n_docs, "
+        "coalesce(total_words, 0) AS total_words, "
+        "coalesce(total_units, 0) AS total_units, "
+        "coalesce(total_token_chars, 0) AS total_token_chars, "
+        "CASE WHEN coalesce(total_words, 0) > 0 THEN "
+        "CAST(round(total_units / CAST(total_words AS DOUBLE) * 1e6) AS BIGINT) "
+        "ELSE 0 END AS fertility_micro, "
+        "CASE WHEN coalesce(total_units, 0) > 0 THEN "
+        "CAST(round(total_token_chars / CAST(total_units AS DOUBLE) * 1e6) AS BIGINT) "
+        "ELSE 0 END AS chars_per_unit_micro "
+        "FROM dc LEFT JOIN agg USING (source)"
     )
 
 
@@ -2684,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_xent": _q_unigram_xent,
         "text_bigram_ppl": _q_bigram_ppl,
         "text_ppl_buckets": _q_ppl_buckets,
+        "bpe_fertility": _q_bpe_fertility,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -4032,6 +4074,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_percolate": _percolate_sql(),
         "bpe_learn_merges": _bpe_learn_sql(BPE_N_MERGES, BPE_MAX_WORDS),
         "bpe_encode_words": _bpe_encode_sql(BPE_CONFIG_MERGES),
+        "bpe_fertility": _bpe_fertility_sql(BPE_CONFIG_MERGES),
         "ftse_ltr_features": _ltr_sql(GRADED_QUERIES, LTR_K, LTR_NOW),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),

@@ -156,3 +156,56 @@ def bpe_encode(
     return df.withColumn("units", _enc(F.col(text_col))).withColumn(
         "n_units", F.size("units")
     )
+
+
+def bpe_fertility_report(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer-quality report under a frozen merge list —
+    the standard BPE evaluation pair:
+
+    - fertility  = subword units per word (lower = the vocabulary fits
+      the group better; the metric multilingual-tokenizer papers report
+      per language),
+    - chars/unit = token-stream chars per subword unit (higher = more
+      compression).
+
+    Returns (group_col, n_docs, total_words, total_units,
+    total_token_chars, fertility_micro, chars_per_unit_micro).
+    Char counts are over the TOKEN stream (Σ len(token)), not raw text
+    — whitespace/punct don't reach the tokenizer, and both engines see
+    identical integers. One Arrow-batched encode pass (word-memoized)
+    + one map-side-combined group agg; ratios divide exact integer
+    sums, so micro values hash identically across engines."""
+    enc = bpe_encode(df, merges, text_col=text_col)
+    toks = tokens_col(F.col(text_col))
+    g = enc.select(
+        F.col(group_col),
+        F.col("n_units"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("n_token_chars"),
+    )
+    agg = g.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_units").cast("long").alias("total_units"),
+        F.sum("n_token_chars").cast("long").alias("total_token_chars"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_words",
+        "total_units",
+        "total_token_chars",
+        F.when(F.col("total_words") > 0,
+               F.round(F.col("total_units") / F.col("total_words") * 1e6))
+        .otherwise(F.lit(0)).cast("long").alias("fertility_micro"),
+        F.when(F.col("total_units") > 0,
+               F.round(F.col("total_token_chars") / F.col("total_units") * 1e6))
+        .otherwise(F.lit(0)).cast("long").alias("chars_per_unit_micro"),
+    )

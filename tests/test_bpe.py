@@ -96,3 +96,45 @@ def test_bpe_encode_spark_matches_py(corpus):
 def test_n_merges_guard(corpus):
     with pytest.raises(ValueError):
         learn_bpe(bpe_word_counts(corpus), 0)
+
+
+def test_fertility_report_matches_python(spark):
+    from fulltextsearchengine_spark.operators.bpe import (
+        bpe_fertility_report,
+        encode_word_py,
+    )
+    from fulltextsearchengine_spark.functions.tokenize import tokenize_texts
+    import pandas as pd
+
+    merges = [("e", "r"), ("er", "</w>"), ("s", "t")]
+    docs = [
+        (0, "srcA", "the river era ster"),
+        (1, "srcA", "er er er"),
+        (2, "srcB", "completely different words"),
+        (3, "srcB", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["total_words"], r["total_units"],
+            r["total_token_chars"], r["fertility_micro"], r["chars_per_unit_micro"],
+        )
+        for r in bpe_fertility_report(df, merges).collect()
+    }
+    exp = {}
+    for src in ("srcA", "srcB"):
+        words = units = chars = nd = 0
+        for _, s, t in docs:
+            if s != src:
+                continue
+            nd += 1
+            toks = tokenize_texts(pd.Series([t])).iloc[0]
+            words += len(toks)
+            chars += sum(len(t_) for t_ in toks)
+            units += sum(len(encode_word_py(t_, merges)) for t_ in toks)
+        fert = round(units / words * 1e6) if words else 0
+        cpu_ = round(chars / units * 1e6) if units else 0
+        exp[src] = (nd, words, units, chars, fert, cpu_)
+    assert got == exp
+    # the merge-heavy srcA must compress better than srcB
+    assert got["srcA"][4] < got["srcB"][4]
