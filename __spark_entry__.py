@@ -1747,6 +1747,16 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_conv_health(spark, sf_dir):
+    """Per-conversation structural QA: role/tool run-length degeneracy
+    signals + system-start check."""
+    from fulltextsearchengine_spark.operators.conversations import (
+        conv_health_report,
+    )
+
+    return conv_health_report(transcripts_from_documents(spark, sf_dir))
+
+
 def _q_bpe_fertility(spark, sf_dir):
     """Per-source subword fertility / chars-per-unit under the frozen
     CONFIG merge list."""
@@ -2726,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_ppl": _q_bigram_ppl,
         "text_ppl_buckets": _q_ppl_buckets,
         "bpe_fertility": _q_bpe_fertility,
+        "conv_health": _q_conv_health,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -4075,6 +4086,35 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "bpe_learn_merges": _bpe_learn_sql(BPE_N_MERGES, BPE_MAX_WORDS),
         "bpe_encode_words": _bpe_encode_sql(BPE_CONFIG_MERGES),
         "bpe_fertility": _bpe_fertility_sql(BPE_CONFIG_MERGES),
+        "conv_health": (
+            f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}), "
+            "m AS (SELECT conv_id, turn_idx, role, tool, "
+            "CASE WHEN lag(role) OVER w IS NULL OR role <> lag(role) OVER w "
+            "THEN 1 ELSE 0 END AS role_change, "
+            "CASE WHEN tool IS NOT NULL AND (lag(tool) OVER w IS NULL "
+            "OR tool <> lag(tool) OVER w) THEN 1 ELSE 0 END AS tool_start, "
+            "CASE WHEN turn_idx = 0 AND role = 'system' THEN 1 ELSE 0 END AS sys_start "
+            "FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), "
+            "r AS (SELECT *, sum(role_change) OVER w2 AS rrid, "
+            "sum(tool_start) OVER w2 AS trid FROM m "
+            "WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)), "
+            "rr AS (SELECT conv_id, max(c) AS max_role FROM "
+            "(SELECT conv_id, rrid, count(*) AS c FROM r GROUP BY 1, 2) GROUP BY 1), "
+            "tr AS (SELECT conv_id, max(c) AS max_tool FROM "
+            "(SELECT conv_id, trid, count(*) AS c FROM r WHERE tool IS NOT NULL "
+            "GROUP BY 1, 2) GROUP BY 1), "
+            "b AS (SELECT conv_id, count(*) AS n_turns, "
+            "count(*) - sum(role_change) AS rep, "
+            "sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS ntool, "
+            "max(sys_start) AS sys FROM r GROUP BY 1) "
+            "SELECT b.conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+            "CAST(rep AS BIGINT) AS n_same_role_repeats, "
+            "CAST(max_role AS BIGINT) AS max_same_role_run, "
+            "CAST(ntool AS BIGINT) AS n_tool_turns, "
+            "CAST(coalesce(max_tool, 0) AS BIGINT) AS max_tool_run, "
+            "CAST(sys AS BIGINT) AS starts_with_system "
+            "FROM b JOIN rr USING (conv_id) LEFT JOIN tr USING (conv_id)"
+        ),
         "ftse_ltr_features": _ltr_sql(GRADED_QUERIES, LTR_K, LTR_NOW),
         "ann_mmr_rerank": _mmr_sql(10, 50, 0.6),
         "ftse_bm25f_topk": _bm25f_sql(Q_BM25F, TOPK),

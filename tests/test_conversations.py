@@ -65,3 +65,38 @@ def test_context_windows_single_exchange_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_conv_health_report(spark):
+    import datetime as dt
+    import pandas as pd
+
+    from fulltextsearchengine_spark.operators.conversations import conv_health_report
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        # healthy: system, user, assistant(tool), user
+        ("h", 0, "system", "s", None, ts),
+        ("h", 1, "user", "u", None, ts),
+        ("h", 2, "assistant", "a", "search", ts),
+        ("h", 3, "user", "u2", None, ts),
+        # stuck agent: assistant loops same tool 3x, no system start
+        ("bad", 0, "user", "q", None, ts),
+        ("bad", 1, "assistant", "a1", "search", ts),
+        ("bad", 2, "assistant", "a2", "search", ts),
+        ("bad", 3, "assistant", "a3", "search", ts),
+        ("bad", 4, "assistant", "a4", "calc", ts),
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    got = {r["conv_id"]: r.asDict() for r in conv_health_report(sdf).collect()}
+    h = got["h"]
+    assert (h["n_turns"], h["n_same_role_repeats"], h["max_same_role_run"]) == (4, 0, 1)
+    assert (h["n_tool_turns"], h["max_tool_run"], h["starts_with_system"]) == (1, 1, 1)
+    b = got["bad"]
+    assert (b["n_turns"], b["n_same_role_repeats"], b["max_same_role_run"]) == (5, 3, 4)
+    # same tool 3x consecutively, then a different tool -> runs 3 and 1
+    assert (b["n_tool_turns"], b["max_tool_run"], b["starts_with_system"]) == (4, 3, 0)
