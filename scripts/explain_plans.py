@@ -527,6 +527,24 @@ def main() -> None:
         ["Window", "HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    from fulltextsearchengine_spark.operators.positions import ordered_window_spans
+
+    p = grab_plan(ordered_window_spans(posp, ["table", "hash", "scan"]))
+    sections.append((
+        # NB: the plan includes the inline positional-table BUILD, whose
+        # posexplode is a Generate — the query side adds none on top
+        "Ordered-window proximity (pruned In scan, per-slot pivot, HOF chain)", p,
+        ["HashAggregate", "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.conversations import conv_health_report
+
+    p = grab_plan(conv_health_report(transcripts_from_documents(spark, sf_dir)))
+    sections.append((
+        "Conversation health (one conv_id exchange for windows + aggs)", p,
+        ["Window", "HashAggregate", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
