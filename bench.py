@@ -279,6 +279,24 @@ def main() -> None:
         ).count(),
         repeat=reps,
     )
+    from fulltextsearchengine_spark.operators.bpe import bpe_fertility_report
+    from fulltextsearchengine_spark.operators.conversations import conv_health_report
+    from fulltextsearchengine_spark.operators.semdedup import semantic_dedup
+
+    timed("conv_health", lambda: conv_health_report(t).count(), repeat=reps)
+    timed(
+        "bpe_fertility",
+        lambda: bpe_fertility_report(
+            docs_raw, [("e", "r"), ("er", "</w>"), ("s", "t"), ("o", "w")]
+        ).count(),
+        repeat=reps,
+    )
+    # k=16 holds clusters near-constant size (the SemDeDup cost contract)
+    timed(
+        "semdedup_verdicts",
+        lambda: semantic_dedup(emb, k=16, tau=0.4).count(),
+        repeat=reps,
+    )
 
     # round-3 session-3 index-consumer surface
     from fulltextsearchengine_spark.operators.deletes import (
@@ -321,6 +339,27 @@ def main() -> None:
         lambda: [
             phrase_search(posp, ph, 10).collect()
             for ph in (["table", "hash"], ["merge", "group"], ["stream", "table", "hash"])
+        ],
+        repeat=reps,
+    )
+    from fulltextsearchengine_spark.operators.positions import (
+        ordered_window_search,
+        unordered_window_search,
+    )
+
+    timed(
+        "window_search_uw",
+        lambda: [
+            unordered_window_search(posp, qq, slop=2, k=10).collect()
+            for qq in (["table", "hash"], ["stream", "table", "hash"])
+        ],
+        repeat=reps,
+    )
+    timed(
+        "window_search_od",
+        lambda: [
+            ordered_window_search(posp, qq, slop=3, k=10).collect()
+            for qq in (["table", "hash"], ["stream", "table", "hash"])
         ],
         repeat=reps,
     )
