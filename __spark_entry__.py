@@ -1747,6 +1747,20 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_index_diff(spark, sf_dir):
+    """Dictionary diff between the first-250-docs sub-index and the
+    full index — the reindex/upsert audit."""
+    from fulltextsearchengine_spark.operators.fsck import index_term_diff
+
+    idx = _index(spark, sf_dir)
+    terms_a = (
+        idx.postings.filter(F.col("doc_id") <= 250)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+    )
+    return index_term_diff(terms_a, idx.terms)
+
+
 def _q_conv_health(spark, sf_dir):
     """Per-conversation structural QA: role/tool run-length degeneracy
     signals + system-start check."""
@@ -2737,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_buckets": _q_ppl_buckets,
         "bpe_fertility": _q_bpe_fertility,
         "conv_health": _q_conv_health,
+        "ftse_index_diff": _q_index_diff,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -4086,6 +4101,22 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "bpe_learn_merges": _bpe_learn_sql(BPE_N_MERGES, BPE_MAX_WORDS),
         "bpe_encode_words": _bpe_encode_sql(BPE_CONFIG_MERGES),
         "bpe_fertility": _bpe_fertility_sql(BPE_CONFIG_MERGES),
+        "ftse_index_diff": (
+            PRELUDE
+            + ", ta AS (SELECT term, count(*) AS df_a, CAST(sum(tf) AS BIGINT) AS cf_a "
+            "FROM postings WHERE doc_id <= 250 GROUP BY term), "
+            "j AS (SELECT coalesce(ta.term, terms.term) AS term, "
+            "coalesce(df_a, 0) AS df_a, coalesce(cf_a, 0) AS cf_a, "
+            "coalesce(terms.df, 0) AS df_b, coalesce(terms.cf, 0) AS cf_b, "
+            "CASE WHEN ta.term IS NULL THEN 'added' "
+            "WHEN terms.term IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM ta FULL OUTER JOIN terms ON ta.term = terms.term) "
+            "SELECT term, CAST(df_a AS BIGINT) AS df_a, CAST(cf_a AS BIGINT) AS cf_a, "
+            "CAST(df_b AS BIGINT) AS df_b, CAST(cf_b AS BIGINT) AS cf_b, status, "
+            "CAST(df_b - df_a AS BIGINT) AS df_delta, "
+            "CAST(cf_b - cf_a AS BIGINT) AS cf_delta "
+            "FROM j WHERE df_b - df_a <> 0 OR cf_b - cf_a <> 0"
+        ),
         "conv_health": (
             f"WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}), "
             "m AS (SELECT conv_id, turn_idx, role, tool, "

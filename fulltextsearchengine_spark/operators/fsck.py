@@ -108,3 +108,40 @@ def index_check(index: InvertedIndex) -> DataFrame:
         ("stats_fields", int(stats_bad)),
     ]
     return spark.createDataFrame(rows, schema="check string, violations long")
+
+
+def index_term_diff(terms_a: DataFrame, terms_b: DataFrame) -> DataFrame:
+    """Dictionary-level diff between two index versions — the ops
+    audit for reindex / upsert / compaction / purge ("what did this
+    rebuild change?"): (term, df_a, cf_a, df_b, cf_b, df_delta,
+    cf_delta, status ∈ {added, removed, changed}), unchanged terms
+    suppressed so the report is change-sized, not vocabulary-sized.
+
+    ``added``/``removed`` are relative to B (the new version): a term
+    only in B was added. One full-outer join of two vocabulary-sized
+    tables — broadcast/AQE territory, never touches postings."""
+    a = terms_a.select(
+        "term", F.col("df").alias("df_a"), F.col("cf").alias("cf_a")
+    )
+    b = terms_b.select(
+        "term", F.col("df").alias("df_b"), F.col("cf").alias("cf_b")
+    )
+    j = a.join(b, "term", "full_outer")
+    status = (
+        F.when(F.col("df_a").isNull(), F.lit("added"))
+        .when(F.col("df_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            "term",
+            F.coalesce("df_a", F.lit(0)).cast("long").alias("df_a"),
+            F.coalesce("cf_a", F.lit(0)).cast("long").alias("cf_a"),
+            F.coalesce("df_b", F.lit(0)).cast("long").alias("df_b"),
+            F.coalesce("cf_b", F.lit(0)).cast("long").alias("cf_b"),
+            status.alias("status"),
+        )
+        .withColumn("df_delta", F.col("df_b") - F.col("df_a"))
+        .withColumn("cf_delta", F.col("cf_b") - F.col("cf_a"))
+        .filter((F.col("df_delta") != 0) | (F.col("cf_delta") != 0))
+    )

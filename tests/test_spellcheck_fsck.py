@@ -153,3 +153,21 @@ def test_fsck_detects_corruptions(setup):
     duped = dataclasses.replace(idx, docs=idx.docs.union(idx.docs.filter("doc_id = 7")))
     r = {x["check"]: x["violations"] for x in index_check(duped).collect()}
     assert r["docid_dups"] == 1
+
+
+def test_index_term_diff(spark):
+    from fulltextsearchengine_spark.operators.fsck import index_term_diff
+
+    a = spark.createDataFrame(
+        [("kept", 3, 5), ("gone", 2, 2), ("grew", 1, 1)],
+        "term string, df long, cf long",
+    )
+    b = spark.createDataFrame(
+        [("kept", 3, 5), ("grew", 4, 9), ("new", 1, 2)],
+        "term string, df long, cf long",
+    )
+    got = {r["term"]: r.asDict() for r in index_term_diff(a, b).collect()}
+    assert set(got) == {"gone", "grew", "new"}  # unchanged suppressed
+    assert got["gone"]["status"] == "removed" and got["gone"]["df_delta"] == -2
+    assert got["new"]["status"] == "added" and got["new"]["cf_delta"] == 2
+    assert got["grew"]["status"] == "changed" and got["grew"]["df_delta"] == 3
