@@ -1747,6 +1747,19 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText per-rule verdict table (booleans only — the
+    underlying micro signals are gated by text_quality)."""
+    from fulltextsearchengine_spark.functions.textstats import gopher_rules_report
+
+    rep = gopher_rules_report(_docs_raw(spark, sf_dir))
+    return rep.select(
+        "doc_id",
+        *[c for c in rep.columns if c.startswith("rule_")],
+        "gopher_keep",
+    )
+
+
 def _q_index_diff(spark, sf_dir):
     """Dictionary diff between the first-250-docs sub-index and the
     full index — the reindex/upsert audit."""
@@ -2752,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "conv_health": _q_conv_health,
         "ftse_index_diff": _q_index_diff,
+        "text_gopher_rules": _q_gopher_rules,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -3671,6 +3685,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN length(text) > 0 THEN round(CAST(length(text) - alnum AS DOUBLE) / length(text) * 1e6) ELSE 0 END AS BIGINT) AS punct_ratio_micro, "
             f"CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(len(list_filter(tokens, t -> list_contains({sw['en']}, t))) AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS stopword_ratio_micro "
             "FROM t"
+        ),
+        "text_gopher_rules": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') AS text, " + _TOKENS + " AS tokens, "
+            "length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]', '', 'g')) AS alnum FROM documents), "
+            "sig AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+            "CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(alnum AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS mlen, "
+            "CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS uniq, "
+            "CAST(CASE WHEN length(text) > 0 THEN round(CAST(length(text) - alnum AS DOUBLE) / length(text) * 1e6) ELSE 0 END AS BIGINT) AS punct, "
+            f"CAST(CASE WHEN len(tokens) > 0 THEN round(CAST(len(list_filter(tokens, t -> list_contains({sw['en']}, t))) AS DOUBLE) / len(tokens) * 1e6) ELSE 0 END AS BIGINT) AS stop "
+            "FROM t) "
+            "SELECT doc_id, "
+            "(n_tokens >= 50 AND n_tokens <= 100000) AS rule_word_count, "
+            "(mlen >= 3000000 AND mlen <= 10000000) AS rule_mean_word_len, "
+            "(punct <= 300000) AS rule_symbol_ratio, "
+            "(stop >= 20000) AS rule_stopwords, "
+            "(uniq >= 200000) AS rule_uniq_tokens, "
+            "((n_tokens >= 50 AND n_tokens <= 100000) AND (mlen >= 3000000 AND mlen <= 10000000) "
+            "AND (punct <= 300000) AND (stop >= 20000) AND (uniq >= 200000)) AS gopher_keep "
+            "FROM sig"
         ),
         "text_lang_id": (
             "WITH t AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents), "

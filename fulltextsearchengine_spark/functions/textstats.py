@@ -162,3 +162,55 @@ def unigram_xent(
             ).alias("xent_micro"),
         )
     )
+
+
+# Gopher / MassiveText document-quality rules (Rae et al. 2021, Table
+# A1 — public), expressed over the micro-int signal columns so every
+# boundary is bit-identical across engines. The word-count band is
+# parameterized: the paper's 50..100k is tuned for web pages; transcript
+# turns run shorter.
+GOPHER_DEFAULTS = dict(
+    min_tokens=50,
+    max_tokens=100_000,
+    min_mean_token_len_micro=3_000_000,
+    max_mean_token_len_micro=10_000_000,
+    max_punct_ratio_micro=300_000,  # paper: ≤20% symbol-ish mass; punct here
+    min_stopword_ratio_micro=20_000,  # ≥2% stopword mass ≈ "has ≥2 stop words"
+    min_uniq_ratio_micro=200_000,  # dedup-adjacent degenerate-repeat guard
+)
+
+
+def gopher_rules_report(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Per-document Gopher-rule verdicts: one boolean column per rule
+    (named ``rule_*``) plus ``gopher_keep`` = AND of all — emitted as a
+    REPORT rather than a silent filter so a pipeline can count which
+    rule kills what (the per-rule attrition table the paper publishes).
+    Thresholds override via kwargs; all comparisons are micro-int."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    sig = with_quality(df, text_col=text_col)
+    rules = {
+        "rule_word_count": (F.col("n_tokens") >= p["min_tokens"])
+        & (F.col("n_tokens") <= p["max_tokens"]),
+        "rule_mean_word_len": (
+            F.col("mean_token_len_micro") >= p["min_mean_token_len_micro"]
+        )
+        & (F.col("mean_token_len_micro") <= p["max_mean_token_len_micro"]),
+        "rule_symbol_ratio": F.col("punct_ratio_micro")
+        <= p["max_punct_ratio_micro"],
+        "rule_stopwords": F.col("stopword_ratio_micro")
+        >= p["min_stopword_ratio_micro"],
+        "rule_uniq_tokens": F.col("uniq_ratio_micro")
+        >= p["min_uniq_ratio_micro"],
+    }
+    out = sig
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep)
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Documents passing every Gopher rule, original columns only."""
+    rep = gopher_rules_report(df, text_col=text_col, **overrides)
+    return rep.filter(F.col("gopher_keep")).select(*df.columns)

@@ -308,3 +308,40 @@ def test_soft_dedup_weights(spark):
     assert sum(w for _, _, w in got.values()) == pytest.approx(
         4 * 1000000, abs=len(got)
     )
+
+
+def test_gopher_rules_report(spark):
+    from fulltextsearchengine_spark.functions.textstats import (
+        gopher_filter,
+        gopher_rules_report,
+        with_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and then it sleeps "
+                "in the warm sun for a while before it runs back home to the den "
+                "with its family and the other foxes in that old forest")
+            ,
+            (1, "xx yy"),  # fails word count
+            (2, ("a b c " * 30).strip()),  # 1-char words: fails mean len + stopwords
+            (3, "the " * 60),  # fails uniq ratio
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r.asDict() for r in gopher_rules_report(docs, min_tokens=10).collect()}
+    assert rep[0]["gopher_keep"] is True
+    assert rep[1]["rule_word_count"] is False and rep[1]["gopher_keep"] is False
+    assert rep[2]["rule_mean_word_len"] is False
+    assert rep[3]["rule_uniq_tokens"] is False and rep[3]["gopher_keep"] is False
+    # keep == AND of rules, recomputed
+    for d in rep.values():
+        assert d["gopher_keep"] == all(
+            v for k, v in d.items() if k.startswith("rule_")
+        )
+    kept = gopher_filter(docs, min_tokens=10)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "text"]
+    # thresholds are overridable
+    strict = gopher_rules_report(docs, min_tokens=1000).filter("gopher_keep").count()
+    assert strict == 0
