@@ -1747,6 +1747,31 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+def _q_conv_emb_pooled(spark, sf_dir):
+    """Turn→conversation mean-pooled embeddings, long format (conv,
+    dim, val_micro) — vec_id aligns with documents.doc_id (TESTDATA),
+    conv mapping mirrors transcripts_from_documents."""
+    from fulltextsearchengine_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mapping = emb.select(
+        "vec_id",
+        F.format_string(
+            "conv_%06d", (F.col("vec_id") % 50).cast("int")
+        ).alias("conv_id"),
+    )
+    pooled = mean_pool_embeddings(emb, mapping, group_col="conv_id")
+    return pooled.select(
+        "conv_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "conv_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v") * 1e6).cast("long").alias("val_micro"),
+    )
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText per-rule verdict table (booleans only — the
     underlying micro signals are gated by text_quality)."""
@@ -2766,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_health": _q_conv_health,
         "ftse_index_diff": _q_index_diff,
         "text_gopher_rules": _q_gopher_rules,
+        "conv_emb_pooled": _q_conv_emb_pooled,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -3805,6 +3831,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c2.vec_id, CAST(list_dot_product(c2.qv, q.qq) AS BIGINT) AS qdot "
             "FROM cq c2 CROSS JOIN q "
             f"ORDER BY qdot DESC, c2.vec_id LIMIT {TOPK}"
+        ),
+        "conv_emb_pooled": (
+            "WITH ex AS (SELECT printf('conv_%06d', CAST(vec_id % 50 AS INT)) AS conv_id, "
+            "generate_subscripts(embedding, 1) - 1 AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings) "
+            "SELECT conv_id, CAST(pos AS BIGINT) AS pos, "
+            # quantize-then-rescale mirrors mean_pool_embeddings' 1e-6 grid
+            "CAST(round(round(avg(val) * 1e6) / 1e6 * 1e6) AS BIGINT) AS val_micro "
+            "FROM ex GROUP BY 1, 2"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "

@@ -704,3 +704,38 @@ def mmr_rerank(
         remaining[best] = False
         out.append((int(ids[best]), float(score[best])))
     return out
+
+
+def mean_pool_embeddings(
+    embeddings: DataFrame,
+    mapping: DataFrame,
+    id_col: str = "vec_id",
+    group_col: str = "group_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group_col, vec_col): per-group MEAN-pooled embedding — the
+    standard turn→conversation (or chunk→document) dense rollup; the
+    pooled table feeds every existing dense operator (cosine_topk,
+    ANN layouts, MMR, SemDeDup) at group granularity.
+
+    Shape: posexplode to (group, dim, val) → one (group, dim) partial
+    agg (map-side combined; k·dim output rows) → per-group sorted
+    collect back to an array. Pooled dims are quantized to 1e-6 (the
+    k-means convention) so downstream micro-rounded scores cannot
+    wobble on float-sum order across engines."""
+    ex = (
+        embeddings.join(mapping, id_col)
+        .select(group_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(group_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("v"))
+    )
+    return (
+        ex.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            group_col,
+            F.transform(
+                "pv", lambda s: F.round(s["v"] * 1e6) / 1e6
+            ).alias(vec_col),
+        )
+    )

@@ -245,3 +245,34 @@ def test_mmr_rerank(emb):
     assert set(pure[:2]) == {0, 150}
     got_ids = [g[0] for g in got]
     assert got_ids[0] in (0, 150) and got_ids[1] not in (0, 150)
+
+
+def test_mean_pool_embeddings(spark):
+    import numpy as np
+
+    from fulltextsearchengine_spark.operators.similarity import (
+        cosine_topk,
+        mean_pool_embeddings,
+    )
+
+    vecs = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [2.0, 2.0], 3: [4.0, 0.0]}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    mapping = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "vec_id long, group_id string"
+    )
+    got = {
+        r["group_id"]: r["embedding"]
+        for r in mean_pool_embeddings(emb, mapping).collect()
+    }
+    assert got["a"] == [0.5, 0.5] and got["b"] == [3.0, 1.0]
+    # pooled table feeds the existing dense ops at group granularity
+    top = cosine_topk(
+        mean_pool_embeddings(emb, mapping).withColumnRenamed("group_id", "vec_id"),
+        [1.0, 0.0],
+        1,
+    ).collect()
+    a = np.array([3.0, 1.0]); b = np.array([0.5, 0.5])
+    best = "b" if a @ [1, 0] / np.linalg.norm(a) > b @ [1, 0] / np.linalg.norm(b) else "a"
+    assert top[0]["vec_id"] == best
