@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import TOKEN_RE
 from .search import Searcher
 
-_FIELDS = ("role", "tool", "conv")
+_FIELDS = ("role", "tool", "conv", "after", "before")
 # token grammar: quoted phrase | field:value | bare word; '-' prefix negates
 _PART_RE = re.compile(
     r"""(?P<neg>-)?(?:
@@ -81,7 +81,18 @@ def parse_query(q: str) -> ParsedQuery:
             else:
                 (out.excluded_phrases if neg else out.phrases).append(toks)
         elif m.group("field"):
-            out.filters[m.group("field")] = m.group("value").lower()
+            f = m.group("field")
+            v = m.group("value")
+            if f in ("after", "before"):
+                import datetime as _dt
+
+                try:
+                    _dt.datetime.fromisoformat(v)
+                except ValueError as e:
+                    raise ValueError(f"bad {f}: timestamp {v!r}") from e
+                out.filters[f] = v  # keep ISO case/precision as typed
+            else:
+                out.filters[f] = v.lower()
         else:
             toks = _fold(m.group("word"))
             (out.excluded_terms if neg else out.terms).extend(toks)
@@ -115,6 +126,14 @@ def execute_query(
     scores = searcher.bm25_scores(terms)
 
     docs = searcher.index.docs
+    if "after" in pq.filters:
+        docs = docs.filter(
+            F.col("ts") >= F.to_timestamp(F.lit(pq.filters["after"]))
+        )
+    if "before" in pq.filters:
+        docs = docs.filter(
+            F.col("ts") < F.to_timestamp(F.lit(pq.filters["before"]))
+        )
     if "conv" in pq.filters:
         docs = docs.filter(F.col("conv_id") == pq.filters["conv"])
     for col in ("role", "tool"):

@@ -121,3 +121,33 @@ def test_execute_query_proximity_clause(setup):
     }
     full = {d for d, _ in oracle.bm25_search(golden, [a, b] if a != b else [a], golden["num_docs"])}
     assert got == (full & win) and some_doc in got
+
+
+def test_time_range_filters(setup, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query, parse_query
+
+    golden, searcher, posp, doc_tokens = setup
+    ts_of = {
+        r.doc_id: r.ts.to_pydatetime()
+        for r in oracle.assign_doc_ids(small_transcripts_pdf).itertuples(index=False)
+    }
+    some_doc = next(iter(doc_tokens))
+    term = doc_tokens[some_doc][0]
+    all_ts = sorted(ts_of.values())
+    cut = all_ts[len(all_ts) // 2]
+    cut_iso = cut.isoformat(sep="T")
+    got_after = {
+        r["doc_id"]
+        for r in execute_query(searcher, f"{term} after:{cut_iso}", k=10**6).collect()
+    }
+    got_before = {
+        r["doc_id"]
+        for r in execute_query(searcher, f"{term} before:{cut_iso}", k=10**6).collect()
+    }
+    full = {d for d, _ in oracle.bm25_search(golden, [term], golden["num_docs"])}
+    exp_after = {d for d in full if ts_of[d] >= cut}
+    exp_before = {d for d in full if ts_of[d] < cut}
+    assert got_after == exp_after and got_before == exp_before
+    assert got_after and got_before  # both sides populated
+    with pytest.raises(ValueError):
+        parse_query("x after:notadate")
