@@ -1747,6 +1747,43 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+SPLIT_SEED = 7
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic md5 train/valid/test split (stable under corpus
+    growth — the production alternative to random sampling)."""
+    from fulltextsearchengine_spark.operators.sampling import hash_split
+
+    return hash_split(_docs_raw(spark, sf_dir), SPLIT_FRACTIONS, seed=SPLIT_SEED)
+
+
+def _hash_split_sql() -> str:
+    """Twin of sampling.hash_split — the cumulative boundaries are
+    accumulated in PYTHON floats and embedded via repr(), because
+    0.8 + 0.1 != 0.9 in doubles and the Spark side compares against
+    exactly the accumulated value."""
+    u = (
+        _hex2long_sql(
+            f"md5('{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR))", 13
+        )
+        + " / 4503599627370496.0"
+    )
+    names = list(SPLIT_FRACTIONS)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += SPLIT_FRACTIONS[name]
+        cases.append(f"WHEN u < {cum!r} THEN '{name}'")
+    return (
+        f"WITH uu AS (SELECT doc_id, {u} AS u FROM documents) "
+        "SELECT doc_id, CASE "
+        + " ".join(cases)
+        + f" ELSE '{names[-1]}' END AS split FROM uu"
+    )
+
+
 def _q_conv_emb_pooled(spark, sf_dir):
     """Turn→conversation mean-pooled embeddings, long format (conv,
     dim, val_micro) — vec_id aligns with documents.doc_id (TESTDATA),
@@ -2792,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_index_diff": _q_index_diff,
         "text_gopher_rules": _q_gopher_rules,
         "conv_emb_pooled": _q_conv_emb_pooled,
+        "corpus_hash_split": _q_hash_split,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -3832,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM cq c2 CROSS JOIN q "
             f"ORDER BY qdot DESC, c2.vec_id LIMIT {TOPK}"
         ),
+        "corpus_hash_split": _hash_split_sql(),
         "conv_emb_pooled": (
             "WITH ex AS (SELECT printf('conv_%06d', CAST(vec_id % 50 AS INT)) AS conv_id, "
             "generate_subscripts(embedding, 1) - 1 AS pos, "

@@ -95,3 +95,45 @@ def sample_report(
             .cast("long"),
         )
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, split): deterministic disjoint train/valid/test
+    assignment by hashed id — the split is a pure function of
+    (seed, id), so it is stable across runs, engines, repartitioning,
+    and INCREMENTAL corpus growth (a doc keeps its split when new data
+    arrives — the property random splits lose and the reason every
+    production pipeline hashes instead of sampling).
+
+    u = md5_52(seed, id) / 2^52 ∈ [0, 1); split = the first name whose
+    cumulative fraction exceeds u (names in the dict's order). The
+    fractions must sum to 1 (±1e-9). Pure map — zero shuffles.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h52 / F.lit(float(1 << 52))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.select(F.col(id_col), split.alias("split"))

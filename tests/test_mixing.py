@@ -65,3 +65,35 @@ def test_mixture_guards(docs):
         mixture_plan(sdf, "source", "cost", {}, 100.0)
     with pytest.raises(ValueError):
         mixture_plan(sdf, "source", "cost", {"src0": -1.0}, 100.0)
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    import hashlib
+
+    from fulltextsearchengine_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, fr, seed=7).collect()}
+
+    def py_split(i):
+        u = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:13], 16) / 2**52
+        if u < 0.8:
+            return "train"
+        if u < 0.9:
+            return "valid"
+        return "test"
+
+    assert got == {i: py_split(i) for i in range(2000)}
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.75 < c["train"] / 2000 < 0.85  # fractions roughly honored
+    # stability under corpus growth: doc keeps its split in a superset
+    bigger = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    got2 = {r["doc_id"]: r["split"] for r in hash_split(bigger, fr, seed=7).collect()}
+    assert all(got2[i] == s for i, s in got.items())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.4})
