@@ -1747,6 +1747,59 @@ def _q_nb_predict(spark, sf_dir):
     return nb_predict(d, model)
 
 
+PMI_BAND = (2, 10_000)
+
+
+def _q_pmi_expand(spark, sf_dir):
+    """BM25 with each query term expanded by its best corpus-PMI
+    partner (automatic pseudo-thesaurus) at SYN_WEIGHT."""
+    from fulltextsearchengine_spark.operators.search import Searcher
+    from fulltextsearchengine_spark.operators.synonyms import pmi_expanded_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return pmi_expanded_search(
+        s, Q_BM25, TOPK, min_df=PMI_BAND[0], max_df=PMI_BAND[1]
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
+def _pmi_expand_sql() -> str:
+    """Twin: neighbor discovery (pmi_micro rank, ties lowest partner),
+    weight union-sum (1.0 query + SYN_WEIGHT partner, collisions sum),
+    weighted-BM25 contrib — all derived in SQL."""
+    from fulltextsearchengine_spark.operators.synonyms import SYN_WEIGHT
+
+    qlist = "[" + ", ".join(f"'{t}'" for t in sorted(set(Q_BM25))) + "]"
+    return (
+        PRELUDE
+        + f", qts AS (SELECT unnest({qlist}) AS qt)"
+        f", band AS (SELECT term AS ot, df AS df_o FROM terms "
+        f"WHERE df BETWEEN {PMI_BAND[0]} AND {PMI_BAND[1]})"
+        ", qp AS (SELECT p.term AS qt, p.doc_id FROM postings p "
+        "JOIN qts ON p.term = qts.qt)"
+        ", qd AS (SELECT term AS qt, df AS df_q FROM terms)"
+        ", op AS (SELECT p.term AS ot, p.doc_id FROM postings p "
+        "JOIN band ON p.term = band.ot)"
+        ", pc AS (SELECT qp.qt, op.ot, count(*) AS c FROM qp JOIN op USING (doc_id) "
+        "WHERE op.ot <> qp.qt GROUP BY 1, 2)"
+        ", pm AS (SELECT pc.qt, pc.ot, CAST(round(ln(g.num_docs * pc.c "
+        "/ CAST(qd.df_q * band.df_o AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro "
+        "FROM pc JOIN qd USING (qt) JOIN band USING (ot) CROSS JOIN gstats g "
+        "WHERE pc.c >= 2)"
+        ", nb AS (SELECT qt, ot FROM (SELECT qt, ot, ROW_NUMBER() OVER ("
+        "PARTITION BY qt ORDER BY pmi_micro DESC, ot) AS rn FROM pm) WHERE rn = 1)"
+        f", wts AS (SELECT term, sum(w) AS weight FROM "
+        f"(SELECT qt AS term, 1.0 AS w FROM qts "
+        f"UNION ALL SELECT ot, {SYN_WEIGHT} FROM nb) GROUP BY term)"
+        ", scored AS (SELECT p.doc_id, "
+        f"sum(wts.weight * {_BM25_CONTRIB}) AS score "
+        "FROM postings p JOIN wts ON p.term = wts.term "
+        "JOIN terms t ON t.term = p.term JOIN docs d ON d.doc_id = p.doc_id "
+        "CROSS JOIN gstats g GROUP BY p.doc_id) "
+        "SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro "
+        f"FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK}"
+    )
+
+
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 SPLIT_SEED = 7
 
@@ -2830,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_gopher_rules,
         "conv_emb_pooled": _q_conv_emb_pooled,
         "corpus_hash_split": _q_hash_split,
+        "ftse_pmi_expand_topk": _q_pmi_expand,
         "dsir_doc_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "nb_lang_scores": _q_nb_scores,
@@ -3871,6 +3925,7 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY qdot DESC, c2.vec_id LIMIT {TOPK}"
         ),
         "corpus_hash_split": _hash_split_sql(),
+        "ftse_pmi_expand_topk": _pmi_expand_sql(),
         "conv_emb_pooled": (
             "WITH ex AS (SELECT printf('conv_%06d', CAST(vec_id % 50 AS INT)) AS conv_id, "
             "generate_subscripts(embedding, 1) - 1 AS pos, "

@@ -68,3 +68,79 @@ def synonym_bm25_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def pmi_neighbors(
+    searcher: Searcher,
+    query: list[str],
+    min_df: int,
+    max_df: int,
+    min_pair_count: int = 2,
+) -> dict[str, str]:
+    """qterm → best PMI partner within the df band — the corpus-derived
+    pseudo-thesaurus (co-occurrence expansion; Manning IIR §9.2.2's
+    automatic thesaurus, restricted to the query's terms so the pair
+    expansion is query-sized, not vocabulary²).
+
+    Best = highest pmi_micro (ROUNDED, so rank is engine-stable), ties
+    lowest partner term; partners need pair_count ≥ min_pair_count.
+    One Spark job: query-term postings ⋈ banded postings on doc_id →
+    (qterm, partner) agg → per-qterm rank.
+    """
+    from pyspark.sql import Window
+
+    qts = sorted(set(normalize_query(query)))
+    idx = searcher.index
+    n_docs = int(searcher.stats["num_docs"])
+    band = idx.terms.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    ).select("term", F.col("df").alias("df_o"))
+    qp = (
+        idx.postings.filter(F.col("term").isin(qts))
+        .select(F.col("term").alias("qt"), "doc_id")
+        .join(
+            idx.terms.select(F.col("term").alias("qt"), F.col("df").alias("df_q")),
+            "qt",
+        )
+    )
+    op = idx.postings.select(F.col("term").alias("ot"), "doc_id").join(
+        F.broadcast(band.withColumnRenamed("term", "ot")), "ot"
+    )
+    pc = (
+        qp.join(op, "doc_id")
+        .filter(F.col("ot") != F.col("qt"))
+        .groupBy("qt", "ot", "df_q", "df_o")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_pair_count)
+    )
+    pmi = pc.withColumn(
+        "pmi_micro",
+        F.round(
+            F.log(F.lit(float(n_docs)) * F.col("c") / (F.col("df_q") * F.col("df_o")))
+            * 1e6
+        ).cast("long"),
+    )
+    w = Window.partitionBy("qt").orderBy(F.desc("pmi_micro"), F.asc("ot"))
+    best = pmi.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return {r["qt"]: r["ot"] for r in best.select("qt", "ot").collect()}
+
+
+def pmi_expanded_search(
+    searcher: Searcher,
+    query: list[str],
+    k: int,
+    min_df: int = 2,
+    max_df: int = 10_000,
+    syn_weight: float = SYN_WEIGHT,
+    min_pair_count: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score) top-k BM25 with each query term expanded by its
+    best corpus-PMI partner at ``syn_weight`` — the automatic analog of
+    ``synonym_bm25_search``'s config thesaurus."""
+    nbrs = pmi_neighbors(searcher, query, min_df, max_df, min_pair_count)
+    synonyms = {q: [n] for q, n in nbrs.items()}
+    return synonym_bm25_search(
+        searcher, query, synonyms, k, syn_weight=syn_weight, k1=k1, b=b
+    )

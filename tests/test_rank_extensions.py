@@ -314,3 +314,47 @@ def test_rrf_fusion_matches_brute_force(setup):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for (_, es), (_, gs) in zip(exp, got):
         assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_pmi_expansion_matches_manual(setup):
+    from fulltextsearchengine_spark.operators.synonyms import (
+        pmi_expanded_search,
+        pmi_neighbors,
+        synonym_bm25_search,
+    )
+
+    golden, searcher, _ = setup
+    idx = searcher.index
+    n_docs = int(searcher.stats["num_docs"])
+    # brute-force neighbor discovery from collected postings
+    post = {}
+    for r in idx.postings.select("term", "doc_id").collect():
+        post.setdefault(r["term"], set()).add(r["doc_id"])
+    df_of = {t: len(ds) for t, ds in post.items()}
+    # two mid-frequency terms actually in this corpus
+    q = sorted(df_of, key=lambda t: (-df_of[t], t))[3:5]
+    import math
+
+    expected = {}
+    for qt in q:
+        best = None
+        for ot, ds in post.items():
+            if ot == qt or not (2 <= df_of[ot] <= 10_000):
+                continue
+            c = len(post[qt] & ds)
+            if c < 2:
+                continue
+            pmi = round(math.log(n_docs * c / (df_of[qt] * df_of[ot])) * 1e6)
+            key = (-pmi, ot)
+            if best is None or key < best[0]:
+                best = (key, ot)
+        if best:
+            expected[qt] = best[1]
+    got = pmi_neighbors(searcher, q, 2, 10_000)
+    assert got == expected and got  # neighbors found on this corpus
+    # expanded search == synonym search with the discovered map
+    a = pmi_expanded_search(searcher, q, 10).collect()
+    b = synonym_bm25_search(searcher, q, {t: [n] for t, n in got.items()}, 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
