@@ -416,7 +416,16 @@ def main() -> None:
     from fulltextsearchengine_spark.operators.index_build import build_index
 
     apss_idx = build_index(t.filter("turn_idx < 30"))
-    timed("apss_pairs_t08", lambda: sparse_cosine_pairs(apss_idx, 0.8).count(), repeat=reps)
+    apss_handles: list = []  # release the per-call persists once timed
+    timed(
+        "apss_pairs_t08",
+        lambda: sparse_cosine_pairs(
+            apss_idx, 0.8, persist_handles=apss_handles
+        ).count(),
+        repeat=reps,
+    )
+    for h in apss_handles:
+        h.unpersist()
     gq = {f"g{i}": qq for i, qq in enumerate(BENCH_QUERIES)}
     timed("graded_eval", lambda: graded_eval(searcher, gq, k=10).collect(), repeat=reps)
     timed("ltr_features", lambda: ltr_features(searcher, gq, k=100).count(), repeat=reps)
@@ -671,50 +680,63 @@ def main() -> None:
     total = round(
         sum(v for k, v in q.items() if not k.endswith(_non_time)), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": q,
-                "sf": sf,
-                "cpus": cpus,
-                "reps": reps,
-                "cpu_control_mops_pre": round(cpu_pre, 1),
-                "cpu_control_mops_post": round(cpu_post, 1),
-                "bench_corpus_turns": bench_turns,
-                "index_build_turns_per_sec": round(turns_per_sec, 1),
-                "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
-                "wand_block_skip_rate": round(
-                    sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_stats)
-                    / max(sum(s["blocks_total"] for s in wand_stats), 1),
-                    4,
-                ),
-                "wand_bucket_skip_rate": round(
-                    sum(s["buckets_pruned"] for s in wand_stats)
-                    / max(sum(s["buckets_total"] for s in wand_stats), 1),
-                    4,
-                ),
-                "wand_big_block_skip_rate": round(
-                    sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_big_stats)
-                    / max(sum(s["blocks_total"] for s in wand_big_stats), 1),
-                    4,
-                ),
-                "wand_big_bucket_skip_rate": round(
-                    sum(s["buckets_pruned"] for s in wand_big_stats)
-                    / max(sum(s["buckets_total"] for s in wand_big_stats), 1),
-                    4,
-                ),
-                "wand_big_blocks_decoded": sum(s["blocks_decoded"] for s in wand_big_stats),
-                "wand_big_blocks_total": sum(s["blocks_total"] for s in wand_big_stats),
-                "raw_corpus_mb": round(raw_bytes / 1e6, 1),
-                "index_total_ratio_of_raw": round(index_bytes / raw_bytes, 3),
-                "flat_postings_ratio_of_raw": round(postings_bytes / raw_bytes, 3),
-                "compressed_blocks_ratio_of_raw": round(blocks_bytes / raw_bytes, 3),
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "reps": reps,
+        "cpu_control_mops_pre": round(cpu_pre, 1),
+        "cpu_control_mops_post": round(cpu_post, 1),
+        "bench_corpus_turns": bench_turns,
+        "index_build_turns_per_sec": round(turns_per_sec, 1),
+        "bm25_query_latency_sec_big": round(q["bm25_df_bigcorpus"] / len(big_queries), 4),
+        "wand_block_skip_rate": round(
+            sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_stats)
+            / max(sum(s["blocks_total"] for s in wand_stats), 1),
+            4,
+        ),
+        "wand_bucket_skip_rate": round(
+            sum(s["buckets_pruned"] for s in wand_stats)
+            / max(sum(s["buckets_total"] for s in wand_stats), 1),
+            4,
+        ),
+        "wand_big_block_skip_rate": round(
+            sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_big_stats)
+            / max(sum(s["blocks_total"] for s in wand_big_stats), 1),
+            4,
+        ),
+        "wand_big_bucket_skip_rate": round(
+            sum(s["buckets_pruned"] for s in wand_big_stats)
+            / max(sum(s["buckets_total"] for s in wand_big_stats), 1),
+            4,
+        ),
+        "wand_big_blocks_decoded": sum(s["blocks_decoded"] for s in wand_big_stats),
+        "wand_big_blocks_total": sum(s["blocks_total"] for s in wand_big_stats),
+        "raw_corpus_mb": round(raw_bytes / 1e6, 1),
+        "index_total_ratio_of_raw": round(index_bytes / raw_bytes, 3),
+        "flat_postings_ratio_of_raw": round(postings_bytes / raw_bytes, 3),
+        "compressed_blocks_ratio_of_raw": round(blocks_bytes / raw_bytes, 3),
+    }
+    # full per-query dict → BENCH/ sidecar; the stdout line carries only
+    # the headline timings. VERDICT r3 "what's wrong" #1: the single
+    # metric line with all 60+ per-query keys outgrew the driver's tail
+    # capture (BENCH_r03.json parsed:null) — keep the FINAL line compact
+    # and machine-parseable, park the detail in a committed file.
+    detail_path = Path(__file__).resolve().parent / "BENCH" / "BENCH_DETAIL_latest.json"
+    detail_path.parent.mkdir(exist_ok=True)
+    detail_path.write_text(json.dumps({**summary, "queries": q}, indent=1) + "\n")
+    headline_keys = [
+        "index_build_sfdir", "index_build_bigcorpus", "bm25_df", "bm25_wand",
+        "bm25_wand_big", "bm25_wand_warm", "bm25_wand_warm_ms_per_query",
+        "bm25_df_bigcorpus", "bm25_local_ms_per_query", "conv_search",
+        "lnnltc_df", "lm_df", "dedup_exact", "dedup_minhash_lsh",
+        "ann_cosine_topk", "text_quality",
+    ]
+    summary["queries"] = {k_: q[k_] for k_ in headline_keys if k_ in q}
+    summary["detail"] = "BENCH/BENCH_DETAIL_latest.json"
+    print(json.dumps(summary))
     spark.stop()
 
 

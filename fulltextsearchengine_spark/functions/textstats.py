@@ -185,7 +185,15 @@ def gopher_rules_report(df: DataFrame, text_col: str = "text", **overrides) -> D
     (named ``rule_*``) plus ``gopher_keep`` = AND of all — emitted as a
     REPORT rather than a silent filter so a pipeline can count which
     rule kills what (the per-rule attrition table the paper publishes).
-    Thresholds override via kwargs; all comparisons are micro-int."""
+    Thresholds override via kwargs; all comparisons are micro-int.
+    Unknown kwarg names raise — a misspelled threshold (``min_token=``)
+    silently running at its default is a data-quality bug (ADVICE r3)."""
+    unknown = set(overrides) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise TypeError(
+            f"unknown Gopher threshold(s) {sorted(unknown)}; "
+            f"valid: {sorted(GOPHER_DEFAULTS)}"
+        )
     p = {**GOPHER_DEFAULTS, **overrides}
     sig = with_quality(df, text_col=text_col)
     rules = {

@@ -100,6 +100,7 @@ def sparse_cosine_pairs(
     threshold: float,
     exact_baseline: bool = False,
     persist: bool = True,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, cos_micro), doc_a < doc_b, cosine ≥ threshold —
     exact result set either way; ``exact_baseline`` only switches the
@@ -112,12 +113,20 @@ def sparse_cosine_pairs(
     aliased projections defeat ReusedExchange), measured 3× slower at
     1500 docs. Both frames are O(corpus postings): MEMORY_AND_DISK
     persist, spilling like any shuffle would; pass ``persist=False``
-    for one-shot plans where the caller manages caching."""
+    for one-shot plans where the caller manages caching.
+
+    ``persist_handles``: optional list the persisted frames are appended
+    to, so long-lived sessions can ``unpersist()`` them after the
+    consuming action instead of accumulating MEMORY_AND_DISK cache
+    across repeated calls (ADVICE r3). Without it, persisted frames
+    live until ``spark.catalog.clearCache()`` / session end."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     vecs = tfidf_vectors(index)
     if persist:
         vecs = vecs.persist()
+        if persist_handles is not None:
+            persist_handles.append(vecs)
     if exact_baseline:
         return _exact_pairs(vecs, threshold)
 
@@ -136,6 +145,8 @@ def sparse_cosine_pairs(
     )
     if persist:
         flagged = flagged.persist()
+        if persist_handles is not None:
+            persist_handles.append(flagged)
     indexed = flagged.filter("indexed").select(F.col("doc_id").alias("di"), "term")
     full = flagged.select(F.col("doc_id").alias("df_"), "term")
 

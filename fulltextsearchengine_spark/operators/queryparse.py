@@ -13,6 +13,12 @@ syntax subset — public knowledge):
     -noise  -"bad phrase"        exclusions (post-score anti-filter)
     role:user  tool:search       metadata field filters (docs columns)
     conv:conv_000042             restrict to one conversation
+    after:2026-01-01 before:2026-02-01
+                                 half-open time range [after, before):
+                                 ts >= after AND ts < before. Values are
+                                 tz-NAIVE ISO timestamps interpreted in
+                                 the Spark session timezone (tz-aware
+                                 forms are rejected at parse time)
 
 Parsing is driver-side string work (queries are bytes, not data);
 execution composes ONLY existing operators, in the cheap-first order a
@@ -87,9 +93,18 @@ def parse_query(q: str) -> ParsedQuery:
                 import datetime as _dt
 
                 try:
-                    _dt.datetime.fromisoformat(v)
+                    parsed = _dt.datetime.fromisoformat(v)
                 except ValueError as e:
                     raise ValueError(f"bad {f}: timestamp {v!r}") from e
+                # tz-naive only: Python ≥3.11 fromisoformat accepts
+                # 'Z'/offset forms, but Spark's to_timestamp would then
+                # re-interpret them in the SESSION timezone — the
+                # validator and the executor would disagree (ADVICE r3)
+                if parsed.tzinfo is not None:
+                    raise ValueError(
+                        f"bad {f}: {v!r} is timezone-aware; use a naive "
+                        "timestamp in the Spark session timezone"
+                    )
                 out.filters[f] = v  # keep ISO case/precision as typed
             else:
                 out.filters[f] = v.lower()

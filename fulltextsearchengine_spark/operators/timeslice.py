@@ -23,9 +23,6 @@ and Spark pushes BETWEEN on partition values natively.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,14 +70,18 @@ class TimeSlicedIndex:
         index.stats.write.mode("overwrite").parquet(f"{path}/stats")
         spark = index.postings.sparkSession
         meta = {"granularity": granularity}
-        with open(os.path.join(path, "_timeslice.json"), "w") as f:
-            json.dump(meta, f)
+        # meta goes through the SAME filesystem abstraction as the
+        # tables (ADVICE r3): a local open() would break for HDFS/S3
+        # paths the parquet writers above accept
+        spark.createDataFrame(
+            [(granularity,)], "granularity string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/_timeslice_meta")
         return cls(spark, path, meta)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TimeSlicedIndex":
-        with open(os.path.join(path, "_timeslice.json")) as f:
-            return cls(spark, path, json.load(f))
+        meta = spark.read.json(f"{path}/_timeslice_meta").first().asDict()
+        return cls(spark, path, meta)
 
     def searcher_for_range(self, ts_from: str, ts_to: str) -> Searcher:
         """A standard Searcher whose posting scan is pre-pruned to the

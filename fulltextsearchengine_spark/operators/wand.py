@@ -75,6 +75,23 @@ def _contrib(w: float, tfs: np.ndarray, dl: np.ndarray, avgdl: float, k1: float,
     return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _tomb_array(tombstones) -> np.ndarray | None:
+    """Normalize a tombstone spec (None | iterable of doc_ids | a
+    DataFrame with a doc_id column) to a sorted int64 numpy array.
+    Tombstone sets are takedown-sized (deletes.py scale note) — the
+    array ships to executors inside the cogroup closure, the fast-path
+    analog of the broadcast anti-join in deletes.exclude_docs."""
+    if tombstones is None:
+        return None
+    if isinstance(tombstones, DataFrame):
+        ids = [r["doc_id"] for r in tombstones.select("doc_id").distinct().collect()]
+    else:
+        ids = list({int(d) for d in tombstones})
+    if not ids:
+        return None
+    return np.unique(np.asarray(ids, dtype=np.int64))
+
+
 def bm25_topk_wand(
     blocks: DataFrame,
     slabs: DataFrame,
@@ -90,6 +107,7 @@ def bm25_topk_wand(
     seed_blocks: int = 32,
     return_stats: bool = False,
     explain_out: list | None = None,
+    tombstones=None,
 ):
     """Exact BM25 top-k [(doc_id, score)] with distributed block-max
     pruning. ``slabs`` is the build-time doc_len sidecar
@@ -101,10 +119,23 @@ def bm25_topk_wand(
     from the caller's terms-table cache. With ``return_stats`` also returns
     {"buckets_total", "buckets_pruned", "blocks_total",
     "blocks_in_pruned_buckets", "threshold"}.
+
+    ``tombstones``: optional deleted-doc set (iterable of doc_ids or a
+    (doc_id) DataFrame, e.g. deletes.tombstones_for_convs output) —
+    Lucene-style delete semantics ON THE FAST PATH: tombstoned docs are
+    excluded from the threshold seed (θ stays a valid lower bound on
+    the k-th best LIVE score — seeding over deleted docs could
+    over-prune) and masked out of every bucket's accumulator before
+    top-k selection. Global stats (df/idf/avgdl) deliberately keep
+    their pre-delete values, exactly matching deletes.exclude_docs on
+    the DataFrame path, so both paths stay rank- and score-identical
+    until a purge.
     """
     terms = sorted({t.lower() for t in query})
     if not terms or n_docs == 0:
         return ([], _zero_stats()) if return_stats else []
+    tomb = _tomb_array(tombstones)
+    tomb_set = set(tomb.tolist()) if tomb is not None else None
     qblocks = blocks.filter(F.col("term").isin(terms))
 
     # ---- 1+2 metadata: ONE Spark job (VERDICT r2 "what's wrong" #2 —
@@ -215,6 +246,8 @@ def bm25_topk_wand(
             dl = lens[ids - base].astype(np.float64)
             for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+        if tomb_set is not None:
+            acc = {d: v for d, v in acc.items() if d not in tomb_set}
         if len(acc) >= k:
             kth = float(np.partition(np.fromiter(acc.values(), dtype=np.float64), -k)[-k])
             # nudge down a few ulps: the seed's add order may differ from
@@ -248,7 +281,7 @@ def bm25_topk_wand(
     topk = _single_query_cogroup(
         blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
         k1, b, bucket_range, block_size,
-        acc_dec=acc_dec, acc_skip=acc_skip, explain_out=explain_out,
+        acc_dec=acc_dec, acc_skip=acc_skip, explain_out=explain_out, tomb=tomb,
     )
     if return_stats:
         stats["blocks_decoded"] = acc_dec.value
@@ -283,7 +316,7 @@ def _survivor_frames(blocks, slabs, qblocks, surviving):
 def _single_query_cogroup(
     blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
     k1, b, bucket_range, block_size,
-    acc_dec=None, acc_skip=None, explain_out=None,
+    acc_dec=None, acc_skip=None, explain_out=None, tomb=None,
 ) -> list[tuple[int, float]]:
     """Stages 3+4 of the single-query plan: surviving buckets cogroup
     with their doc_len slabs, chunk-gated decode + bounded per-bucket
@@ -348,6 +381,11 @@ def _single_query_cogroup(
                 acc[ids] += _contrib(w, tfs, lens[ids], avgdl, k1, b)
                 touched[ids] = True
             # sorted-term accumulation keeps float adds in oracle order
+        if tomb is not None:
+            # deleted-docs mask (Lucene bitset analog): tombstoned slots
+            # never reach candidate selection
+            local = tomb[(tomb >= base) & (tomb < base + len(lens))] - base
+            touched[local] = False
         cand = np.nonzero(touched)[0]
         if cand.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
@@ -453,6 +491,7 @@ def bm25_topk_wand_batch(
     b: float = BM25_B,
     term_stats: dict[str, int] | None = None,
     seed_blocks: int = 32,
+    tombstones=None,
 ) -> dict[str, list[tuple[int, float]]]:
     """Exact BM25 top-k for MANY queries in TWO Spark jobs total — the
     high-throughput shape for 10^12-doc serving backfills (one query =
@@ -482,13 +521,17 @@ def bm25_topk_wand_batch(
     (e.g. ≤64 queries at bucket_range 2^22).
 
     Returns ``{qid: [(doc_id, score), ...]}``; rank-identical to
-    per-query ``bm25_topk_wand`` (pytest-locked).
+    per-query ``bm25_topk_wand`` (pytest-locked). ``tombstones`` applies
+    the same deleted-docs semantics as ``bm25_topk_wand`` to every
+    query in the batch.
     """
     qterms = {qid: sorted({t.lower() for t in q}) for qid, q in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     out: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
     if not all_terms or n_docs == 0:
         return out
+    tomb = _tomb_array(tombstones)
+    tomb_set = set(tomb.tolist()) if tomb is not None else None
     qblocks = blocks.filter(F.col("term").isin(all_terms))
     avgdl = total_tokens / n_docs
 
@@ -583,6 +626,8 @@ def bm25_topk_wand_batch(
             w = idf[r["term"]]
             for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+        if tomb_set is not None:
+            acc = {d: v for d, v in acc.items() if d not in tomb_set}
         theta = -math.inf
         if len(acc) >= k:
             kth = float(np.partition(np.fromiter(acc.values(), dtype=np.float64), -k)[-k])
@@ -678,6 +723,10 @@ def bm25_topk_wand_batch(
                 for q_ in takers:  # decode once, scatter per taker
                     accs[q_][ids] += contrib
                     touched[q_][ids] = True
+        if tomb is not None:
+            local = tomb[(tomb >= base) & (tomb < base + len(lens))] - base
+            for qid in active:
+                touched[qid][local] = False
         frames = []
         for qid in active:
             cand = np.nonzero(touched[qid])[0]
@@ -843,10 +892,19 @@ class WandSearcher:
         return self._seed_decoded[key]
 
     # ---- query ------------------------------------------------------
-    def search(self, query: list[str], k: int) -> list[tuple[int, float]]:
+    def search(
+        self, query: list[str], k: int, tombstones=None
+    ) -> list[tuple[int, float]]:
+        """``tombstones``: per-query deleted-doc set (same semantics as
+        bm25_topk_wand) — the cached per-term metadata is tombstone-
+        independent (seeds/impacts/dfs describe the on-disk index), so
+        deletes compose with a warm cache: filtering happens at θ-seed
+        time and in the cogroup mask only."""
         terms = sorted({t.lower() for t in query})
         if not terms or self.n_docs == 0:
             return []
+        tomb = _tomb_array(tombstones)
+        tomb_set = set(tomb.tolist()) if tomb is not None else None
         self._ensure_terms(terms)
         idf = {
             t: math.log(
@@ -879,6 +937,8 @@ class WandSearcher:
             contrib = _contrib(w, tfs, dl, self.avgdl, self.k1, self.b)
             for d, c in zip(ids.tolist(), contrib.tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+        if tomb_set is not None:
+            acc = {d: v for d, v in acc.items() if d not in tomb_set}
         theta = -math.inf
         if len(acc) >= k:
             kth = float(
@@ -900,4 +960,5 @@ class WandSearcher:
         return _single_query_cogroup(
             self.blocks, self.slabs, qblocks, surviving, idf, theta, k,
             self.avgdl, self.k1, self.b, self.bucket_range, self.block_size,
+            tomb=tomb,
         )

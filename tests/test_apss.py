@@ -95,3 +95,16 @@ def test_threshold_guard(idx):
         sparse_cosine_pairs(idx, 0.0)
     with pytest.raises(ValueError):
         sparse_cosine_pairs(idx, 1.5)
+
+
+def test_persist_handles_released(idx):
+    # long-lived sessions can release the call's MEMORY_AND_DISK cache
+    # (ADVICE r3): the two persisted frames are exposed via the out-list
+    handles: list = []
+    df = sparse_cosine_pairs(idx, 0.8, persist_handles=handles)
+    assert len(handles) == 2
+    n = df.count()
+    assert n >= 0 and all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert all(not h.storageLevel.useMemory for h in handles)

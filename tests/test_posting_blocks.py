@@ -292,3 +292,60 @@ def test_wand_searcher_warm_cache(ctx):
         assert [g[0] for g in got] == [e[0] for e in exp], q
         # cache may overflow only up to the width of the current query
         assert len(s2._meta) <= max(2, len(q))
+
+
+def test_wand_tombstones_match_filtered_oracle(ctx):
+    """Tombstone-aware WAND (VERDICT r3 #5): deleting the untombstoned
+    top docs must surface the NEXT-best live docs with their pre-purge
+    scores — identical to filtering the oracle's full ranking (the
+    exclude_docs DataFrame-path semantics: stats stay pre-delete)."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.wand import (
+        WandSearcher,
+        bm25_topk_wand,
+        bm25_topk_wand_batch,
+    )
+
+    golden, idx, blocks, stats = ctx
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    ts = sorted(golden["term_to_document_frequency"])
+    q = ts[10:13]
+    kw = dict(
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+    )
+    base = bm25_topk_wand(blocks, slabs, q, 10, **kw)
+    tomb = [d for d, _ in base[:3]]  # kill the top-3 → forces re-ranking
+    exp = [(d, s) for d, s in oracle.bm25_search(golden, q, 50) if d not in tomb][:10]
+
+    got = bm25_topk_wand(blocks, slabs, q, 10, tombstones=tomb, **kw)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for e, g in zip(exp, got):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)
+    assert not set(tomb) & {g[0] for g in got}
+
+    # DataFrame-shaped tombstones (tombstones_for_convs output) accepted
+    tomb_df = idx.docs.sparkSession.createDataFrame(
+        [(int(d),) for d in tomb], "doc_id long"
+    )
+    got_df = bm25_topk_wand(blocks, slabs, q, 10, tombstones=tomb_df, **kw)
+    assert got_df == got
+
+    # batch path: same tombstones, every query rank-identical to its
+    # single-query tombstoned run
+    queries = {"qa": q, "qb": ts[:3]}
+    batch = bm25_topk_wand_batch(blocks, slabs, queries, 10, tombstones=tomb, **kw)
+    for qid, qq in queries.items():
+        single = bm25_topk_wand(blocks, slabs, qq, 10, tombstones=tomb, **kw)
+        assert [g[0] for g in batch[qid]] == [s[0] for s in single], qid
+        for s_, g in zip(single, batch[qid]):
+            assert g[1] == pytest.approx(s_[1], rel=1e-12)
+
+    # warm searcher: tombstones are per-call; the term cache stays
+    # delete-independent (same searcher answers with AND without)
+    s = WandSearcher(blocks, slabs, **kw)
+    got_warm = s.search(q, 10, tombstones=tomb)
+    assert [g[0] for g in got_warm] == [e[0] for e in exp]
+    jobs = s.metadata_jobs
+    assert s.search(q, 10) == base  # cache unpolluted by the delete
+    assert s.metadata_jobs == jobs  # and still warm

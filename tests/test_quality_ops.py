@@ -238,6 +238,79 @@ def test_connected_components_long_chain_converges(spark):
     assert set(comp.values()) == {0} and len(comp) == 41
 
 
+def test_star_components_matches_propagation(spark):
+    # mixed topology: chain + islands + triangle + singleton-free graph;
+    # both algorithms must produce the identical (node → min) labeling
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (7, 7)],
+        "doc_a long, doc_b long",
+    )
+    prop = {r["node"]: r["group_id"] for r in connected_components(pairs).collect()}
+    star = {
+        r["node"]: r["group_id"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    # the self-loop node 7 appears in pairs, so both must label it 7
+    assert star == prop
+    assert star[4] == 1 and star[22] == 20 and star[7] == 7
+
+
+def test_star_components_adversarial_chain(spark):
+    # VERDICT r3 #4: a 10k-node path — diameter 10⁴. Min-label
+    # propagation moves the min ONE hop per round, so 20 rounds leave
+    # node 9999 with a label ≥ 9979 (wrong); large-star/small-star
+    # (Kiveris et al. 2014) halves-or-better the star depth per round
+    # and must converge to the exact labeling in O(log n) rounds.
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    prop_rounds: list = []
+    prop = {
+        r["node"]: r["group_id"]
+        for r in connected_components(
+            pairs, max_iter=20, rounds_out=prop_rounds
+        ).collect()
+    }
+    assert prop_rounds == [20]
+    assert prop[n - 1] != 0  # propagation genuinely needs > 20 rounds
+
+    star_rounds: list = []
+    star = {
+        r["node"]: r["group_id"]
+        for r in connected_components(
+            pairs, algorithm="star", rounds_out=star_rounds
+        ).collect()
+    }
+    assert set(star.values()) == {0} and len(star) == n
+    assert star_rounds[0] <= 20  # ~log₂(10k)≈13.3 + convergence check
+
+
+def test_dedup_canonical_star_matches_default(spark):
+    from fulltextsearchengine_spark.operators.dedup_groups import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 4)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in dedup_canonical(docs, pairs, algorithm="star").collect())
+    assert kept == [0, 1, 2]
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="labelprop")
+
+
 # ---------- tool usage + quality percentiles (report operators) ----------
 
 def test_tool_usage_report(spark):
@@ -345,3 +418,9 @@ def test_gopher_rules_report(spark):
     # thresholds are overridable
     strict = gopher_rules_report(docs, min_tokens=1000).filter("gopher_keep").count()
     assert strict == 0
+    # misspelled threshold names raise instead of silently running at
+    # the default (ADVICE r3)
+    with pytest.raises(TypeError, match="min_token"):
+        gopher_rules_report(docs, min_token=10)
+    with pytest.raises(TypeError, match="unknown Gopher"):
+        gopher_filter(docs, max_punct=5)

@@ -151,3 +151,9 @@ def test_time_range_filters(setup, small_transcripts_pdf):
     assert got_after and got_before  # both sides populated
     with pytest.raises(ValueError):
         parse_query("x after:notadate")
+    # tz-aware forms are rejected: fromisoformat would accept them but
+    # Spark re-interprets in the session timezone (ADVICE r3)
+    with pytest.raises(ValueError, match="timezone-aware"):
+        parse_query("x after:2026-01-01T00:00:00+05:00")
+    with pytest.raises(ValueError, match="timezone-aware"):
+        parse_query("x before:2026-01-01T00:00:00Z")
