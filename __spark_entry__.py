@@ -559,6 +559,48 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     return _INDEX_CACHE[key]
 
 
+_POS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized positional side-table — six gates share it, so the gate
+    sweep builds it once per session instead of per gate (VERDICT r3 #9)."""
+    key = (id(spark), sf_dir)
+    if key not in _POS_CACHE:
+        _POS_CACHE[key] = build_positional_postings(
+            transcripts_from_documents(spark, sf_dir)
+        ).cache()
+    return _POS_CACHE[key]
+
+
+_WAND_CACHE: dict[tuple, tuple] = {}
+
+
+def _wand_tables(spark: SparkSession, sf_dir: str, bucket_range: int = 256,
+                 block_size: int = 64):
+    """Memoized (blocks, slabs, stats_row) for the WAND gates — three
+    gates share the identical layout (VERDICT r3 #9)."""
+    from fulltextsearchengine_spark.operators.posting_blocks import (
+        build_doc_len_slabs,
+        build_posting_blocks,
+    )
+
+    key = (id(spark), sf_dir, bucket_range, block_size)
+    if key not in _WAND_CACHE:
+        idx = _index(spark, sf_dir)
+        st = idx.stats_row()
+        avgdl = st["total_tokens"] / st["num_docs"]
+        blocks = build_posting_blocks(
+            idx.postings, avgdl=avgdl, block_size=block_size,
+            bucket_range=bucket_range,
+        ).cache()
+        slabs = build_doc_len_slabs(
+            idx.docs.select("doc_id", "doc_len"), bucket_range
+        ).cache()
+        _WAND_CACHE[key] = (blocks, slabs, st)
+    return _WAND_CACHE[key]
+
+
 def _micro(col: str, alias: str) -> F.Column:
     return F.round(F.col(col) * 1e6).cast("long").alias(alias)
 
@@ -693,21 +735,9 @@ def _q_bm25_wand(spark, sf_dir):
     physical perf path (threshold-seeded bucket/chunk pruning, build-time
     doc_len slabs, no docs-table access at query time) cross-checked
     against plain SQL BM25."""
-    from fulltextsearchengine_spark.operators.posting_blocks import (
-        build_doc_len_slabs,
-        build_posting_blocks,
-    )
     from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
 
-    idx = _index(spark, sf_dir)
-    st = idx.stats_row()
-    avgdl = st["total_tokens"] / st["num_docs"]
-    bucket_range = 256
-    block_size = 64
-    blocks = build_posting_blocks(
-        idx.postings, avgdl=avgdl, block_size=block_size, bucket_range=bucket_range
-    )
-    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
+    blocks, slabs, st = _wand_tables(spark, sf_dir)
     topk = bm25_topk_wand(
         blocks,
         slabs,
@@ -715,8 +745,8 @@ def _q_bm25_wand(spark, sf_dir):
         TOPK,
         n_docs=st["num_docs"],
         total_tokens=st["total_tokens"],
-        bucket_range=bucket_range,
-        block_size=block_size,
+        bucket_range=256,
+        block_size=64,
     )
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in topk] or [], "doc_id long, score double"
@@ -731,24 +761,13 @@ def _q_bm25_wand_batch(spark, sf_dir):
     """Many queries through the batch WAND path — TWO Spark jobs for the
     whole set (metadata + cogroup), blocks decoded once per bucket across
     queries; rank/score-identical to per-query BM25 (the oracle below)."""
-    from fulltextsearchengine_spark.operators.posting_blocks import (
-        build_doc_len_slabs,
-        build_posting_blocks,
-    )
     from fulltextsearchengine_spark.operators.wand import bm25_topk_wand_batch
 
-    idx = _index(spark, sf_dir)
-    st = idx.stats_row()
-    avgdl = st["total_tokens"] / st["num_docs"]
-    bucket_range, block_size = 256, 64
-    blocks = build_posting_blocks(
-        idx.postings, avgdl=avgdl, block_size=block_size, bucket_range=bucket_range
-    )
-    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
+    blocks, slabs, st = _wand_tables(spark, sf_dir)
     res = bm25_topk_wand_batch(
         blocks, slabs, _BATCH_QUERIES, TOPK,
         n_docs=st["num_docs"], total_tokens=st["total_tokens"],
-        bucket_range=bucket_range, block_size=block_size,
+        bucket_range=256, block_size=64,
     )
     rows = [
         (qid, int(d), float(s)) for qid, topk in res.items() for d, s in topk
@@ -1497,25 +1516,14 @@ def _q_bm25_wand_tombstoned(spark, sf_dir):
     pre-delete. Oracle: identical SQL to ftse_delete_search, so the
     fast path and the DataFrame anti-join path are pinned to one
     semantics."""
-    from fulltextsearchengine_spark.operators.posting_blocks import (
-        build_doc_len_slabs,
-        build_posting_blocks,
-    )
     from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
 
-    idx = _index(spark, sf_dir)
-    st = idx.stats_row()
-    avgdl = st["total_tokens"] / st["num_docs"]
-    bucket_range, block_size = 256, 64
-    blocks = build_posting_blocks(
-        idx.postings, avgdl=avgdl, block_size=block_size, bucket_range=bucket_range
-    )
-    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
+    blocks, slabs, st = _wand_tables(spark, sf_dir)
     topk = bm25_topk_wand(
         blocks, slabs, Q_BM25, TOPK,
         n_docs=st["num_docs"], total_tokens=st["total_tokens"],
-        bucket_range=bucket_range, block_size=block_size,
-        tombstones=tombstones_for_convs(idx, DELETE_CONVS),
+        bucket_range=256, block_size=64,
+        tombstones=tombstones_for_convs(_index(spark, sf_dir), DELETE_CONVS),
     )
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in topk] or [], "doc_id long, score double"
@@ -1570,7 +1578,7 @@ def _q_term_trends(spark, sf_dir):
 def _q_query_box(spark, sf_dir):
     from fulltextsearchengine_spark.operators.queryparse import execute_query
 
-    posp = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    posp = _positional(spark, sf_dir)
     hits = execute_query(
         Searcher(_index(spark, sf_dir)), QBOX, k=TOPK, pos_postings=posp
     )
@@ -1673,12 +1681,12 @@ FROM scored WHERE doc_id <> {doc_id} ORDER BY score DESC, doc_id LIMIT {k}
 
 
 def _q_positional_postings(spark, sf_dir):
-    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    pos = _positional(spark, sf_dir)
     return pos.select("term", "doc_id", F.explode("positions").alias("pos"))
 
 
 def _q_phrase_search(spark, sf_dir):
-    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    pos = _positional(spark, sf_dir)
     return phrase_search(pos, PHRASE_Q, TOPK).withColumn(
         "phrase_tf", F.col("phrase_tf").cast("long")
     )
@@ -1691,7 +1699,7 @@ def _q_window_search(spark, sf_dir):
         unordered_window_search,
     )
 
-    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    pos = _positional(spark, sf_dir)
     return unordered_window_search(pos, WINDOW_Q, slop=WINDOW_SLOP, k=TOPK)
 
 
@@ -1704,7 +1712,7 @@ def _q_ordered_window(spark, sf_dir):
         ordered_window_search,
     )
 
-    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    pos = _positional(spark, sf_dir)
     return ordered_window_search(pos, WINDOW_Q, slop=ORDERED_SLOP, k=TOPK)
 
 
@@ -2480,7 +2488,7 @@ def _q_proximity(spark, sf_dir):
     )
 
     s = Searcher(_index(spark, sf_dir))
-    pos = build_positional_postings(transcripts_from_documents(spark, sf_dir))
+    pos = _positional(spark, sf_dir)
     return proximity_boosted_search(s, pos, Q_PROX, TOPK).select(
         "doc_id", _micro("score", "score_micro")
     )
