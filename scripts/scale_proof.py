@@ -14,6 +14,17 @@ ask for before trusting the layout:
   * WAND skip rates + query wall at the big corpus — block-max pruning
     must not degrade as the posting lists grow 100×.
 
+Serving layout honesty (the first attempt at this scale OOM-killed the
+box): blocks and doc-len slabs are WRITTEN TO PARQUET, range-partitioned
+and sorted by (term, bucket) so term predicates prune at the row-group
+level, and queries READ BACK from disk — exactly what a 1000-executor
+deployment does. Nothing corpus-sized is ever pinned in executor or
+driver memory (`.cache()` of a 7M-row block table is what killed run 1).
+bucket_range is 2^19 here: at 30M docs that is 58 buckets — hot-term
+build tasks capped at 512k postings (~13 MB pandas) while the
+(term, bucket) group count stays ~10^6, not 10^7 (applyInPandas pays
+~0.2 ms per group; see posting_blocks.py DEFAULT_BUCKET_RANGE note).
+
 Skew is read from Spark's own REST API (/api/v1/.../taskSummary), not
 hand-instrumented timers, so the number is the scheduler's view.
 
@@ -24,12 +35,15 @@ Prints one JSON line; paste the table into BENCH/BASELINE.md.
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import time
 import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCALE_BUCKET_RANGE = 1 << 19
 
 
 def _get(url: str):
@@ -91,31 +105,53 @@ def main() -> None:
         app_name="scale_proof",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,  # cluster-shaped: ~2× total cores
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(ui_port),
+            "spark.python.worker.faulthandler.enabled": "true",
+        },
     )
     t = spark.read.parquet(str(corpus))
 
-    workdir = str(cache_dir / f"scale_proof_index_{n_turns}")
+    workdir = Path(cache_dir / f"scale_proof_index_{n_turns}")
+    if workdir.exists():
+        shutil.rmtree(workdir)  # fresh build: wall + skew must be THIS run's
     t0 = time.perf_counter()
-    build_and_save_index(t, workdir)
+    build_and_save_index(t, str(workdir))
     build_sec = round(time.perf_counter() - t0, 1)
     skew = stage_skew(ui_port)
 
-    idx = load_index(spark, workdir)
+    idx = load_index(spark, str(workdir))
     st = idx.stats_row()
     avgdl = st["total_tokens"] / st["num_docs"]
 
+    # Serving sidecar build: blocks + slabs → (term,bucket)-sorted parquet.
+    bucket_range = SCALE_BUCKET_RANGE
+    blocks_dir = workdir / "wand_blocks"
+    slabs_dir = workdir / "wand_slabs"
+    t0 = time.perf_counter()
+    (
+        build_posting_blocks(idx.postings, avgdl=avgdl, bucket_range=bucket_range)
+        .repartitionByRange(2 * cpus, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "block_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(str(blocks_dir))
+    )
+    (
+        build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), bucket_range)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(str(slabs_dir))
+    )
+    blocks_sec = round(time.perf_counter() - t0, 1)
+    blocks = spark.read.parquet(str(blocks_dir))
+    slabs = spark.read.parquet(str(slabs_dir))
+    n_blocks = blocks.count()
+
     # WAND at the big corpus: mixed hot+rare queries, same shape as
-    # bench.py's bm25_wand_big
-    bucket_range = 1 << 14  # ~1.8k docs/bucket at 30M docs
-    blocks = build_posting_blocks(
-        idx.postings, avgdl=avgdl, bucket_range=bucket_range
-    ).cache()
-    blocks.count()
-    slabs = build_doc_len_slabs(
-        idx.docs.select("doc_id", "doc_len"), bucket_range
-    ).cache()
-    slabs.count()
+    # bench.py's bm25_wand_big — served from the pruned parquet layout.
     hot = [
         r["term"]
         for r in idx.terms.orderBy(F.desc("df"), F.asc("term")).limit(10).collect()
@@ -150,7 +186,11 @@ def main() -> None:
         "num_docs": st["num_docs"],
         "total_tokens": st["total_tokens"],
         "postings_stage": skew,
+        "blocks_build_write_sec": blocks_sec,
+        "n_blocks": n_blocks,
+        "bucket_range": bucket_range,
         "wand_5q_sec": wand_sec,
+        "wand_sec_per_query": round(wand_sec / len(queries), 2),
         "wand_block_skip_rate": round(
             sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_stats)
             / max(sum(s["blocks_total"] for s in wand_stats), 1), 4
