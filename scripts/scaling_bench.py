@@ -264,7 +264,13 @@ def main() -> None:
     ]
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
+    # First run authors BASELINE.md; later runs write a sidecar so the
+    # hand-curated history sections (repeat measurements, environment-
+    # limited runs, the 30M scale proof) aren't clobbered — merge by hand.
+    target = bench_dir / "BASELINE.md"
+    if target.exists():
+        target = bench_dir / "SCALING_latest.md"
+    target.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     print(
         json.dumps(
