@@ -545,6 +545,43 @@ def main() -> None:
         ["Window", "HashAggregate", "!BatchEvalPython"],
     ))
 
+    # Round-4: tombstoned WAND — the deleted-doc set rides into the Arrow
+    # cogroup worker as a driver-side numpy array (deletes are ~0.01% of
+    # corpus), so the plan must be IDENTICAL to untombstoned WAND: same
+    # blocks+slabs scans, no extra join/exchange, docs table untouched.
+    hook_t: list = []
+    bm25_topk_wand(
+        wblocks, wslabs, ["spark", "join", "fast"], 10,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=256, block_size=64, explain_out=hook_t,
+        tombstones=[1, 2, 3],
+    )
+    p = grab_plan(hook_t[0])
+    sections.append((
+        "Tombstoned WAND (delete set enters the cogroup closure — no extra join)", p,
+        ["wandidx/blocks", "wandidx/slabs", "FlatMapCoGroupsInPandas",
+         "!/index/docs", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
+    ))
+
+    # Round-4: star connected components on an adversarial chain (the
+    # shape propagation is worst at). Loop lineage is localCheckpoint-
+    # truncated per round, so the audited plan is the final label join;
+    # the property that matters is what must be ABSENT.
+    from fulltextsearchengine_spark.operators.dedup_groups import connected_components
+
+    chain = spark.range(256).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rounds: list = []
+    p = grab_plan(
+        connected_components(chain, algorithm="star", rounds_out=rounds)
+    )
+    sections.append((
+        f"Star connected components (256-node chain converged in {rounds[0]} "
+        "alternating rounds, lineage O(1) via localCheckpoint)", p,
+        ["!CartesianProduct", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
