@@ -2447,6 +2447,10 @@ UPSERT_ROWS = [
 ]
 Q_UPSERT = ["merge", "stream", "fast"]
 Q_AND = ["batch", "window", "customer"]
+# 2-of-4 with one rare term (df=25/500): OR's top-20 includes dup-only
+# docs that m=2 must drop, so the gate discriminates from both extremes
+Q_MSM = ["dup", "batch", "window", "customer"]
+MSM_M = 2
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -2547,6 +2551,13 @@ def _q_upsert_bm25(spark, sf_dir):
 def _q_bm25_and(spark, sf_dir):
     s = Searcher(_index(spark, sf_dir))
     return s.bm25_search_conjunctive(Q_AND, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_bm25_msm(spark, sf_dir):
+    s = Searcher(_index(spark, sf_dir))
+    return s.bm25_search_msm(Q_MSM, TOPK, min_should_match=MSM_M).select(
         "doc_id", _micro("score", "score_micro")
     )
 
@@ -3011,6 +3022,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_interleave": _q_interleave,
         "dedup_groups_star": _q_dedup_groups_star,
         "ftse_bm25_wand_tombstoned": _q_bm25_wand_tombstoned,
+        "ftse_bm25_msm_topk": _q_bm25_msm,
     }
 
 
@@ -4421,6 +4433,10 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_and_topk": _bm25_sql(Q_AND, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) = {len(set(Q_AND))}\n)",
+        ),
+        "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
+            "GROUP BY p.doc_id\n)",
+            f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
         ),
         "ftse_hybrid_rrf": _hybrid_rrf_sql(Q_BM25, TOPK, HYBRID_POOL),
         "ftse_lm_dirichlet_topk": _dirichlet_sql(Q_DIRICHLET, TOPK, DIRICHLET_MU),

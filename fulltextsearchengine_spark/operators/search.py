@@ -377,6 +377,67 @@ class Searcher:
             score = score + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
         return self.topk(piv.select("doc_id", score.alias("score")), k)
 
+    def bm25_search_msm(
+        self,
+        query: list[str],
+        k: int,
+        min_should_match: int,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Minimum-should-match BM25 top-k: only docs containing at
+        least ``min_should_match`` DISTINCT query terms score — the
+        Lucene/Elasticsearch ``minimum_should_match`` knob, the dial
+        between this engine's OR-union scorers (m=1) and
+        ``bm25_search_conjunctive`` (m=n). Scores equal ``bm25_scores``
+        on the surviving docs: m changes the candidate set, never the
+        math (same filter-don't-reweight contract as ``candidates=``).
+
+        OOV terms (df=0) can never be matched, so they count toward
+        neither side — a doc needs m of the in-vocab terms, and if fewer
+        than m query terms are in-vocab the result is empty (exactly
+        Lucene's behavior: an unsatisfiable SHOULD count matches
+        nothing). m is validated against the distinct folded query.
+
+        Plan: identical to every scorer here — pruned ``In(term,…)``
+        scan, one partial-agg pivot shuffle; the m-of-n test is a
+        driver-built sum of null-checks over the pivot's tf slots, so
+        no extra join or exchange appears (scripts/explain_plans.py
+        asserts the shape for the AND specialization)."""
+        terms = sorted(set(normalize_query(query)))
+        if not 1 <= min_should_match <= max(len(terms), 1):
+            raise ValueError(
+                f"min_should_match {min_should_match} out of [1, {len(terms)}] "
+                f"for query terms {terms}"
+            )
+        if not terms:
+            return self._empty_scores()
+        stats = self.term_stats(terms)
+        n = self.stats["num_docs"]
+        avgdl = (self.stats["total_tokens"] / n) if n else 0.0
+        idf = {
+            t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for t, (df, _) in stats.items()
+            if df > 0
+        }
+        terms = sorted(idf)
+        if len(terms) < min_should_match:
+            return self._empty_scores()
+        piv = self._pivoted_tf(terms)
+        matched = F.lit(0)
+        for i in range(len(terms)):
+            matched = matched + F.col(f"tf_{i}").isNotNull().cast("int")
+        piv = piv.filter(matched >= F.lit(min_should_match))
+        norm_len = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+        )
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            tf = F.col(f"tf_{i}")
+            contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
+            score = score + F.coalesce(contrib, F.lit(0.0))
+        return self.topk(piv.select("doc_id", score.alias("score")), k)
+
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(
         self,

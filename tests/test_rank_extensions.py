@@ -284,6 +284,56 @@ def test_conjunctive_bm25_rank_identity(setup):
     assert searcher.bm25_search_conjunctive(["aa", "zzzznotaterm"], K).count() == 0
 
 
+# ------------------------------------------ minimum-should-match (m of n)
+
+
+def _brute_msm(golden, query, m, k):
+    terms = sorted({t.lower() for t in query})
+    maps = [oracle._postings_map(golden, t) for t in terms]
+    count = Counter()
+    for pm in maps:
+        for d in pm:
+            count[d] += 1
+    docs = {d for d, c in count.items() if c >= m}
+    scored = [
+        (d, s) for d, s in oracle.bm25_search(golden, terms, golden["num_docs"])
+        if d in docs
+    ]
+    return sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_msm_bm25_rank_identity(setup):
+    golden, searcher, _ = setup
+    # the 6-term union gives m room to bite between the extremes
+    q = QUERIES[0] + QUERIES[1]
+    for m in range(1, len(q) + 1):
+        exp = _brute_msm(golden, q, m, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in searcher.bm25_search_msm(q, K, min_should_match=m).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], (q, m)
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_msm_extremes_and_validation(setup):
+    golden, searcher, _ = setup
+    q = QUERIES[2]
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+    assert ids(searcher.bm25_search_msm(q, K, 1)) == ids(searcher.bm25_search(q, K))
+    assert ids(searcher.bm25_search_msm(q, K, len(q))) == ids(
+        searcher.bm25_search_conjunctive(q, K)
+    )
+    # OOV terms satisfy nothing: if fewer than m terms are in-vocab -> empty
+    assert searcher.bm25_search_msm(["aa", "zzzznotaterm"], K, 2).count() == 0
+    with pytest.raises(ValueError):
+        searcher.bm25_search_msm(q, K, 0)
+    with pytest.raises(ValueError):
+        searcher.bm25_search_msm(q, K, len(set(q)) + 1)
+
+
 # ---------------------------------------------------------------- RRF
 
 
