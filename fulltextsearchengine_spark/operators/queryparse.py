@@ -13,6 +13,10 @@ syntax subset — public knowledge):
     -noise  -"bad phrase"        exclusions (post-score anti-filter)
     role:user  tool:search       metadata field filters (docs columns)
     conv:conv_000042             restrict to one conversation
+    mm:2                         minimum-should-match: docs must contain
+                                 at least N distinct positive terms
+                                 (Lucene minimum_should_match; default 1
+                                 = OR union, N = all terms = AND)
     after:2026-01-01 before:2026-02-01
                                  half-open time range [after, before):
                                  ts >= after AND ts < before. Values are
@@ -43,7 +47,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import TOKEN_RE
 from .search import Searcher
 
-_FIELDS = ("role", "tool", "conv", "after", "before")
+_FIELDS = ("role", "tool", "conv", "after", "before", "mm")
 # token grammar: quoted phrase | field:value | bare word; '-' prefix negates
 _PART_RE = re.compile(
     r"""(?P<neg>-)?(?:
@@ -65,6 +69,7 @@ class ParsedQuery:
     proximities: list[tuple[list[str], int]] = field(default_factory=list)
     excluded_proximities: list[tuple[list[str], int]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
+    min_should_match: int = 1
 
 
 def _fold(text: str) -> list[str]:
@@ -106,6 +111,10 @@ def parse_query(q: str) -> ParsedQuery:
                         "timestamp in the Spark session timezone"
                     )
                 out.filters[f] = v  # keep ISO case/precision as typed
+            elif f == "mm":
+                if not v.isdigit() or int(v) < 1:
+                    raise ValueError(f"bad mm: {v!r} (want an integer >= 1)")
+                out.min_should_match = int(v)
             else:
                 out.filters[f] = v.lower()
         else:
@@ -138,7 +147,11 @@ def execute_query(
     )
     if not terms:
         raise ValueError("query has no positive terms")
-    scores = searcher.bm25_scores(terms)
+    if pq.min_should_match > 1:
+        # validated against the distinct folded positive terms inside
+        scores = searcher.bm25_scores_msm(terms, pq.min_should_match)
+    else:
+        scores = searcher.bm25_scores(terms)
 
     docs = searcher.index.docs
     if "after" in pq.filters:

@@ -389,9 +389,22 @@ class Searcher:
         least ``min_should_match`` DISTINCT query terms score — the
         Lucene/Elasticsearch ``minimum_should_match`` knob, the dial
         between this engine's OR-union scorers (m=1) and
-        ``bm25_search_conjunctive`` (m=n). Scores equal ``bm25_scores``
-        on the surviving docs: m changes the candidate set, never the
-        math (same filter-don't-reweight contract as ``candidates=``).
+        ``bm25_search_conjunctive`` (m=n)."""
+        return self.topk(
+            self.bm25_scores_msm(query, min_should_match, k1=k1, b=b), k
+        )
+
+    def bm25_scores_msm(
+        self,
+        query: list[str],
+        min_should_match: int,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """(doc_id, score) for docs matching ≥ ``min_should_match``
+        DISTINCT query terms. Scores equal ``bm25_scores`` on the
+        surviving docs: m changes the candidate set, never the math
+        (same filter-don't-reweight contract as ``candidates=``).
 
         OOV terms (df=0) can never be matched, so they count toward
         neither side — a doc needs m of the in-vocab terms, and if fewer
@@ -436,7 +449,7 @@ class Searcher:
             tf = F.col(f"tf_{i}")
             contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
             score = score + F.coalesce(contrib, F.lit(0.0))
-        return self.topk(piv.select("doc_id", score.alias("score")), k)
+        return piv.select("doc_id", score.alias("score"))
 
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(

@@ -157,3 +157,43 @@ def test_time_range_filters(setup, small_transcripts_pdf):
         parse_query("x after:2026-01-01T00:00:00+05:00")
     with pytest.raises(ValueError, match="timezone-aware"):
         parse_query("x before:2026-01-01T00:00:00Z")
+
+
+def test_mm_clause(setup):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query, parse_query
+
+    golden, searcher, _, doc_tokens = setup
+    # three mid-df terms; mm:2 must equal the brute >=2-distinct-term filter
+    q_terms = ["aa", "db", "fh"]
+    pq = parse_query("aa db fh mm:2")
+    assert pq.min_should_match == 2 and pq.terms == q_terms
+    got = [
+        (r["doc_id"], r["score"])
+        for r in execute_query(searcher, "aa db fh mm:2", k=10**6).collect()
+    ]
+    matched = {
+        d: sum(t in toks for t in q_terms) for d, toks in doc_tokens.items()
+    }
+    exp = [
+        (d, s)
+        for d, s in oracle.bm25_search(golden, q_terms, golden["num_docs"])
+        if matched[d] >= 2
+    ]
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, es), (_, gs) in zip(exp, got):
+        assert gs == pytest.approx(es, rel=1e-9)
+    # default mm=1 is the plain OR union
+    assert parse_query("aa db fh").min_should_match == 1
+    # composes with metadata filters (role) — mm prunes first, role after
+    got_role = {
+        r["doc_id"]
+        for r in execute_query(searcher, "aa db fh mm:2 role:user", k=10**6).collect()
+    }
+    assert got_role <= {g[0] for g in got}
+    with pytest.raises(ValueError, match="bad mm"):
+        parse_query("aa db mm:0")
+    with pytest.raises(ValueError, match="bad mm"):
+        parse_query("aa db mm:two")
+    with pytest.raises(ValueError, match="min_should_match"):
+        execute_query(searcher, "aa db mm:7", k=5)
