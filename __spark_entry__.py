@@ -1531,6 +1531,24 @@ def _q_bm25_wand_tombstoned(spark, sf_dir):
     return out.select("doc_id", _micro("score", "score_micro"))
 
 
+def _q_bm25_wand_msm(spark, sf_dir):
+    """m-of-n WAND ("weak AND", Broder et al. 2003) on the serving
+    layout: same Q_MSM/MSM_M as ftse_bm25_msm_topk and the SAME oracle,
+    pinning the fast path and the DataFrame scorer to one semantics."""
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
+
+    blocks, slabs, st = _wand_tables(spark, sf_dir)
+    topk = bm25_topk_wand(
+        blocks, slabs, Q_MSM, TOPK,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=256, block_size=64, min_should_match=MSM_M,
+    )
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in topk] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", _micro("score", "score_micro"))
+
+
 def _q_prefix_search(spark, sf_dir):
     return prefix_search(_index(spark, sf_dir).terms, PREFIX_Q, TOPK)
 
@@ -3023,6 +3041,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_star": _q_dedup_groups_star,
         "ftse_bm25_wand_tombstoned": _q_bm25_wand_tombstoned,
         "ftse_bm25_msm_topk": _q_bm25_msm,
+        "ftse_bm25_wand_msm": _q_bm25_wand_msm,
     }
 
 
@@ -4435,6 +4454,10 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
             f"GROUP BY p.doc_id\n  HAVING count(*) = {len(set(Q_AND))}\n)",
         ),
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
+            "GROUP BY p.doc_id\n)",
+            f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "ftse_bm25_wand_msm": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
         ),

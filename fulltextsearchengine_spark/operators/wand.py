@@ -108,6 +108,7 @@ def bm25_topk_wand(
     return_stats: bool = False,
     explain_out: list | None = None,
     tombstones=None,
+    min_should_match: int = 1,
 ):
     """Exact BM25 top-k [(doc_id, score)] with distributed block-max
     pruning. ``slabs`` is the build-time doc_len sidecar
@@ -130,8 +131,24 @@ def bm25_topk_wand(
     their pre-delete values, exactly matching deletes.exclude_docs on
     the DataFrame path, so both paths stay rank- and score-identical
     until a purge.
+
+    ``min_should_match``: m-of-n distinct-term matching — the original
+    WAND formulation ("weak AND", Broder et al. CIKM 2003 §2 defines
+    the operator by its match threshold) and the serving twin of
+    Searcher.bm25_search_msm. Exactness under pruning: θ is seeded only
+    from docs whose SEED-OBSERVED match count is already ≥ m (observed
+    ≤ true count, so every seeded doc is valid and θ stays a lower
+    bound on the k-th valid score), and the cogroup's chunk gate is
+    unchanged — chunks partition doc-id space, so a live-chunk doc
+    decodes ALL its blocks (exact score AND exact match count) while a
+    dead-chunk doc is provably below θ, valid or not.
     """
     terms = sorted({t.lower() for t in query})
+    if not 1 <= min_should_match <= max(len(terms), 1):
+        raise ValueError(
+            f"min_should_match {min_should_match} out of [1, {len(terms)}] "
+            f"for query terms {terms}"
+        )
     if not terms or n_docs == 0:
         return ([], _zero_stats()) if return_stats else []
     tomb = _tomb_array(tombstones)
@@ -232,8 +249,11 @@ def bm25_topk_wand(
 
     # ---- threshold seed: decode the hottest blocks on the driver ----
     theta = -math.inf
+    if len(idf) < min_should_match:
+        return ([], _zero_stats()) if return_stats else []
     if seed_rows:
         acc: dict[int, float] = {}
+        cnt: dict[int, int] = {}
         for r in sorted(seed_rows, key=lambda r: r["term"]):  # oracle add order
             w = idf.get(r["term"])
             sl = slab_map.get(int(r["bucket"]))
@@ -246,6 +266,11 @@ def bm25_topk_wand(
             dl = lens[ids - base].astype(np.float64)
             for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+                cnt[d] = cnt.get(d, 0) + 1
+        if min_should_match > 1:
+            # observed count ≤ true count: every kept doc is truly valid,
+            # so θ never exceeds the k-th valid score (drops only weaken θ)
+            acc = {d: v for d, v in acc.items() if cnt[d] >= min_should_match}
         if tomb_set is not None:
             acc = {d: v for d, v in acc.items() if d not in tomb_set}
         if len(acc) >= k:
@@ -282,6 +307,7 @@ def bm25_topk_wand(
         blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
         k1, b, bucket_range, block_size,
         acc_dec=acc_dec, acc_skip=acc_skip, explain_out=explain_out, tomb=tomb,
+        msm=min_should_match,
     )
     if return_stats:
         stats["blocks_decoded"] = acc_dec.value
@@ -316,7 +342,7 @@ def _survivor_frames(blocks, slabs, qblocks, surviving):
 def _single_query_cogroup(
     blocks, slabs, qblocks, surviving, idf, theta, k, avgdl,
     k1, b, bucket_range, block_size,
-    acc_dec=None, acc_skip=None, explain_out=None, tomb=None,
+    acc_dec=None, acc_skip=None, explain_out=None, tomb=None, msm=1,
 ) -> list[tuple[int, float]]:
     """Stages 3+4 of the single-query plan: surviving buckets cogroup
     with their doc_len slabs, chunk-gated decode + bounded per-bucket
@@ -362,6 +388,7 @@ def _single_query_cogroup(
 
         acc = np.zeros(len(lens), dtype=np.float64)
         touched = np.zeros(len(lens), dtype=bool)
+        nmatch = np.zeros(len(lens), dtype=np.int32) if msm > 1 else None
         for term, grp in blocks_pdf.groupby("term", sort=True):
             w = idf_b.get(term)
             if w is None:
@@ -380,7 +407,13 @@ def _single_query_cogroup(
                 tfs = tf_decode(row.tfs_ctrl, row.tfs_data, row.n).astype(np.float64)
                 acc[ids] += _contrib(w, tfs, lens[ids], avgdl, k1, b)
                 touched[ids] = True
+                if nmatch is not None:
+                    nmatch[ids] += 1  # one posting per (term, doc): += 1 is the distinct count
             # sorted-term accumulation keeps float adds in oracle order
+        if nmatch is not None:
+            # live-chunk docs decoded every overlapping block, so their
+            # counts are exact; dead-chunk docs are below θ regardless
+            touched &= nmatch >= msm
         if tomb is not None:
             # deleted-docs mask (Lucene bitset analog): tombstoned slots
             # never reach candidate selection
@@ -893,14 +926,21 @@ class WandSearcher:
 
     # ---- query ------------------------------------------------------
     def search(
-        self, query: list[str], k: int, tombstones=None
+        self, query: list[str], k: int, tombstones=None, min_should_match: int = 1
     ) -> list[tuple[int, float]]:
         """``tombstones``: per-query deleted-doc set (same semantics as
         bm25_topk_wand) — the cached per-term metadata is tombstone-
         independent (seeds/impacts/dfs describe the on-disk index), so
         deletes compose with a warm cache: filtering happens at θ-seed
-        time and in the cogroup mask only."""
+        time and in the cogroup mask only. ``min_should_match``: m-of-n
+        matching, same exactness argument as bm25_topk_wand (θ seeded
+        only from observed-≥m docs; chunk gate unchanged)."""
         terms = sorted({t.lower() for t in query})
+        if not 1 <= min_should_match <= max(len(terms), 1):
+            raise ValueError(
+                f"min_should_match {min_should_match} out of [1, {len(terms)}] "
+                f"for query terms {terms}"
+            )
         if not terms or self.n_docs == 0:
             return []
         tomb = _tomb_array(tombstones)
@@ -915,7 +955,7 @@ class WandSearcher:
             for t in terms
             if self._meta[t]["df"] > 0
         }
-        if not idf:
+        if len(idf) < min_should_match or not idf:
             return []
 
         # threshold seed from the cached per-term pools (same rule as
@@ -928,6 +968,7 @@ class WandSearcher:
         ]
         pool.sort(key=lambda x: (-x[0], x[1]["term"], int(x[1]["first_doc_id"])))
         acc: dict[int, float] = {}
+        cnt: dict[int, int] = {}
         for _, r in sorted(pool[: self.seed_blocks], key=lambda x: x[1]["term"]):
             dec = self._decode_seed(r)
             if dec is None:
@@ -937,6 +978,9 @@ class WandSearcher:
             contrib = _contrib(w, tfs, dl, self.avgdl, self.k1, self.b)
             for d, c in zip(ids.tolist(), contrib.tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+                cnt[d] = cnt.get(d, 0) + 1
+        if min_should_match > 1:
+            acc = {d: v for d, v in acc.items() if cnt[d] >= min_should_match}
         if tomb_set is not None:
             acc = {d: v for d, v in acc.items() if d not in tomb_set}
         theta = -math.inf
@@ -960,5 +1004,5 @@ class WandSearcher:
         return _single_query_cogroup(
             self.blocks, self.slabs, qblocks, surviving, idf, theta, k,
             self.avgdl, self.k1, self.b, self.bucket_range, self.block_size,
-            tomb=tomb,
+            tomb=tomb, msm=min_should_match,
         )

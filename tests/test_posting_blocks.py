@@ -349,3 +349,54 @@ def test_wand_tombstones_match_filtered_oracle(ctx):
     jobs = s.metadata_jobs
     assert s.search(q, 10) == base  # cache unpolluted by the delete
     assert s.metadata_jobs == jobs  # and still warm
+
+
+def test_wand_msm_matches_df_scorer(ctx):
+    """m-of-n WAND ("weak AND" — Broder et al. 2003's original
+    formulation): rank- and score-identical to Searcher.bm25_search_msm
+    for every m, on a query mixing one rare with two mid-df terms so
+    the m filter actually changes the result set."""
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.wand import WandSearcher, bm25_topk_wand
+
+    golden, idx, blocks, stats = ctx
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    by_df = sorted(
+        golden["term_to_document_frequency"].items(), key=lambda kv: kv[1]
+    )
+    q = [by_df[0][0], by_df[len(by_df) // 2][0], by_df[-1][0]]
+    kw = dict(
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+    )
+    s = Searcher(idx)
+    warm = WandSearcher(blocks, slabs, **kw)
+    results = {}
+    for m in range(1, len(q) + 1):
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in s.bm25_search_msm(q, 10, min_should_match=m).collect()
+        ]
+        got = bm25_topk_wand(blocks, slabs, q, 10, min_should_match=m, **kw)
+        assert [g[0] for g in got] == [e[0] for e in exp], m
+        for e, g in zip(exp, got):
+            assert g[1] == pytest.approx(e[1], rel=1e-9)
+        got_warm = warm.search(q, 10, min_should_match=m)
+        assert got_warm == got, m
+        results[m] = [g[0] for g in got]
+    # the rare+mid mix must discriminate: m=2 differs from the OR union
+    assert results[2] != results[1]
+    # m composes with tombstones: kill m=2's top doc, next live doc rises
+    top = results[2][0]
+    got_t = bm25_topk_wand(
+        blocks, slabs, q, 10, min_should_match=2, tombstones=[top], **kw
+    )
+    assert top not in [g[0] for g in got_t]
+    exp_t = [
+        (r["doc_id"], r["score"])
+        for r in s.bm25_search_msm(q, 50, min_should_match=2).collect()
+        if r["doc_id"] != top
+    ][:10]
+    assert [g[0] for g in got_t] == [e[0] for e in exp_t]
+    with pytest.raises(ValueError):
+        bm25_topk_wand(blocks, slabs, q, 10, min_should_match=4, **kw)
