@@ -525,6 +525,7 @@ def bm25_topk_wand_batch(
     term_stats: dict[str, int] | None = None,
     seed_blocks: int = 32,
     tombstones=None,
+    min_should_match: int | dict = 1,
 ) -> dict[str, list[tuple[int, float]]]:
     """Exact BM25 top-k for MANY queries in TWO Spark jobs total — the
     high-throughput shape for 10^12-doc serving backfills (one query =
@@ -556,9 +557,22 @@ def bm25_topk_wand_batch(
     Returns ``{qid: [(doc_id, score), ...]}``; rank-identical to
     per-query ``bm25_topk_wand`` (pytest-locked). ``tombstones`` applies
     the same deleted-docs semantics as ``bm25_topk_wand`` to every
-    query in the batch.
+    query in the batch. ``min_should_match``: an int for every query or
+    a {qid: m} dict (missing qids default to 1) — same semantics and
+    exactness argument as the single-query path; each m-filtered query
+    adds a 4·bucket_range-byte match-count array in-task.
     """
     qterms = {qid: sorted({t.lower() for t in q}) for qid, q in queries.items()}
+    if isinstance(min_should_match, dict):
+        msm_q = {qid: int(min_should_match.get(qid, 1)) for qid in queries}
+    else:
+        msm_q = {qid: int(min_should_match) for qid in queries}
+    for qid, m in msm_q.items():
+        if not 1 <= m <= max(len(qterms[qid]), 1):
+            raise ValueError(
+                f"min_should_match {m} out of [1, {len(qterms[qid])}] "
+                f"for query {qid!r}"
+            )
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     out: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
     if not all_terms or n_docs == 0:
@@ -651,6 +665,7 @@ def bm25_topk_wand_batch(
         ]
         pool.sort(key=lambda x: (-x[0], x[1]["term"], int(x[1]["first_doc_id"])))
         acc: dict[int, float] = {}
+        cnt: dict[int, int] = {}
         for _, r in sorted(pool[:seed_blocks], key=lambda x: x[1]["term"]):
             dec = _decode_seed(r)
             if dec is None:
@@ -659,6 +674,9 @@ def bm25_topk_wand_batch(
             w = idf[r["term"]]
             for d, c in zip(ids.tolist(), _contrib(w, tfs, dl, avgdl, k1, b).tolist()):
                 acc[d] = acc.get(d, 0.0) + c
+                cnt[d] = cnt.get(d, 0) + 1
+        if msm_q[qid] > 1:
+            acc = {d: v for d, v in acc.items() if cnt[d] >= msm_q[qid]}
         if tomb_set is not None:
             acc = {d: v for d, v in acc.items() if d not in tomb_set}
         theta = -math.inf
@@ -674,6 +692,9 @@ def bm25_topk_wand_batch(
     surv_by_query: dict[str, set[int]] = {}
     for qid, terms in qterms.items():
         tset = [t for t in terms if t in idf]
+        if len(tset) < msm_q[qid]:
+            surv_by_query[qid] = set()  # m unsatisfiable: empty by definition
+            continue
         surv_by_query[qid] = {
             bkt
             for bkt, mis in mi_by_bucket.items()
@@ -697,6 +718,7 @@ def bm25_topk_wand_batch(
     idf_b = dict(idf)
     qterms_b = {qid: [t for t in ts if t in idf] for qid, ts in qterms.items()}
     thetas_b = dict(thetas)
+    msm_b = dict(msm_q)
     surv_b = {qid: s for qid, s in surv_by_query.items()}
     chunk = block_size
     n_chunks = -(-bucket_range // chunk)
@@ -738,6 +760,11 @@ def bm25_topk_wand_batch(
 
         accs = {qid: np.zeros(len(lens), dtype=np.float64) for qid in active}
         touched = {qid: np.zeros(len(lens), dtype=bool) for qid in active}
+        nmatch = {
+            qid: np.zeros(len(lens), dtype=np.int32)
+            for qid in active
+            if msm_b[qid] > 1
+        }
         for term, grp in blocks_pdf.groupby("term", sort=True):
             w = idf_b.get(term)
             qids = queries_of_term.get(term)
@@ -756,6 +783,10 @@ def bm25_topk_wand_batch(
                 for q_ in takers:  # decode once, scatter per taker
                     accs[q_][ids] += contrib
                     touched[q_][ids] = True
+                    if q_ in nmatch:
+                        nmatch[q_][ids] += 1
+        for qid, nm in nmatch.items():
+            touched[qid] &= nm >= msm_b[qid]
         if tomb is not None:
             local = tomb[(tomb >= base) & (tomb < base + len(lens))] - base
             for qid in active:

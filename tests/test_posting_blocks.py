@@ -400,3 +400,27 @@ def test_wand_msm_matches_df_scorer(ctx):
     assert [g[0] for g in got_t] == [e[0] for e in exp_t]
     with pytest.raises(ValueError):
         bm25_topk_wand(blocks, slabs, q, 10, min_should_match=4, **kw)
+    # batch path: per-query m dict, each rank-identical to its
+    # single-query msm run (and int broadcast form == dict form)
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand_batch
+
+    queries = {"q1": q, "q2": q[:2], "q3": q}
+    mdict = {"q1": 2, "q2": 1, "q3": 3}
+    batch = bm25_topk_wand_batch(
+        blocks, slabs, queries, 10, min_should_match=mdict, **kw
+    )
+    for qid, qq in queries.items():
+        single = bm25_topk_wand(
+            blocks, slabs, qq, 10, min_should_match=mdict[qid], **kw
+        )
+        assert [g[0] for g in batch[qid]] == [x[0] for x in single], qid
+        for x, g in zip(single, batch[qid]):
+            assert g[1] == pytest.approx(x[1], rel=1e-12)
+    batch_int = bm25_topk_wand_batch(
+        blocks, slabs, {"q1": q}, 10, min_should_match=2, **kw
+    )
+    assert batch_int["q1"] == batch["q1"]
+    with pytest.raises(ValueError):
+        bm25_topk_wand_batch(
+            blocks, slabs, queries, 10, min_should_match={"q2": 5}, **kw
+        )
