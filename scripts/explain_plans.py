@@ -563,6 +563,18 @@ def main() -> None:
          "!/index/docs", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
     ))
 
+    # Round-4: minimum-should-match BM25 — the m-of-n filter must ride
+    # the existing pivot (a null-count Filter above the HashAggregate),
+    # adding NO join and NO second exchange vs the plain OR scorer.
+    p = grab_plan(s.bm25_search_msm(["spark", "join", "fast"], 10, min_should_match=2))
+    n_exchanges = p.count("Exchange")
+    sections.append((
+        f"BM25 minimum-should-match (m-of-n filter on the pivot, {n_exchanges} "
+        "Exchange mentions — same as plain BM25)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate",
+         "!BatchEvalPython", "!SortMergeJoin", "!BroadcastHashJoin"],
+    ))
+
     # Round-4: star connected components on an adversarial chain (the
     # shape propagation is worst at). Loop lineage is localCheckpoint-
     # truncated per round, so the audited plan is the final label join;
