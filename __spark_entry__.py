@@ -1531,6 +1531,17 @@ def _q_bm25_wand_tombstoned(spark, sf_dir):
     return out.select("doc_id", _micro("score", "score_micro"))
 
 
+def _q_bool_search(spark, sf_dir):
+    """Nested boolean retrieval (operators/boolquery.py): the tree
+    filters candidates, BM25 over the positive terms scores them."""
+    from fulltextsearchengine_spark.operators.boolquery import bool_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return bool_search(s, Q_BOOL, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
 def _q_bm25_wand_msm(spark, sf_dir):
     """m-of-n WAND ("weak AND", Broder et al. 2003) on the serving
     layout: same Q_MSM/MSM_M as ftse_bm25_msm_topk and the SAME oracle,
@@ -2469,6 +2480,10 @@ Q_AND = ["batch", "window", "customer"]
 # docs that m=2 must drop, so the gate discriminates from both extremes
 Q_MSM = ["dup", "batch", "window", "customer"]
 MSM_M = 2
+# nested boolean: rare-OR-conjunction, pruned by a negation — exercises
+# grouping, OOV-free NOT, and the filter-don't-reweight scoring contract
+Q_BOOL = "(dup OR (batch AND window)) AND NOT customer"
+Q_BOOL_POS = ["batch", "dup", "window"]  # sorted positive terms of Q_BOOL
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3042,6 +3057,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_wand_tombstoned": _q_bm25_wand_tombstoned,
         "ftse_bm25_msm_topk": _q_bm25_msm,
         "ftse_bm25_wand_msm": _q_bm25_wand_msm,
+        "ftse_bool_search": _q_bool_search,
     }
 
 
@@ -4456,6 +4472,20 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "ftse_bool_search": (
+            _bm25_scored_cte(Q_BOOL_POS)
+            + f"""
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM toksd
+  WHERE (list_contains(tokens, 'dup')
+         OR (list_contains(tokens, 'batch') AND list_contains(tokens, 'window')))
+    AND NOT list_contains(tokens, 'customer')
+)
+ORDER BY score DESC, doc_id LIMIT {TOPK}
+"""
         ),
         "ftse_bm25_wand_msm": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",

@@ -575,6 +575,18 @@ def main() -> None:
          "!BatchEvalPython", "!SortMergeJoin", "!BroadcastHashJoin"],
     ))
 
+    # Round-4: nested boolean retrieval — the whole AND/OR/NOT tree
+    # compiles to ONE Catalyst boolean filter over the pivot's tf slots
+    # (negated terms ride the same scan); no join, no second exchange.
+    from fulltextsearchengine_spark.operators.boolquery import bool_search
+
+    p = grab_plan(bool_search(s, "(spark OR join) AND fast AND NOT slow", 10))
+    sections.append((
+        "Nested boolean retrieval (tree folds into one pivot filter)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate",
+         "!BatchEvalPython", "!SortMergeJoin", "!BroadcastHashJoin"],
+    ))
+
     # Round-4: star connected components on an adversarial chain (the
     # shape propagation is worst at). Loop lineage is localCheckpoint-
     # truncated per round, so the audited plan is the final label join;

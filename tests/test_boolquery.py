@@ -1,0 +1,125 @@
+"""Nested boolean retrieval vs a brute-force Python evaluator."""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearchengine_spark import oracle
+from fulltextsearchengine_spark.operators.boolquery import (
+    And,
+    Not,
+    Or,
+    Term,
+    bool_search,
+    parse_bool,
+)
+from fulltextsearchengine_spark.operators.index_build import build_index
+from fulltextsearchengine_spark.operators.search import Searcher
+from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_transcripts_pdf):
+    golden = oracle.build_index(small_transcripts_pdf)
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    doc_tokens = {
+        r.doc_id: set(oracle.tokenize(r.text)) for r in docs.itertuples(index=False)
+    }
+    return golden, Searcher(build_index(sdf)), doc_tokens
+
+
+def test_parse_bool_shapes():
+    assert parse_bool("a b") == And((Term("a"), Term("b")))  # adjacency = AND
+    assert parse_bool("a OR b AND c") == Or((Term("a"), And((Term("b"), Term("c")))))
+    assert parse_bool("(a OR b) AND -c") == And(
+        (Or((Term("a"), Term("b"))), Not(Term("c")))
+    )
+    assert parse_bool("NOT a AND b") == And((Not(Term("a")), Term("b")))
+    # lowercase 'or' is a term, not an operator
+    assert parse_bool("a or") == And((Term("a"), Term("or")))
+    # multi-token word = implicit AND of its folded tokens
+    assert parse_bool("a-b") == And((Term("a"), Term("b")))
+    for bad in ("(a", "a)", "a OR", "AND a"):
+        with pytest.raises(ValueError):
+            parse_bool(bad)
+
+
+def _brute(golden, doc_tokens, tree, k):
+    def ev(n, toks):
+        if isinstance(n, Term):
+            return n.t in toks
+        if isinstance(n, Not):
+            return not ev(n.kid, toks)
+        if isinstance(n, And):
+            return all(ev(x, toks) for x in n.kids)
+        return any(ev(x, toks) for x in n.kids)
+
+    pos: set = set()
+
+    def collect(n, neg):
+        if isinstance(n, Term):
+            if not neg:
+                pos.add(n.t)
+        elif isinstance(n, Not):
+            collect(n.kid, not neg)
+        else:
+            for x in n.kids:
+                collect(x, neg)
+
+    collect(tree, False)
+    score_terms = sorted(t for t in pos if golden["term_to_document_frequency"].get(t))
+    matched = {d for d, toks in doc_tokens.items() if ev(tree, toks)}
+    scored = [
+        (d, s)
+        for d, s in oracle.bm25_search(golden, score_terms, golden["num_docs"])
+        if d in matched
+    ]
+    return sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_bool_search_rank_identity(setup):
+    golden, searcher, doc_tokens = setup
+    by_df = sorted(
+        golden["term_to_document_frequency"].items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    # high-df terms co-occur, so the boolean structure has data to bite on
+    a, b, c, d = (t for t, _ in by_df[:4])
+    queries = [
+        f"({a} OR {b}) AND {c}",
+        f"{a} OR ({b} AND {c})",
+        f"({a} OR {b}) AND NOT {c}",
+        f"{a} AND ({b} OR {c} OR {d}) AND -{b}",
+        f"(({a} OR {b}) AND ({c} OR {d})) OR ({a} AND {d})",
+    ]
+    for q in queries:
+        tree = parse_bool(q)
+        exp = _brute(golden, doc_tokens, tree, K)
+        got = [
+            (r["doc_id"], r["score"]) for r in bool_search(searcher, q, K).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+        assert exp, q  # high-df fixture terms guarantee matches
+
+
+def test_bool_search_oov_and_grounding(setup):
+    golden, searcher, doc_tokens = setup
+    ts = sorted(golden["term_to_document_frequency"])
+    a, b = ts[0], ts[len(ts) // 2]
+    # OOV positive leaf folds away inside OR; NOT oov folds to True
+    q = f"({a} OR zzznotaterm) AND NOT qqqnotaterm"
+    exp = _brute(golden, doc_tokens, parse_bool(f"{a}"), K)
+    got = [(r["doc_id"], r["score"]) for r in bool_search(searcher, q, K).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    # an AND with an OOV mandatory leaf matches nothing
+    assert bool_search(searcher, f"{a} AND zzznotaterm", K).count() == 0
+    # ungrounded trees are rejected
+    for bad in ("NOT x", f"{a} OR NOT {b}", f"NOT {a} OR NOT {b}"):
+        with pytest.raises(ValueError, match="grounded"):
+            bool_search(searcher, bad, K)
+    # grounded: negation beside a positive sibling inside AND is fine
+    bool_search(searcher, f"{a} AND NOT {b}", K).collect()
