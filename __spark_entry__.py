@@ -1531,6 +1531,16 @@ def _q_bm25_wand_tombstoned(spark, sf_dir):
     return out.select("doc_id", _micro("score", "score_micro"))
 
 
+def _q_query_sorted(spark, sf_dir):
+    """sort:-ts listing (ES/Lucene field Sort): the query selects and
+    scores; the final order is the docs column, not the score."""
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+
+    s = Searcher(_index(spark, sf_dir))
+    out = execute_query(s, Q_SORTED, TOPK)
+    return out.select("doc_id", _micro("score", "score_micro"))
+
+
 def _q_bool_search(spark, sf_dir):
     """Nested boolean retrieval (operators/boolquery.py): the tree
     filters candidates, BM25 over the positive terms scores them."""
@@ -2484,6 +2494,8 @@ MSM_M = 2
 # grouping, OOV-free NOT, and the filter-don't-reweight scoring contract
 Q_BOOL = "(dup OR (batch AND window)) AND NOT customer"
 Q_BOOL_POS = ["batch", "dup", "window"]  # sorted positive terms of Q_BOOL
+# field-sorted retrieval: recency listing of matching user turns
+Q_SORTED = "batch role:user sort:-ts"
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3058,6 +3070,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_msm_topk": _q_bm25_msm,
         "ftse_bm25_wand_msm": _q_bm25_wand_msm,
         "ftse_bool_search": _q_bool_search,
+        "ftse_query_sorted": _q_query_sorted,
     }
 
 
@@ -4472,6 +4485,17 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "ftse_query_sorted": (
+            _bm25_scored_cte(["batch"])
+            + f"""
+SELECT s.doc_id, CAST(round(s.score * 1e6) AS BIGINT) AS score_micro
+FROM scored s
+JOIN docs d USING (doc_id)
+JOIN ranked r USING (doc_id)
+WHERE lower(d.role) = 'user'
+ORDER BY r.ts DESC, s.doc_id LIMIT {TOPK}
+"""
         ),
         "ftse_bool_search": (
             _bm25_scored_cte(Q_BOOL_POS)

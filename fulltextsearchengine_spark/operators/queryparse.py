@@ -13,6 +13,10 @@ syntax subset — public knowledge):
     -noise  -"bad phrase"        exclusions (post-score anti-filter)
     role:user  tool:search       metadata field filters (docs columns)
     conv:conv_000042             restrict to one conversation
+    sort:-ts  sort:turn_idx      order results by a docs column instead
+                                 of score (leading '-' = descending;
+                                 fields: ts, turn_idx, doc_id); score is
+                                 still computed and returned
     mm:2                         minimum-should-match: docs must contain
                                  at least N distinct positive terms
                                  (Lucene minimum_should_match; default 1
@@ -47,7 +51,8 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import TOKEN_RE
 from .search import Searcher
 
-_FIELDS = ("role", "tool", "conv", "after", "before", "mm")
+_FIELDS = ("role", "tool", "conv", "after", "before", "mm", "sort")
+_SORT_FIELDS = ("ts", "turn_idx", "doc_id")
 # token grammar: quoted phrase | field:value | bare word; '-' prefix negates
 _PART_RE = re.compile(
     r"""(?P<neg>-)?(?:
@@ -70,6 +75,8 @@ class ParsedQuery:
     excluded_proximities: list[tuple[list[str], int]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
     min_should_match: int = 1
+    # (docs column, descending) — None = rank by score
+    sort: tuple[str, bool] | None = None
 
 
 def _fold(text: str) -> list[str]:
@@ -115,6 +122,13 @@ def parse_query(q: str) -> ParsedQuery:
                 if not v.isdigit() or int(v) < 1:
                     raise ValueError(f"bad mm: {v!r} (want an integer >= 1)")
                 out.min_should_match = int(v)
+            elif f == "sort":
+                fld, desc = (v[1:], True) if v.startswith("-") else (v, False)
+                if fld not in _SORT_FIELDS:
+                    raise ValueError(
+                        f"bad sort: {v!r} (fields: {', '.join(_SORT_FIELDS)})"
+                    )
+                out.sort = (fld, desc)
             else:
                 out.filters[f] = v.lower()
         else:
@@ -204,4 +218,20 @@ def execute_query(
         )
         scores = scores.join(hits, "doc_id", "left_anti")
 
-    return Searcher.topk(scores, k)
+    if pq.sort is None:
+        return Searcher.topk(scores, k)
+    # field sort (Lucene Sort / ES sort): the query still selects and
+    # scores; only the final ordering changes. One broadcast-sized join
+    # for the sort key (docs pruned to two columns), then a global
+    # TakeOrdered — same single-job shape as the score path.
+    fld, desc = pq.sort
+    if fld == "doc_id":
+        keyed = scores.withColumn("_sk", F.col("doc_id"))
+    else:
+        keyed = scores.join(
+            searcher.index.docs.select("doc_id", F.col(fld).alias("_sk")), "doc_id"
+        )
+    key = F.desc("_sk") if desc else F.asc("_sk")
+    return (
+        keyed.orderBy(key, F.asc("doc_id")).limit(k).select("doc_id", "score")
+    )

@@ -197,3 +197,32 @@ def test_mm_clause(setup):
         parse_query("aa db mm:two")
     with pytest.raises(ValueError, match="min_should_match"):
         execute_query(searcher, "aa db mm:7", k=5)
+
+
+def test_sort_clause(setup, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query, parse_query
+
+    golden, searcher, _, doc_tokens = setup
+    ts_of = {
+        r.doc_id: r.ts.to_pydatetime()
+        for r in oracle.assign_doc_ids(small_transcripts_pdf).itertuples(index=False)
+    }
+    some_doc = next(iter(doc_tokens))
+    term = doc_tokens[some_doc][0]
+    full = {d for d, _ in oracle.bm25_search(golden, [term], golden["num_docs"])}
+    pq = parse_query(f"{term} sort:-ts")
+    assert pq.sort == ("ts", True)
+    got = [r["doc_id"] for r in execute_query(searcher, f"{term} sort:-ts", k=7).collect()]
+    exp = sorted(full, key=lambda d: (ts_of[d],), reverse=True)
+    # reverse=True breaks doc_id ties the wrong way; apply exact key
+    exp = sorted(full, key=lambda d: (-ts_of[d].timestamp(), d))[:7]
+    assert got == exp
+    got_asc = [
+        r["doc_id"] for r in execute_query(searcher, f"{term} sort:ts", k=7).collect()
+    ]
+    assert got_asc == sorted(full, key=lambda d: (ts_of[d].timestamp(), d))[:7]
+    # sort composes with filters; score column still returned
+    rows = execute_query(searcher, f"{term} role:user sort:-turn_idx", k=5).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+    with pytest.raises(ValueError, match="bad sort"):
+        parse_query("x sort:nope")
