@@ -1531,6 +1531,15 @@ def _q_bm25_wand_tombstoned(spark, sf_dir):
     return out.select("doc_id", _micro("score", "score_micro"))
 
 
+def _q_bool_corpus_slice(spark, sf_dir):
+    """bool_filter_corpus over the raw documents table (no index):
+    the zero-shuffle curation slice. Returns matching doc ids."""
+    from fulltextsearchengine_spark.operators.boolquery import bool_filter_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bool_filter_corpus(docs, Q_CORPUS_SLICE).select("doc_id").orderBy("doc_id")
+
+
 def _q_query_sorted(spark, sf_dir):
     """sort:-ts listing (ES/Lucene field Sort): the query selects and
     scores; the final order is the docs column, not the score."""
@@ -2496,6 +2505,8 @@ Q_BOOL = "(dup OR (batch AND window)) AND NOT customer"
 Q_BOOL_POS = ["batch", "dup", "window"]  # sorted positive terms of Q_BOOL
 # field-sorted retrieval: recency listing of matching user turns
 Q_SORTED = "batch role:user sort:-ts"
+# corpus slice: docs mentioning spark or flink-free joins, minus noise
+Q_CORPUS_SLICE = "(spark OR join) AND NOT vector"
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3071,6 +3082,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bm25_wand_msm": _q_bm25_wand_msm,
         "ftse_bool_search": _q_bool_search,
         "ftse_query_sorted": _q_query_sorted,
+        "bool_corpus_slice": _q_bool_corpus_slice,
     }
 
 
@@ -4485,6 +4497,12 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "bool_corpus_slice": (
+            "WITH toks AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents) "
+            "SELECT doc_id FROM toks "
+            "WHERE (list_contains(tokens, 'spark') OR list_contains(tokens, 'join')) "
+            "AND NOT list_contains(tokens, 'vector') ORDER BY doc_id"
         ),
         "ftse_query_sorted": (
             _bm25_scored_cte(["batch"])

@@ -306,3 +306,41 @@ def _bm25_over_pivot(
         contrib = F.lit(idf) * tf * F.lit(BM25_K1 + 1.0) / (tf + norm_len)
         score = score + F.coalesce(contrib, F.lit(0.0))
     return piv.select("doc_id", score.alias("score"))
+
+
+# ---- corpus slicing (no index) ----------------------------------------------
+
+
+def bool_filter_corpus(
+    df: DataFrame, q: str | Node, text_col: str = "text"
+) -> DataFrame:
+    """Filter a RAW corpus by a boolean text predicate — the curation
+    slice ("keep docs mentioning X but not Y") for pipelines that have
+    no index yet. One full scan, ZERO shuffles: the tree compiles to a
+    single Catalyst Column of ``array_contains`` tests over the
+    engine-tokenized text (split-first/lower-second, identical to the
+    index tokenizer, so slice membership always agrees with
+    :func:`bool_search` over an index of the same corpus).
+
+    Unlike :func:`bool_search`, pure negation IS allowed: a corpus
+    filter scans every row anyway, so ``NOT boilerplate`` needs no
+    groundedness escape hatch. Returns ``df``'s rows unchanged (all
+    columns), matching the filter-operator convention of
+    pipeline.clean_corpus."""
+    from ..functions.tokenize import tokens_col
+
+    tree = parse_bool(q) if isinstance(q, str) else q
+    toks = tokens_col(F.col(text_col))
+
+    def comp(n: Node) -> Column:
+        if isinstance(n, Term):
+            return F.array_contains(toks, n.t)
+        if isinstance(n, Not):
+            return ~comp(n.kid)
+        cols = [comp(k) for k in n.kids]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if isinstance(n, And) else (out | c)
+        return out
+
+    return df.filter(comp(tree))

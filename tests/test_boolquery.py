@@ -123,3 +123,38 @@ def test_bool_search_oov_and_grounding(setup):
             bool_search(searcher, bad, K)
     # grounded: negation beside a positive sibling inside AND is fine
     bool_search(searcher, f"{a} AND NOT {b}", K).collect()
+
+
+def test_bool_filter_corpus(setup, spark, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.boolquery import bool_filter_corpus
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    golden, _, doc_tokens = setup
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    text_of = {r.doc_id: r.text for r in docs.itertuples(index=False)}
+    by_df = sorted(
+        golden["term_to_document_frequency"].items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    a, b, c = (t for t, _ in by_df[:3])
+    q = f"({a} OR {b}) AND NOT {c}"
+    tree = parse_bool(q)
+
+    def ev(n, toks):
+        if isinstance(n, Term):
+            return n.t in toks
+        if isinstance(n, Not):
+            return not ev(n.kid, toks)
+        if isinstance(n, And):
+            return all(ev(x, toks) for x in n.kids)
+        return any(ev(x, toks) for x in n.kids)
+
+    got = {r["text"] for r in bool_filter_corpus(sdf, q).collect()}
+    exp = {text_of[d] for d, toks in doc_tokens.items() if ev(tree, toks)}
+    assert got == exp and exp
+    # pure negation is legal on the corpus-scan path
+    got_neg = bool_filter_corpus(sdf, f"NOT {a}").count()
+    exp_neg = sum(1 for toks in doc_tokens.values() if a not in toks)
+    assert got_neg == exp_neg
+    # all columns survive (filter-operator convention)
+    assert set(bool_filter_corpus(sdf, q).columns) == set(sdf.columns)
