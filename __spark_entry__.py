@@ -1540,6 +1540,18 @@ def _q_bool_corpus_slice(spark, sf_dir):
     return bool_filter_corpus(docs, Q_CORPUS_SLICE).select("doc_id").orderBy("doc_id")
 
 
+def _q_bool_phrase(spark, sf_dir):
+    """Boolean tree with a phrase leaf: the phrase verifies adjacency
+    on the positional side-table as a left-joined flag column; the
+    tree composes it with terms and negation at any depth."""
+    from fulltextsearchengine_spark.operators.boolquery import bool_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return bool_search(
+        s, Q_BOOL_PHRASE, TOPK, pos_postings=_positional(spark, sf_dir)
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
 def _q_query_sorted(spark, sf_dir):
     """sort:-ts listing (ES/Lucene field Sort): the query selects and
     scores; the final order is the docs column, not the score."""
@@ -2507,6 +2519,9 @@ Q_BOOL_POS = ["batch", "dup", "window"]  # sorted positive terms of Q_BOOL
 Q_SORTED = "batch role:user sort:-ts"
 # corpus slice: docs mentioning spark or flink-free joins, minus noise
 Q_CORPUS_SLICE = "(spark OR join) AND NOT vector"
+# phrase leaf inside a boolean tree: adjacency-verified OR rare-term
+Q_BOOL_PHRASE = '("table hash" OR dup) AND NOT customer'
+Q_BOOL_PHRASE_POS = ["dup", "hash", "table"]  # sorted positive terms
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3083,6 +3098,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bool_search": _q_bool_search,
         "ftse_query_sorted": _q_query_sorted,
         "bool_corpus_slice": _q_bool_corpus_slice,
+        "ftse_bool_phrase": _q_bool_phrase,
     }
 
 
@@ -4497,6 +4513,20 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "ftse_bool_phrase": (
+            _bm25_scored_cte(Q_BOOL_PHRASE_POS)
+            + _POSX_CTE
+            + f"""
+, m0 AS (SELECT doc_id, pos FROM posx WHERE term = 'table')
+, m1 AS (SELECT m0.doc_id FROM m0 JOIN posx p1
+         ON p1.doc_id = m0.doc_id AND p1.term = 'hash' AND p1.pos = m0.pos + 1)
+SELECT s.doc_id, CAST(round(s.score * 1e6) AS BIGINT) AS score_micro
+FROM scored s JOIN toksd t USING (doc_id)
+WHERE (s.doc_id IN (SELECT doc_id FROM m1) OR list_contains(t.tokens, 'dup'))
+  AND NOT list_contains(t.tokens, 'customer')
+ORDER BY s.score DESC, s.doc_id LIMIT {TOPK}
+"""
         ),
         "bool_corpus_slice": (
             "WITH toks AS (SELECT doc_id, " + _TOKENS + " AS tokens FROM documents) "

@@ -74,7 +74,12 @@ class Or:
     kids: tuple
 
 
-Node = Term | Not | And | Or
+@dataclass(frozen=True)
+class Phrase:
+    toks: tuple  # exact-adjacency tokens, verified on the positional side-table
+
+
+Node = Term | Not | And | Or | Phrase
 
 # sentinels produced by OOV constant folding
 _TRUE = ("TRUE",)
@@ -88,7 +93,7 @@ def _fold_terms(text: str) -> list[str]:
 
 # ---- parser ---------------------------------------------------------------
 
-_TOK_RE = re.compile(r"\(|\)|[^\s()]+")
+_TOK_RE = re.compile(r'-?"[^"]*"|\(|\)|[^\s()"]+')
 
 
 def parse_bool(q: str) -> Node:
@@ -101,7 +106,9 @@ def parse_bool(q: str) -> Node:
     Operator words are case-sensitive uppercase (Lucene classic), so
     lowercase ``or`` stays a searchable term. A word that folds to
     multiple engine tokens (``spark-sql``) becomes an implicit AND of
-    its tokens."""
+    its tokens. Quoted ``"exact phrase"`` leaves (negatable with a
+    ``-`` prefix or NOT) verify adjacency on the positional side-table
+    and compose anywhere in the tree."""
     toks = _TOK_RE.findall(q)
     pos = 0
 
@@ -143,7 +150,11 @@ def parse_bool(q: str) -> Node:
                 take()
                 return Not(unary())
             word = take()[1:]
+            if word.startswith('"'):
+                return Not(_phrase(word))
             return Not(_word(word))
+        if nxt.startswith('"'):
+            return _phrase(take())
         if nxt == "(":
             take()
             inner = or_expr()
@@ -154,6 +165,14 @@ def parse_bool(q: str) -> Node:
         if nxt == ")":
             raise ValueError(f"unbalanced parenthesis in {q!r}")
         return _word(take())
+
+    def _phrase(w: str) -> Node:
+        folded = _fold_terms(w.strip('"'))
+        if not folded:
+            raise ValueError(f"phrase {w!r} folds to no tokens")
+        if len(folded) == 1:
+            return Term(folded[0])
+        return Phrase(tuple(folded))
 
     def _word(w: str) -> Node:
         if w in ("AND", "OR", "NOT"):
@@ -175,7 +194,7 @@ def parse_bool(q: str) -> Node:
 
 
 def _grounded(n: Node) -> bool:
-    if isinstance(n, Term):
+    if isinstance(n, (Term, Phrase)):
         return True
     if isinstance(n, Not):
         return False
@@ -189,6 +208,10 @@ def _terms_of(n: Node, negated: bool, pos: set, all_: set) -> None:
         all_.add(n.t)
         if not negated:
             pos.add(n.t)
+    elif isinstance(n, Phrase):
+        all_.update(n.toks)
+        if not negated:
+            pos.update(n.toks)  # phrase terms score too (queryparse convention)
     elif isinstance(n, Not):
         _terms_of(n.kid, not negated, pos, all_)
     else:
@@ -201,6 +224,8 @@ def _fold_oov(n: Node, vocab: set):
     or one of the _TRUE/_FALSE sentinels."""
     if isinstance(n, Term):
         return n if n.t in vocab else _FALSE
+    if isinstance(n, Phrase):
+        return n if all(t in vocab for t in n.toks) else _FALSE
     if isinstance(n, Not):
         k = _fold_oov(n.kid, vocab)
         if k is _TRUE:
@@ -224,9 +249,11 @@ def _fold_oov(n: Node, vocab: set):
     return kids[0] if len(kids) == 1 else Or(tuple(kids))
 
 
-def _to_column(n: Node, slot: dict[str, str]) -> Column:
+def _to_column(n: Node, slot: dict) -> Column:
     if isinstance(n, Term):
         return F.col(slot[n.t]).isNotNull()
+    if isinstance(n, Phrase):
+        return F.col(slot[n]).isNotNull()
     if isinstance(n, Not):
         return ~_to_column(n.kid, slot)
     cols = [_to_column(k, slot) for k in n.kids]
@@ -239,11 +266,21 @@ def _to_column(n: Node, slot: dict[str, str]) -> Column:
 # ---- search ----------------------------------------------------------------
 
 
-def bool_search(searcher: Searcher, q: str | Node, k: int) -> DataFrame:
+def bool_search(
+    searcher: Searcher,
+    q: str | Node,
+    k: int,
+    pos_postings: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, score) BM25 top-k of the docs matching the boolean tree.
 
     ``q``: a query string for :func:`parse_bool` or a pre-built AST.
-    Raises on ungrounded trees (see module docstring)."""
+    Raises on ungrounded trees (see module docstring). Phrase leaves
+    need the opt-in positional side-table (``pos_postings``,
+    positions.build_positional_postings) — each phrase becomes ONE
+    left-joined match-flag column on the pivot, so phrases compose at
+    any nesting depth; without the table a phrase query raises rather
+    than silently degrading (queryparse convention)."""
     tree = parse_bool(q) if isinstance(q, str) else q
     if not _grounded(tree):
         raise ValueError(
@@ -267,7 +304,21 @@ def bool_search(searcher: Searcher, q: str | Node, k: int) -> DataFrame:
         need |= _collect_terms(folded)
     terms = sorted(need)
     piv = searcher._pivoted_tf(terms)
-    slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
+    slot: dict = {t: f"tf_{i}" for i, t in enumerate(terms)}
+    phrases = sorted(_collect_phrases(folded), key=lambda p: p.toks)
+    if phrases:
+        if pos_postings is None:
+            raise ValueError("phrase leaves need the positional side-table")
+        from .positions import phrase_match_docs  # local import: opt-in module
+
+        for i, ph in enumerate(phrases):
+            hits = (
+                phrase_match_docs(pos_postings, list(ph.toks))
+                .select("doc_id")
+                .withColumn(f"ph_{i}", F.lit(True))
+            )
+            piv = piv.join(hits, "doc_id", "left")
+            slot[ph] = f"ph_{i}"
     if folded is not _TRUE:
         # a folded-_TRUE filter can only arise from negated OOV leaves;
         # the grounded tree still carries >=1 positive in-vocab term
@@ -280,6 +331,21 @@ def _collect_terms(n: Node) -> set:
     out: set = set()
     _terms_of(n, False, out, out)
     return out
+
+
+def _collect_phrases(n) -> set:
+    if n is _TRUE or n is _FALSE:
+        return set()
+    if isinstance(n, Phrase):
+        return {n}
+    if isinstance(n, Not):
+        return _collect_phrases(n.kid)
+    if isinstance(n, (And, Or)):
+        out: set = set()
+        for k in n.kids:
+            out |= _collect_phrases(k)
+        return out
+    return set()
 
 
 def _bm25_over_pivot(

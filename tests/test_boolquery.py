@@ -158,3 +158,68 @@ def test_bool_filter_corpus(setup, spark, small_transcripts_pdf):
     assert got_neg == exp_neg
     # all columns survive (filter-operator convention)
     assert set(bool_filter_corpus(sdf, q).columns) == set(sdf.columns)
+
+
+def test_bool_search_phrases(setup, spark, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.boolquery import Phrase
+    from fulltextsearchengine_spark.operators.positions import build_positional_postings
+    from fulltextsearchengine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    golden, searcher, _ = setup
+    sdf = spark.createDataFrame(small_transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    pos = build_positional_postings(sdf).cache()
+    docs = oracle.assign_doc_ids(small_transcripts_pdf)
+    doc_toklists = {
+        r.doc_id: oracle.tokenize(r.text) for r in docs.itertuples(index=False)
+    }
+    # pick a phrase that actually occurs: the first bigram of some doc
+    some = next(d for d, t in sorted(doc_toklists.items()) if len(t) >= 2)
+    w1, w2 = doc_toklists[some][0], doc_toklists[some][1]
+    by_df = sorted(
+        golden["term_to_document_frequency"].items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    a, b = (t for t, _ in by_df[:2])
+
+    def has_phrase(toks):
+        return any(
+            toks[i] == w1 and toks[i + 1] == w2 for i in range(len(toks) - 1)
+        )
+
+    q = f'("{w1} {w2}" OR {a}) AND NOT {b}'
+    tree = parse_bool(q)
+    assert Phrase((w1, w2)) in tree.kids[0].kids
+
+    def ev(d):
+        toks = doc_toklists[d]
+        ts = set(toks)
+        return (has_phrase(toks) or a in ts) and b not in ts
+
+    matched = {d for d in doc_toklists if ev(d)}
+    score_terms = sorted({w1, w2, a})
+    exp = [
+        (d, s)
+        for d, s in oracle.bm25_search(golden, score_terms, golden["num_docs"])
+        if d in matched
+    ]
+    exp = sorted(exp, key=lambda x: (-x[1], x[0]))[:K]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bool_search(searcher, q, K, pos_postings=pos).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, es), (_, gs) in zip(exp, got):
+        assert gs == pytest.approx(es, rel=1e-9)
+    assert exp
+    # negated phrase composes; grounded by the positive term
+    q2 = f'{a} AND NOT "{w1} {w2}"'
+    got2 = {r["doc_id"] for r in bool_search(searcher, q2, 10**6, pos_postings=pos).collect()}
+    exp2 = {
+        d for d, t in doc_toklists.items() if a in set(t) and not has_phrase(t)
+    }
+    assert got2 == exp2
+    # phrase without the side-table raises; OOV-token phrase folds to False
+    with pytest.raises(ValueError, match="positional"):
+        bool_search(searcher, q, K)
+    assert bool_search(
+        searcher, f'"{w1} zzznotaterm" AND {a}', K, pos_postings=pos
+    ).count() == 0
