@@ -177,6 +177,11 @@ def parse_bool(q: str) -> Node:
     def _word(w: str) -> Node:
         if w in ("AND", "OR", "NOT"):
             raise ValueError(f"operator {w} in term position in {q!r}")
+        if w.startswith("~"):
+            raise ValueError(
+                f"proximity syntax {w!r} is not part of the boolean grammar "
+                "(use queryparse's \"...\"~N for unordered windows)"
+            )
         folded = _fold_terms(w)
         if not folded:
             raise ValueError(f"word {w!r} folds to no tokens")

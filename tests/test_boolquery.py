@@ -45,6 +45,8 @@ def test_parse_bool_shapes():
     for bad in ("(a", "a)", "a OR", "AND a"):
         with pytest.raises(ValueError):
             parse_bool(bad)
+    with pytest.raises(ValueError, match="proximity"):
+        parse_bool('"a b"~2')
 
 
 def _brute(golden, doc_tokens, tree, k):
