@@ -46,6 +46,16 @@ def tokens_col(text: Column) -> Column:
     return F.transform(matches, lambda t: F.lower(t))
 
 
+def fold_query_text(text: str) -> list[str]:
+    """Driver-side query folding with EXACT tokens_col semantics
+    (split-first/lower-second) — the one shared fold for every query
+    parser (queryparse, boolquery), so grammar-side tokenization can
+    never drift from the index tokenizer."""
+    import re
+
+    return [t.lower() for t in re.split(TOKEN_RE, text) if t]
+
+
 def tokenize_texts(s: pd.Series) -> pd.Series:
     """Vectorized pandas tokenize: findall([A-Za-z0-9]+) ≡ split on the
     complement + drop empties; then lower each token."""

@@ -47,7 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import TOKEN_RE
+from ..functions.tokenize import fold_query_text
 from .search import Searcher
 
 
@@ -86,9 +86,8 @@ _TRUE = ("TRUE",)
 _FALSE = ("FALSE",)
 
 
-def _fold_terms(text: str) -> list[str]:
-    """Engine tokenizer semantics: split on separator runs, then lower."""
-    return [t.lower() for t in re.split(TOKEN_RE, text) if t]
+# engine tokenizer semantics: split on separator runs, then lower
+_fold_terms = fold_query_text
 
 
 # ---- parser ---------------------------------------------------------------
@@ -109,6 +108,8 @@ def parse_bool(q: str) -> Node:
     its tokens. Quoted ``"exact phrase"`` leaves (negatable with a
     ``-`` prefix or NOT) verify adjacency on the positional side-table
     and compose anywhere in the tree."""
+    if q.count('"') % 2:
+        raise ValueError(f"unterminated quote in {q!r}")
     toks = _TOK_RE.findall(q)
     pos = 0
 
@@ -328,7 +329,7 @@ def bool_search(
         # a folded-_TRUE filter can only arise from negated OOV leaves;
         # the grounded tree still carries >=1 positive in-vocab term
         piv = piv.filter(_to_column(folded, slot))
-    scores = _bm25_over_pivot(searcher, piv, slot, score_terms)
+    scores = _bm25_over_pivot(searcher, piv, slot, score_terms, stats)
     return Searcher.topk(scores, k)
 
 
@@ -354,29 +355,26 @@ def _collect_phrases(n) -> set:
 
 
 def _bm25_over_pivot(
-    searcher: Searcher, piv: DataFrame, slot: dict[str, str], score_terms: list[str]
+    searcher: Searcher,
+    piv: DataFrame,
+    slot: dict,
+    score_terms: list[str],
+    stats: dict,
 ) -> DataFrame:
     """Plain bm25_scores math over an already-filtered pivot — scores
     are identical to Searcher.bm25_scores on the surviving docs
-    (filter-don't-reweight; BM25 constants shared with the Searcher)."""
+    (filter-don't-reweight; the expression is the Searcher's own shared
+    bm25_pivot_score, and ``stats`` is the term_stats dict bool_search
+    already collected — no second stats job)."""
     import math
-
-    from .search import BM25_B, BM25_K1
 
     n = searcher.stats["num_docs"]
     avgdl = (searcher.stats["total_tokens"] / n) if n else 0.0
-    stats = searcher.term_stats(score_terms)
-    norm_len = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.lit(avgdl)
-    )
-    score = F.lit(0.0)
-    for t in score_terms:  # sorted: float adds in oracle order
-        df = stats[t][0]
-        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
-        tf = F.col(slot[t])
-        contrib = F.lit(idf) * tf * F.lit(BM25_K1 + 1.0) / (tf + norm_len)
-        score = score + F.coalesce(contrib, F.lit(0.0))
-    return piv.select("doc_id", score.alias("score"))
+    idf = {
+        t: math.log((n - stats[t][0] + 0.5) / (stats[t][0] + 0.5) + 1.0)
+        for t in score_terms
+    }
+    return piv.select("doc_id", Searcher.bm25_pivot_score(idf, avgdl, slot))
 
 
 # ---- corpus slicing (no index) ----------------------------------------------
@@ -395,17 +393,24 @@ def bool_filter_corpus(
 
     Unlike :func:`bool_search`, pure negation IS allowed: a corpus
     filter scans every row anyway, so ``NOT boilerplate`` needs no
-    groundedness escape hatch. Returns ``df``'s rows unchanged (all
-    columns), matching the filter-operator convention of
-    pipeline.clean_corpus."""
+    groundedness escape hatch — and phrase leaves need no positional
+    side-table: tokens are alnum-only, so exact adjacency is a
+    substring test on the space-joined token stream (row-local, still
+    zero shuffles). Returns ``df``'s rows unchanged (all columns),
+    matching the filter-operator convention of pipeline.clean_corpus."""
     from ..functions.tokenize import tokens_col
 
     tree = parse_bool(q) if isinstance(q, str) else q
     toks = tokens_col(F.col(text_col))
+    # ' t1 t2 ... ' — tokens contain no spaces, so ' w1 w2 ' occurs as a
+    # substring iff (w1, w2) are adjacent tokens
+    stream = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
 
     def comp(n: Node) -> Column:
         if isinstance(n, Term):
             return F.array_contains(toks, n.t)
+        if isinstance(n, Phrase):
+            return stream.contains(" " + " ".join(n.toks) + " ")
         if isinstance(n, Not):
             return ~comp(n.kid)
         cols = [comp(k) for k in n.kids]

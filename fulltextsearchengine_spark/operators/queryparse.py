@@ -48,7 +48,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import TOKEN_RE
+from ..functions.tokenize import fold_query_text
 from .search import Searcher
 
 _FIELDS = ("role", "tool", "conv", "after", "before", "mm", "sort")
@@ -79,10 +79,8 @@ class ParsedQuery:
     sort: tuple[str, bool] | None = None
 
 
-def _fold(text: str) -> list[str]:
-    # TOKEN_RE is the engine's SPLIT pattern (separator runs) —
-    # split-first/lower-second, exactly like tokens_col
-    return [t.lower() for t in re.split(TOKEN_RE, text) if t]
+# split-first/lower-second, exactly like tokens_col (shared fold)
+_fold = fold_query_text
 
 
 def parse_query(q: str) -> ParsedQuery:

@@ -126,6 +126,25 @@ class Searcher:
         return p.groupBy("doc_id", "doc_len").agg(*exprs)
 
     # ---- scorers -------------------------------------------------------
+    @staticmethod
+    def bm25_pivot_score(idf, avgdl, slot, k1=BM25_K1, b=BM25_B):
+        """Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) as one Column
+        over a (doc_id, doc_len, tf-slot…) pivot — THE BM25-over-pivot
+        expression, shared by bm25_scores / _conjunctive / _msm and
+        boolquery, so the math lives in exactly one place. Terms add in
+        sorted order (reproducible float sums, oracle-identical);
+        missing slots coalesce to 0 (a no-op on pre-filtered pivots
+        whose slots are all non-null)."""
+        norm_len = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+        )
+        score = F.lit(0.0)
+        for t in sorted(idf):
+            tf = F.col(slot[t])
+            contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
+            score = score + F.coalesce(contrib, F.lit(0.0))
+        return score.alias("score")
+
     def _query_ltc(self, query: list[str]) -> dict[str, float]:
         """ltc query vector, driver-side — exact ReviewSearch.queryLtc
         math (ReviewSearch.java:27-58): (1+log10 tf)·log10(N/df), df=0
@@ -195,13 +214,8 @@ class Searcher:
         if not terms:
             return self._empty_scores()
         piv = self._pivoted_tf(terms, candidates=candidates)
-        norm_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
-        score = F.lit(0.0)
-        for i, t in enumerate(terms):
-            tf = F.col(f"tf_{i}")
-            contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
-            score = score + F.coalesce(contrib, F.lit(0.0))
-        return piv.select("doc_id", score.alias("score"))
+        slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
+        return piv.select("doc_id", self.bm25_pivot_score(idf, avgdl, slot, k1, b))
 
     def lm_scores(self, query: list[str], lam: float = LM_LAMBDA) -> DataFrame:
         """(doc_id, score): Π over DISTINCT query terms of
@@ -368,14 +382,10 @@ class Searcher:
         for i in range(len(terms)):
             present = present & F.col(f"tf_{i}").isNotNull()
         piv = piv.filter(present)
-        norm_len = F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+        slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
+        return self.topk(
+            piv.select("doc_id", self.bm25_pivot_score(idf, avgdl, slot, k1, b)), k
         )
-        score = F.lit(0.0)
-        for i, t in enumerate(terms):
-            tf = F.col(f"tf_{i}")
-            score = score + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
-        return self.topk(piv.select("doc_id", score.alias("score")), k)
 
     def bm25_search_msm(
         self,
@@ -441,15 +451,8 @@ class Searcher:
         for i in range(len(terms)):
             matched = matched + F.col(f"tf_{i}").isNotNull().cast("int")
         piv = piv.filter(matched >= F.lit(min_should_match))
-        norm_len = F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
-        )
-        score = F.lit(0.0)
-        for i, t in enumerate(terms):
-            tf = F.col(f"tf_{i}")
-            contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
-            score = score + F.coalesce(contrib, F.lit(0.0))
-        return piv.select("doc_id", score.alias("score"))
+        slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
+        return piv.select("doc_id", self.bm25_pivot_score(idf, avgdl, slot, k1, b))
 
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(

@@ -564,6 +564,11 @@ def bm25_topk_wand_batch(
     """
     qterms = {qid: sorted({t.lower() for t in q}) for qid, q in queries.items()}
     if isinstance(min_should_match, dict):
+        unknown = set(min_should_match) - set(queries)
+        if unknown:
+            raise ValueError(
+                f"min_should_match has unknown query ids: {sorted(unknown)}"
+            )
         msm_q = {qid: int(min_should_match.get(qid, 1)) for qid in queries}
     else:
         msm_q = {qid: int(min_should_match) for qid in queries}

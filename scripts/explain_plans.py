@@ -566,13 +566,18 @@ def main() -> None:
     # Round-4: minimum-should-match BM25 — the m-of-n filter must ride
     # the existing pivot (a null-count Filter above the HashAggregate),
     # adding NO join and NO second exchange vs the plain OR scorer.
+    # The exchange-count identity is asserted against the ACTUAL plain
+    # plan, not just claimed in prose.
+    p_plain = grab_plan(s.bm25_search(["spark", "join", "fast"], 10))
     p = grab_plan(s.bm25_search_msm(["spark", "join", "fast"], 10, min_should_match=2))
     n_exchanges = p.count("Exchange")
+    same = "==" if n_exchanges == p_plain.count("Exchange") else "EXCEEDS"
     sections.append((
         f"BM25 minimum-should-match (m-of-n filter on the pivot, {n_exchanges} "
-        "Exchange mentions — same as plain BM25)", p,
+        f"Exchange mentions {same} plain BM25's)", p,
         ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate",
-         "!BatchEvalPython", "!SortMergeJoin", "!BroadcastHashJoin"],
+         "!BatchEvalPython", "!SortMergeJoin", "!BroadcastHashJoin",
+         *([] if same == "==" else ["msm exchange count == plain bm25"]),],
     ))
 
     # Round-4: nested boolean retrieval — the whole AND/OR/NOT tree
