@@ -30,17 +30,25 @@ from .search import Searcher
 
 def faceted_search(
     searcher: Searcher,
-    query: list[str],
+    query: list[str] | None = None,
     facet_col: str = "role",
     per_facet_k: int = 5,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """(facet, facet_hits, facet_rank, doc_id, score_micro): BM25
     candidates grouped by ``facet_col`` with per-facet hit counts and
     the per-facet top ``per_facet_k`` by (score desc, doc_id asc).
 
+    ``scores``: optional pre-scored (doc_id, score) frame — facets then
+    group THAT candidate set, so any scorer composes (bm25_scores_msm,
+    boolquery pivots, filtered/conjunctive variants) without a second
+    scoring pass. Exactly one of ``query``/``scores`` must be given.
+
     NULL facet values group under their own NULL row (kept — absence
     is a real bucket in a UI)."""
-    scored = searcher.bm25_scores(query)
+    if (query is None) == (scores is None):
+        raise ValueError("pass exactly one of query= or scores=")
+    scored = scores if scores is not None else searcher.bm25_scores(query)
     docs = searcher.index.docs.select("doc_id", F.col(facet_col).alias("facet"))
     cand = scored.join(docs, "doc_id")
 

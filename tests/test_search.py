@@ -220,6 +220,43 @@ def test_faceted_search(setup):
             assert [r["facet_rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_faceted_search_over_prescored(setup):
+    """scores= composes facets with any scorer: faceting the msm
+    candidate set equals brute-regrouping bm25_scores_msm output, and
+    passing both/neither of query=/scores= raises."""
+    from collections import defaultdict
+
+    import pytest as _pytest
+
+    from fulltextsearchengine_spark.operators.facets import faceted_search
+
+    golden, searcher, queries = setup
+    q = queries[0] + queries[1]
+    role_of = {
+        r["doc_id"]: r["role"]
+        for r in searcher.index.docs.select("doc_id", "role").collect()
+    }
+    pre = searcher.bm25_scores_msm(q, 2)
+    scored = {r["doc_id"]: r["score"] for r in pre.collect()}
+    by_facet = defaultdict(list)
+    for did, sc in scored.items():
+        by_facet[role_of[did]].append((did, sc))
+    got = faceted_search(searcher, facet_col="role", per_facet_k=3, scores=pre).collect()
+    got_by_facet = defaultdict(list)
+    for r in got:
+        got_by_facet[r["facet"]].append(r)
+    assert set(got_by_facet) == set(by_facet)
+    for facet, cand in by_facet.items():
+        rows = sorted(got_by_facet[facet], key=lambda r: r["facet_rank"])
+        exp = sorted(cand, key=lambda x: (-x[1], x[0]))[:3]
+        assert [r["doc_id"] for r in rows] == [e[0] for e in exp], facet
+        assert all(r["facet_hits"] == len(cand) for r in rows)
+    with _pytest.raises(ValueError, match="exactly one"):
+        faceted_search(searcher, q, scores=pre)
+    with _pytest.raises(ValueError, match="exactly one"):
+        faceted_search(searcher)
+
+
 def test_bm25_search_after_pagination(setup):
     """Chained keyset pages reassemble exactly the top-3k list (no gap,
     no overlap, no reordering), and an exhausted cursor returns empty."""
