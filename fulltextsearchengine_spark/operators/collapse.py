@@ -28,18 +28,25 @@ from .search import BM25_B, BM25_K1, Searcher
 
 def collapsed_bm25_search(
     searcher: Searcher,
-    query: list[str],
-    k: int,
+    query: list[str] | None = None,
+    k: int = 10,
     per_conv: int = 1,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, conv_id, score) top-k, ≤ ``per_conv`` rows per conv_id;
     order (score desc, doc_id asc) at both the within-conv and global
-    stage — fully deterministic."""
+    stage — fully deterministic. ``scores``: optional pre-scored
+    (doc_id, score) frame — collapse then dedups THAT candidate set, so
+    any scorer composes (msm, boolean, filtered) without a second
+    scoring pass; exactly one of ``query``/``scores``."""
     if per_conv < 1:
         raise ValueError(f"per_conv must be >= 1, got {per_conv}")
-    scores = searcher.bm25_scores(query, k1=k1, b=b)
+    if (query is None) == (scores is None):
+        raise ValueError("pass exactly one of query= or scores=")
+    if scores is None:
+        scores = searcher.bm25_scores(query, k1=k1, b=b)
     with_conv = scores.join(
         searcher.index.docs.select("doc_id", "conv_id"), "doc_id"
     )

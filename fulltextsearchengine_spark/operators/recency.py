@@ -35,15 +35,23 @@ DEFAULT_HALF_LIFE_DAYS = 30.0
 
 def recency_boosted_scores(
     searcher: Searcher,
-    query: list[str],
-    now: str,
+    query: list[str] | None = None,
+    now: str | None = None,
     half_life_days: float = DEFAULT_HALF_LIFE_DAYS,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score): BM25 × 2^(−age/half_life). ``now`` is an ISO
-    timestamp string ('YYYY-MM-DD HH:MM:SS')."""
+    timestamp string ('YYYY-MM-DD HH:MM:SS'). ``scores``: optional
+    pre-scored (doc_id, score) frame to decay instead of plain BM25 —
+    any scorer composes (msm, boolean, filtered); exactly one of
+    ``query``/``scores``."""
     if half_life_days <= 0:
         raise ValueError(f"half_life_days must be > 0, got {half_life_days}")
-    base = searcher.bm25_scores(query)
+    if now is None:
+        raise ValueError("now= is required (an ISO timestamp string)")
+    if (query is None) == (scores is None):
+        raise ValueError("pass exactly one of query= or scores=")
+    base = scores if scores is not None else searcher.bm25_scores(query)
     ts = searcher.index.docs.select("doc_id", "ts")
     age_days = (
         F.unix_timestamp(F.lit(now)) - F.unix_timestamp(F.col("ts"))

@@ -131,6 +131,41 @@ def test_collapsed_rejects_bad_per_conv(setup):
         collapsed_bm25_search(searcher, ["aa"], K, per_conv=0)
 
 
+def test_collapse_and_recency_compose_with_prescored(setup):
+    """scores= routes any scorer through collapse/recency: identity with
+    the query= path when fed plain bm25_scores, plus argument guards."""
+    from fulltextsearchengine_spark.operators.recency import recency_boosted_scores
+
+    golden, searcher = setup
+    q = QUERIES[0]
+    pre = searcher.bm25_scores(q)
+    via_scores = [
+        (r["doc_id"], r["conv_id"], r["score"])
+        for r in collapsed_bm25_search(searcher, k=K, per_conv=1, scores=pre).collect()
+    ]
+    via_query = [
+        (r["doc_id"], r["conv_id"], r["score"])
+        for r in collapsed_bm25_search(searcher, q, K, per_conv=1).collect()
+    ]
+    assert via_scores == via_query
+    now = "2026-01-01 00:00:00"
+    rs = {
+        r["doc_id"]: r["score"]
+        for r in recency_boosted_scores(searcher, now=now, scores=pre).collect()
+    }
+    rq = {
+        r["doc_id"]: r["score"]
+        for r in recency_boosted_scores(searcher, q, now).collect()
+    }
+    assert rs == rq and rs
+    with pytest.raises(ValueError, match="exactly one"):
+        collapsed_bm25_search(searcher, q, K, scores=pre)
+    with pytest.raises(ValueError, match="exactly one"):
+        recency_boosted_scores(searcher, now=now)
+    with pytest.raises(ValueError, match="now="):
+        recency_boosted_scores(searcher, q)
+
+
 # -------------------------------------------------------------- synonyms
 
 SYNS = {"aa": ["db", "zzneverseen"], "he": ["hg"]}
