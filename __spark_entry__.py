@@ -1540,6 +1540,17 @@ def _q_bool_corpus_slice(spark, sf_dir):
     return bool_filter_corpus(docs, Q_CORPUS_SLICE).select("doc_id").orderBy("doc_id")
 
 
+def _q_query_boosted(spark, sf_dir):
+    """Lucene ^N query-time boosts through the search box: the boosted
+    term's BM25 contribution is multiplied before the per-doc sum."""
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+
+    s = Searcher(_index(spark, sf_dir))
+    return execute_query(s, Q_BOOSTED, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
 def _q_bool_phrase(spark, sf_dir):
     """Boolean tree with a phrase leaf: the phrase verifies adjacency
     on the positional side-table as a left-joined flag column; the
@@ -2522,6 +2533,9 @@ Q_CORPUS_SLICE = "(spark OR join) AND NOT vector"
 # phrase leaf inside a boolean tree: adjacency-verified OR rare-term
 Q_BOOL_PHRASE = '("table hash" OR dup) AND NOT customer'
 Q_BOOL_PHRASE_POS = ["dup", "hash", "table"]  # sorted positive terms
+# ^boost: triple-weight the rare term — reorders vs the unboosted query
+Q_BOOSTED = "dup^3 batch window"
+Q_BOOSTED_W = {"dup": 3.0, "batch": 1.0, "window": 1.0}
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3099,6 +3113,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_query_sorted": _q_query_sorted,
         "bool_corpus_slice": _q_bool_corpus_slice,
         "ftse_bool_phrase": _q_bool_phrase,
+        "ftse_query_boosted": _q_query_boosted,
     }
 
 
@@ -4513,6 +4528,27 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
         "ftse_bm25_msm_topk": _bm25_sql(Q_MSM, TOPK).replace(
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
+        ),
+        "ftse_query_boosted": (
+            PRELUDE
+            + f"""
+, qw(term, w) AS (VALUES ('batch', 1.0), ('dup', 3.0), ('window', 1.0))
+, scored AS (
+  SELECT p.doc_id,
+         sum( q.w * ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score
+  FROM postings p
+  JOIN qw q USING (term)
+  JOIN terms t USING (term)
+  JOIN docs d USING (doc_id)
+  CROSS JOIN gstats g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK}
+"""
         ),
         "ftse_bool_phrase": (
             _bm25_scored_cte(Q_BOOL_PHRASE_POS)

@@ -87,35 +87,43 @@ def bm25_weighted_scores(
     weights: dict[str, float],
     k1: float = BM25_K1,
     b: float = BM25_B,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """(doc_id, score): Σ_t w_t · idf_t · tf(k1+1)/(tf + k1(1−b+b·len/avgdl))
-    — bm25_scores with a per-term multiplier; same pruned-pivot plan."""
+    — bm25_scores with a per-term multiplier; same pruned-pivot plan
+    (the shared bm25_pivot_score with the weight folded into idf).
+    ``min_should_match``: m-of-n distinct-term matching over the
+    weighted terms, same semantics as bm25_scores_msm — so query-time
+    boosts (queryparse ``term^2.5``) compose with ``mm:N``."""
     terms = sorted(t for t, w in weights.items() if w > 0.0)
+    if not 1 <= min_should_match <= max(len(terms), 1):
+        raise ValueError(
+            f"min_should_match {min_should_match} out of [1, {len(terms)}] "
+            f"for weighted terms {terms}"
+        )
     if not terms:
         return searcher._empty_scores()
     stats = searcher.term_stats(terms)
     n = searcher.stats["num_docs"]
     avgdl = (searcher.stats["total_tokens"] / n) if n else 0.0
-    idf = {
-        t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    idf_w = {
+        t: weights[t] * math.log((n - df + 0.5) / (df + 0.5) + 1.0)
         for t, (df, _) in stats.items()
         if df > 0
     }
-    terms = sorted(idf)
-    if not terms:
+    terms = sorted(idf_w)
+    if not terms or len(terms) < min_should_match:
         return searcher._empty_scores()
     piv = searcher._pivoted_tf(terms)
-    norm_len = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+    slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
+    if min_should_match > 1:
+        matched = F.lit(0)
+        for i in range(len(terms)):
+            matched = matched + F.col(f"tf_{i}").isNotNull().cast("int")
+        piv = piv.filter(matched >= F.lit(min_should_match))
+    return piv.select(
+        "doc_id", Searcher.bm25_pivot_score(idf_w, avgdl, slot, k1, b)
     )
-    score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        tf = F.col(f"tf_{i}")
-        contrib = (
-            F.lit(weights[t] * idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm_len)
-        )
-        score = score + F.coalesce(contrib, F.lit(0.0))
-    return piv.select("doc_id", score.alias("score"))
 
 
 def query_clarity(

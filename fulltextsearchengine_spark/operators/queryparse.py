@@ -13,6 +13,9 @@ syntax subset — public knowledge):
     -noise  -"bad phrase"        exclusions (post-score anti-filter)
     role:user  tool:search       metadata field filters (docs columns)
     conv:conv_000042             restrict to one conversation
+    spark^2.5 join               per-term boost (Lucene ^N): the term's
+                                 BM25 contribution is multiplied by N;
+                                 composes with mm:N and every filter
     sort:-ts  sort:turn_idx      order results by a docs column instead
                                  of score (leading '-' = descending;
                                  fields: ts, turn_idx, doc_id); score is
@@ -49,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import fold_query_text
+from .feedback import bm25_weighted_scores
 from .search import Searcher
 
 _FIELDS = ("role", "tool", "conv", "after", "before", "mm", "sort")
@@ -75,6 +79,8 @@ class ParsedQuery:
     excluded_proximities: list[tuple[list[str], int]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
     min_should_match: int = 1
+    # term -> boost for ^N-weighted terms (unboosted terms absent = 1.0)
+    boosts: dict[str, float] = field(default_factory=dict)
     # (docs column, descending) — None = rank by score
     sort: tuple[str, bool] | None = None
 
@@ -130,8 +136,19 @@ def parse_query(q: str) -> ParsedQuery:
             else:
                 out.filters[f] = v.lower()
         else:
-            toks = _fold(m.group("word"))
+            word = m.group("word")
+            boost = None
+            bm = re.search(r"\^(\d+(?:\.\d+)?)$", word)
+            if bm:
+                boost = float(bm.group(1))
+                if boost <= 0:
+                    raise ValueError(f"bad boost in {word!r} (want > 0)")
+                word = word[: bm.start()]
+            toks = _fold(word)
             (out.excluded_terms if neg else out.terms).extend(toks)
+            if boost is not None and not neg:
+                for t in toks:
+                    out.boosts[t] = boost
     return out
 
 
@@ -159,7 +176,13 @@ def execute_query(
     )
     if not terms:
         raise ValueError("query has no positive terms")
-    if pq.min_should_match > 1:
+    if pq.boosts:
+        # boosted path: weight 1.0 for unboosted terms; mm composes
+        weights = {t: pq.boosts.get(t, 1.0) for t in {x.lower() for x in terms}}
+        scores = bm25_weighted_scores(
+            searcher, weights, min_should_match=pq.min_should_match
+        )
+    elif pq.min_should_match > 1:
         # validated against the distinct folded positive terms inside
         scores = searcher.bm25_scores_msm(terms, pq.min_should_match)
     else:

@@ -226,3 +226,60 @@ def test_sort_clause(setup, small_transcripts_pdf):
     assert rows and all(r["score"] > 0 for r in rows)
     with pytest.raises(ValueError, match="bad sort"):
         parse_query("x sort:nope")
+
+
+def test_boost_clause(setup):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query, parse_query
+
+    golden, searcher, _, doc_tokens = setup
+    q_terms = ["aa", "db", "fh"]
+    pq = parse_query("aa^2.5 db fh")
+    assert pq.boosts == {"aa": 2.5} and pq.terms == q_terms
+    got = [
+        (r["doc_id"], r["score"])
+        for r in execute_query(searcher, "aa^2.5 db fh", k=10**6).collect()
+    ]
+    # brute: per-term weighted BM25 sum (weight folded into idf)
+    import math
+
+    n = golden["num_docs"]
+    avgdl = golden["total_tokens"] / n
+    dfm = golden["term_to_document_frequency"]
+    w_of = {"aa": 2.5, "db": 1.0, "fh": 1.0}
+    exp_scores = {}
+    for t in q_terms:
+        df = dfm.get(t, 0)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        flat = golden["term_to_postings"][t]
+        for d, tf in zip(flat[::2], flat[1::2]):
+            dl = golden["doc_to_length"][d]
+            c = w_of[t] * idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            exp_scores[d] = exp_scores.get(d, 0.0) + c
+    exp = sorted(exp_scores.items(), key=lambda x: (-x[1], x[0]))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, es), (_, gs) in zip(exp, got):
+        assert gs == pytest.approx(es, rel=1e-9)
+    # boost of 1.0 everywhere == plain path (exact float identity:
+    # 1.0*idf multiplies to the same double)
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in execute_query(searcher, "aa db fh", k=10**6).collect()
+    ]
+    boosted1 = [
+        (r["doc_id"], r["score"])
+        for r in execute_query(searcher, "aa^1 db fh", k=10**6).collect()
+    ]
+    assert boosted1 == plain
+    # composes with mm
+    got_mm = {
+        r["doc_id"]
+        for r in execute_query(searcher, "aa^2.5 db fh mm:2", k=10**6).collect()
+    }
+    matched = {
+        d: sum(t in set(toks) for t in q_terms) for d, toks in doc_tokens.items()
+    }
+    assert got_mm == {d for d in exp_scores if matched[d] >= 2}
+    with pytest.raises(ValueError, match="bad boost"):
+        parse_query("aa^0 db")
