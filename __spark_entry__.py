@@ -94,6 +94,28 @@ gstats AS (
 )
 """
 
+_BOOSTED_SQL = (
+    PRELUDE
+    + f"""
+, qw(term, w) AS (VALUES ('batch', 1.0), ('dup', 3.0), ('window', 1.0))
+, scored AS (
+  SELECT p.doc_id,
+         sum( q.w * ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
+                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score
+  FROM postings p
+  JOIN qw q USING (term)
+  JOIN terms t USING (term)
+  JOIN docs d USING (doc_id)
+  CROSS JOIN gstats g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK}
+"""
+)
+
 
 def _sql_list(terms: list[str]) -> str:
     inner = ", ".join(f"'{t}'" for t in sorted(set(terms)))
@@ -1540,6 +1562,24 @@ def _q_bool_corpus_slice(spark, sf_dir):
     return bool_filter_corpus(docs, Q_CORPUS_SLICE).select("doc_id").orderBy("doc_id")
 
 
+def _q_bm25_wand_boosted(spark, sf_dir):
+    """^N boosts on the WAND serving path: same Q_BOOSTED weights as
+    the search-box gate and the SAME oracle — weight folds into idf, so
+    every pruning bound scales consistently with the exact scores."""
+    from fulltextsearchengine_spark.operators.wand import bm25_topk_wand
+
+    blocks, slabs, st = _wand_tables(spark, sf_dir)
+    topk = bm25_topk_wand(
+        blocks, slabs, list(Q_BOOSTED_W), TOPK,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=256, block_size=64, weights=Q_BOOSTED_W,
+    )
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in topk] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", _micro("score", "score_micro"))
+
+
 def _q_query_boosted(spark, sf_dir):
     """Lucene ^N query-time boosts through the search box: the boosted
     term's BM25 contribution is multiplied before the per-doc sum."""
@@ -2536,6 +2576,7 @@ Q_BOOL_PHRASE_POS = ["dup", "hash", "table"]  # sorted positive terms
 # ^boost: triple-weight the rare term — reorders vs the unboosted query
 Q_BOOSTED = "dup^3 batch window"
 Q_BOOSTED_W = {"dup": 3.0, "batch": 1.0, "window": 1.0}
+# the weighted-BM25 oracle both boost gates share is _BOOSTED_SQL (top of file)
 HYBRID_POOL = 30
 # duplicate term exercises Dirichlet's qtf-multiplicity weighting
 Q_DIRICHLET = ["merge", "scan", "scan"]
@@ -3114,6 +3155,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_corpus_slice": _q_bool_corpus_slice,
         "ftse_bool_phrase": _q_bool_phrase,
         "ftse_query_boosted": _q_query_boosted,
+        "ftse_bm25_wand_boosted": _q_bm25_wand_boosted,
     }
 
 
@@ -4529,27 +4571,8 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK} OFFSET {TOPK}
             "GROUP BY p.doc_id\n)",
             f"GROUP BY p.doc_id\n  HAVING count(*) >= {MSM_M}\n)",
         ),
-        "ftse_query_boosted": (
-            PRELUDE
-            + f"""
-, qw(term, w) AS (VALUES ('batch', 1.0), ('dup', 3.0), ('window', 1.0))
-, scored AS (
-  SELECT p.doc_id,
-         sum( q.w * ln((g.num_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
-              * p.tf * 2.2
-              / (p.tf + 1.2 * (0.25 + 0.75 * d.doc_len
-                               / (CAST(g.total_tokens AS DOUBLE) / g.num_docs))) ) AS score
-  FROM postings p
-  JOIN qw q USING (term)
-  JOIN terms t USING (term)
-  JOIN docs d USING (doc_id)
-  CROSS JOIN gstats g
-  GROUP BY p.doc_id
-)
-SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
-FROM scored ORDER BY score DESC, doc_id LIMIT {TOPK}
-"""
-        ),
+        "ftse_bm25_wand_boosted": _BOOSTED_SQL,
+        "ftse_query_boosted": _BOOSTED_SQL,
         "ftse_bool_phrase": (
             _bm25_scored_cte(Q_BOOL_PHRASE_POS)
             + _POSX_CTE

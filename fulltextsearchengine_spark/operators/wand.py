@@ -75,6 +75,21 @@ def _contrib(w: float, tfs: np.ndarray, dl: np.ndarray, avgdl: float, k1: float,
     return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _norm_weights(weights, terms) -> dict[str, float]:
+    """Validate/normalize a query-boost map: lowercase keys, every key
+    must be a query term, every weight > 0. Empty dict = unweighted."""
+    if not weights:
+        return {}
+    out = {t.lower(): float(w) for t, w in weights.items()}
+    unknown = set(out) - set(terms)
+    if unknown:
+        raise ValueError(f"weights for non-query terms: {sorted(unknown)}")
+    bad = {t: w for t, w in out.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be > 0: {bad}")
+    return out
+
+
 def _tomb_array(tombstones) -> np.ndarray | None:
     """Normalize a tombstone spec (None | iterable of doc_ids | a
     DataFrame with a doc_id column) to a sorted int64 numpy array.
@@ -109,6 +124,7 @@ def bm25_topk_wand(
     explain_out: list | None = None,
     tombstones=None,
     min_should_match: int = 1,
+    weights: dict[str, float] | None = None,
 ):
     """Exact BM25 top-k [(doc_id, score)] with distributed block-max
     pruning. ``slabs`` is the build-time doc_len sidecar
@@ -132,6 +148,13 @@ def bm25_topk_wand(
     the DataFrame path, so both paths stay rank- and score-identical
     until a purge.
 
+    ``weights``: optional per-term positive multipliers (queryparse
+    ``term^N`` boosts on the serving path). A weight folds into idf
+    uniformly — seed ordering, bucket/chunk upper bounds, and exact
+    scoring all scale together, so every pruning bound stays valid;
+    rank/score-identical to bm25_weighted_scores. Unknown keys raise
+    (silent misconfiguration is worse than an error).
+
     ``min_should_match``: m-of-n distinct-term matching — the original
     WAND formulation ("weak AND", Broder et al. CIKM 2003 §2 defines
     the operator by its match threshold) and the serving twin of
@@ -149,6 +172,7 @@ def bm25_topk_wand(
             f"min_should_match {min_should_match} out of [1, {len(terms)}] "
             f"for query terms {terms}"
         )
+    wts = _norm_weights(weights, terms)
     if not terms or n_docs == 0:
         return ([], _zero_stats()) if return_stats else []
     tomb = _tomb_array(tombstones)
@@ -169,7 +193,7 @@ def bm25_topk_wand(
     # recomputed on the driver from the collected integer dfs.
     if term_stats is not None:
         idf0 = {
-            t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            t: wts.get(t, 1.0) * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
             for t, df in term_stats.items()
             if df > 0
         }
@@ -183,13 +207,16 @@ def bm25_topk_wand(
         # the blocks — a window over term would shuffle the BINARY
         # payload columns; this moves ≤|terms| rows instead
         df_small = qblocks.groupBy("term").agg(F.sum("n").alias("dfv"))
-        qb = qblocks.join(F.broadcast(df_small), "term").withColumn(
-            "w",
-            F.log(
-                (F.lit(float(n_docs)) - F.col("dfv") + 0.5) / (F.col("dfv") + 0.5)
-                + 1.0
-            ),
+        wt_map = F.create_map(
+            *[F.lit(x) for kv in sorted(wts.items()) for x in kv]
+        ) if wts else None
+        w_expr = F.log(
+            (F.lit(float(n_docs)) - F.col("dfv") + 0.5) / (F.col("dfv") + 0.5)
+            + 1.0
         )
+        if wt_map is not None:
+            w_expr = w_expr * F.coalesce(wt_map[F.col("term")], F.lit(1.0))
+        qb = qblocks.join(F.broadcast(df_small), "term").withColumn("w", w_expr)
         df_frame = df_small.select(F.lit("df").alias("kind"), "term", "dfv")
     # total order (wimp ties broken by term, block_id): seed_frame is
     # referenced twice in the DAG (payload select + slab semi-join) and
@@ -239,7 +266,7 @@ def bm25_topk_wand(
     if term_stats is None:
         term_stats = {r["term"]: r["dfv"] for r in meta_rows if r["kind"] == "df"}
     idf = {
-        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        t: wts.get(t, 1.0) * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         for t, df in term_stats.items()
         if df > 0
     }
@@ -962,7 +989,12 @@ class WandSearcher:
 
     # ---- query ------------------------------------------------------
     def search(
-        self, query: list[str], k: int, tombstones=None, min_should_match: int = 1
+        self,
+        query: list[str],
+        k: int,
+        tombstones=None,
+        min_should_match: int = 1,
+        weights: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """``tombstones``: per-query deleted-doc set (same semantics as
         bm25_topk_wand) — the cached per-term metadata is tombstone-
@@ -970,7 +1002,10 @@ class WandSearcher:
         deletes compose with a warm cache: filtering happens at θ-seed
         time and in the cogroup mask only. ``min_should_match``: m-of-n
         matching, same exactness argument as bm25_topk_wand (θ seeded
-        only from observed-≥m docs; chunk gate unchanged)."""
+        only from observed-≥m docs; chunk gate unchanged). ``weights``:
+        per-term ^N boosts, folded into idf (the cached per-term
+        metadata is weight-independent — raw max_impacts — so boosts
+        compose with a warm cache)."""
         terms = sorted({t.lower() for t in query})
         if not 1 <= min_should_match <= max(len(terms), 1):
             raise ValueError(
@@ -979,11 +1014,12 @@ class WandSearcher:
             )
         if not terms or self.n_docs == 0:
             return []
+        wts = _norm_weights(weights, terms)
         tomb = _tomb_array(tombstones)
         tomb_set = set(tomb.tolist()) if tomb is not None else None
         self._ensure_terms(terms)
         idf = {
-            t: math.log(
+            t: wts.get(t, 1.0) * math.log(
                 (self.n_docs - self._meta[t]["df"] + 0.5)
                 / (self._meta[t]["df"] + 0.5)
                 + 1.0

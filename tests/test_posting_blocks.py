@@ -424,3 +424,50 @@ def test_wand_msm_matches_df_scorer(ctx):
         bm25_topk_wand_batch(
             blocks, slabs, queries, 10, min_should_match={"q2": 5}, **kw
         )
+
+
+def test_wand_weighted_matches_df_scorer(ctx):
+    """^N query boosts on the serving path: rank+score identity with
+    bm25_weighted_scores on cold and warm WAND; the weight folds into
+    idf so every pruning bound scales consistently."""
+    from fulltextsearchengine_spark.operators.feedback import bm25_weighted_scores
+    from fulltextsearchengine_spark.operators.posting_blocks import build_doc_len_slabs
+    from fulltextsearchengine_spark.operators.wand import WandSearcher, bm25_topk_wand
+
+    golden, idx, blocks, stats = ctx
+    slabs = build_doc_len_slabs(idx.docs.select("doc_id", "doc_len"), BUCKET_RANGE).cache()
+    by_df = sorted(
+        golden["term_to_document_frequency"].items(), key=lambda kv: kv[1]
+    )
+    q = [by_df[0][0], by_df[len(by_df) // 2][0], by_df[-1][0]]
+    w = {q[2]: 4.0, q[1]: 0.5}  # boost the stopword, damp the mid term
+    kw = dict(
+        n_docs=stats["num_docs"], total_tokens=stats["total_tokens"],
+        bucket_range=BUCKET_RANGE, block_size=BLOCK_SIZE,
+    )
+    s = Searcher(idx)
+    exp_all = bm25_weighted_scores(
+        s, {t: w.get(t, 1.0) for t in q}
+    ).orderBy("score", ascending=False).collect()
+    exp = sorted(
+        [(r["doc_id"], r["score"]) for r in exp_all],
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = bm25_topk_wand(blocks, slabs, q, 10, weights=w, **kw)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for e, g in zip(exp, got):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)
+    warm = WandSearcher(blocks, slabs, **kw)
+    assert warm.search(q, 10, weights=w) == got
+    # unweighted == weights of all 1.0 (exact float identity)
+    assert bm25_topk_wand(blocks, slabs, q, 10, weights={t: 1.0 for t in q}, **kw) \
+        == bm25_topk_wand(blocks, slabs, q, 10, **kw)
+    # boosts reorder vs unweighted (the boost actually bites)
+    assert [g[0] for g in got] != [
+        g[0] for g in bm25_topk_wand(blocks, slabs, q, 10, **kw)
+    ]
+    # guards: unknown term, non-positive weight
+    with pytest.raises(ValueError, match="non-query"):
+        bm25_topk_wand(blocks, slabs, q, 10, weights={"zzz": 2.0}, **kw)
+    with pytest.raises(ValueError, match="> 0"):
+        bm25_topk_wand(blocks, slabs, q, 10, weights={q[0]: 0.0}, **kw)
