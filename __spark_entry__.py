@@ -324,6 +324,36 @@ FROM fscored ORDER BY score DESC, conv_id LIMIT {k}
     )
 
 
+def _dismax_sql(query: list[str], k: int, tie: float) -> str:
+    """DuckDB twin of operators/bm25f.dismax_search (best-fields dismax:
+    per-role-field Lucene BM25 with per-field df/N/avglen, max + tie·rest
+    per term, summed over terms; k1=1.2 / b=0.75)."""
+    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query}))
+    return (
+        PRELUDE
+        + f"""
+, ftoks AS (SELECT conv_id, role, unnest(tokens) AS term FROM toksd)
+, fp AS (SELECT conv_id, role, term, count(*) AS tf FROM ftoks
+         WHERE term IN ({terms}) GROUP BY conv_id, role, term)
+, flens AS (SELECT conv_id, role, CAST(sum(len(tokens)) AS BIGINT) AS flen
+            FROM toksd GROUP BY conv_id, role)
+, avgf AS (SELECT role, avg(flen) AS a, count(*) AS n FROM flens GROUP BY role)
+, fdf AS (SELECT term, role, count(*) AS df FROM fp GROUP BY term, role)
+, s AS (SELECT fp.conv_id, fp.term,
+       ln((av.n - fd.df + 0.5) / (fd.df + 0.5) + 1.0) * fp.tf
+         / (fp.tf + 1.2 * (0.25 + 0.75 * fl.flen / av.a)) AS s
+   FROM fp JOIN flens fl ON fl.conv_id = fp.conv_id AND fl.role = fp.role
+   JOIN avgf av ON av.role = fp.role
+   JOIN fdf fd ON fd.term = fp.term AND fd.role = fp.role)
+, dm AS (SELECT conv_id, term, max(s) + {tie} * (sum(s) - max(s)) AS d
+         FROM s GROUP BY conv_id, term)
+, fin AS (SELECT conv_id, sum(d) AS score FROM dm GROUP BY conv_id)
+SELECT conv_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fin ORDER BY score DESC, conv_id LIMIT {k}
+"""
+    )
+
+
 def _rm3_sql(
     query: list[str], k: int, fb_docs: int, fb_terms: int, alpha: float
 ) -> str:
@@ -2542,6 +2572,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 Q_BM25F = ["data", "query", "join"]
+DISMAX_TIE = 0.3
 Q_RM3 = ["window", "scan"]
 Q_PROX = ["spark", "data", "batch"]
 # trigram-pruned paths (3+ char literal segments) AND the short-segment
@@ -2599,6 +2630,18 @@ def _q_bm25f(spark, sf_dir):
 
     fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
     return bm25f_search(fidx, Q_BM25F, TOPK).select(
+        "conv_id", _micro("score", "score_micro")
+    )
+
+
+def _q_dismax(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.bm25f import (
+        build_field_index,
+        dismax_search,
+    )
+
+    fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
+    return dismax_search(fidx, Q_BM25F, TOPK, tie_breaker=DISMAX_TIE).select(
         "conv_id", _micro("score", "score_micro")
     )
 
@@ -3156,6 +3199,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_bool_phrase": _q_bool_phrase,
         "ftse_query_boosted": _q_query_boosted,
         "ftse_bm25_wand_boosted": _q_bm25_wand_boosted,
+        "ftse_dismax_topk": _q_dismax,
     }
 
 
@@ -4667,4 +4711,5 @@ ORDER BY score DESC, doc_id LIMIT {TOPK}
         ),
         "dedup_duplicate_spans": _duplicate_spans_sql(SPANS_N, SPANS_MIN_COUNT),
         "ftse_interleave": _interleave_sql(Q_BM25, Q_LNN, INTERLEAVE_DEPTH),
+        "ftse_dismax_topk": _dismax_sql(Q_BM25F, TOPK, DISMAX_TIE),
     }

@@ -56,6 +56,7 @@ class FieldIndex:
     conv_terms: DataFrame  # (term, df) — conversation-level df
     num_convs: int
     avg_flen: dict[str, float]  # role -> mean flen over present fields
+    field_counts: dict[str, int]  # role -> #convs where the field is present
 
 
 def build_field_index(transcripts: DataFrame) -> FieldIndex:
@@ -86,9 +87,14 @@ def build_field_index(transcripts: DataFrame) -> FieldIndex:
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     num_convs = transcripts.select("conv_id").distinct().count()
-    avg_rows = field_lens.groupBy("role").agg(F.avg("flen").alias("a")).collect()
+    avg_rows = field_lens.groupBy("role").agg(
+        F.avg("flen").alias("a"), F.count(F.lit(1)).alias("n")
+    ).collect()
     avg_flen = {r["role"]: float(r["a"]) for r in avg_rows}
-    return FieldIndex(field_postings, field_lens, conv_terms, num_convs, avg_flen)
+    field_counts = {r["role"]: int(r["n"]) for r in avg_rows}
+    return FieldIndex(
+        field_postings, field_lens, conv_terms, num_convs, avg_flen, field_counts
+    )
 
 
 def bm25f_scores(
@@ -171,3 +177,106 @@ def bm25f_search(
 def _empty(fidx: FieldIndex) -> DataFrame:
     spark = fidx.field_postings.sparkSession
     return spark.createDataFrame([], "conv_id string, score double")
+
+
+# ---------------------------------------------------------------- dismax
+# Lucene DisjunctionMaxQuery / Elasticsearch multi_match "best_fields"
+# (public semantics: Lucene DisMaxQuery.java docs; tie_breaker per the
+# ES multi-match reference). Where BM25F blends fields INSIDE the term
+# saturation (one weighted tf), dismax scores each field independently
+# with that field's own statistics and takes, per term,
+#
+#     d(t, c) = max_f s(t, c, f) + tie · (Σ_f s(t, c, f) − max_f …)
+#     score(c) = Σ_t d(t, c)
+#
+# with the per-field Lucene BM25
+#
+#     s(t, c, f) = idf_f(t) · tf / (tf + k1·(1 − b + b·len_{c,f}/avglen_f))
+#     idf_f(t)   = ln((N_f − df_{t,f} + 0.5)/(df_{t,f} + 0.5) + 1)
+#
+# where N_f counts conversations where field f is PRESENT and df_{t,f}
+# counts conversations whose field f contains t — i.e. each field is its
+# own little index, exactly how Lucene scores one TermQuery per field.
+# tie=0 is pure best-field; tie=1 degrades to the plain per-field sum.
+#
+# Scale shape: one pushed In(term,…) scan of field_postings; per-field
+# df comes from that SAME pruned scan (rows are unique on
+# (conv, role, term), so df is a count), collected driver-side
+# (≤ |q|·|roles| rows — the Searcher.term_stats pattern); idf/avglen/N_f
+# fold into CASE literals; then one (conv_id, role) join against
+# field_lens and two keyed aggs. No new exchange vs bm25f_scores.
+
+
+def dismax_scores(
+    fidx: FieldIndex,
+    query: list[str],
+    tie_breaker: float = 0.0,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """(conv_id, score) under best-fields dismax over the role fields."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    terms = sorted({t.lower() for t in query})
+    if not terms:
+        return _empty(fidx)
+    fp = fidx.field_postings.filter(F.col("term").isin(terms))
+    df_rows = fp.groupBy("term", "role").agg(
+        F.count(F.lit(1)).alias("df")
+    ).collect()  # ≤ |q|·|roles| rows — driver-sized
+    idf = {
+        (r["term"], r["role"]): math.log(
+            (fidx.field_counts[r["role"]] - r["df"] + 0.5) / (r["df"] + 0.5)
+            + 1.0
+        )
+        for r in df_rows
+    }
+    if not idf:
+        return _empty(fidx)
+    idf_col = F.lit(0.0)
+    for (t, role), v in sorted(idf.items()):
+        idf_col = F.when(
+            (F.col("term") == t) & (F.col("role") == role), F.lit(v)
+        ).otherwise(idf_col)
+    norm_col = F.lit(1.0)
+    for role, avg in sorted(fidx.avg_flen.items()):
+        norm_col = F.when(
+            F.col("role") == role,
+            F.lit(1.0 - b) + F.lit(b) * F.col("flen") / F.lit(avg),
+        ).otherwise(norm_col)
+    s = fp.join(fidx.field_lens, ["conv_id", "role"]).select(
+        "conv_id",
+        "term",
+        (idf_col * F.col("tf") / (F.col("tf") + F.lit(k1) * norm_col)).alias("s"),
+    )
+    per_term = s.groupBy("conv_id", "term").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("tot")
+    )
+    return (
+        per_term.select(
+            "conv_id",
+            (
+                F.col("mx")
+                + F.lit(tie_breaker) * (F.col("tot") - F.col("mx"))
+            ).alias("d"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("d").alias("score"))
+    )
+
+
+def dismax_search(
+    fidx: FieldIndex,
+    query: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """Top-k conversations under dismax: score desc, conv_id asc
+    (TakeOrderedAndProject, same shape as bm25f_search)."""
+    return (
+        dismax_scores(fidx, query, tie_breaker=tie_breaker, k1=k1, b=b)
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )

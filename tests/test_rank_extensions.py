@@ -117,6 +117,82 @@ def test_bm25f_role_weights_change_ranking(setup):
     assert base != skew
 
 
+# ---------------------------------------------------------------- dismax
+
+
+def _brute_dismax(pdf, query, tie, k1, b, k):
+    """Independent python dismax (best-fields, per-field BM25 stats)."""
+    tf: dict[tuple[str, str, str], int] = {}
+    flen: dict[tuple[str, str], int] = {}
+    for row in pdf.itertuples(index=False):
+        toks = oracle.tokenize(row.text)
+        key = (row.conv_id, row.role)
+        flen[key] = flen.get(key, 0) + len(toks)
+        for t in toks:
+            tf[(row.conv_id, row.role, t)] = tf.get((row.conv_id, row.role, t), 0) + 1
+    per_role: dict[str, list[int]] = {}
+    for (_, role), ln in flen.items():
+        per_role.setdefault(role, []).append(ln)
+    avg = {r: sum(v) / len(v) for r, v in per_role.items()}
+    n_f = {r: len(v) for r, v in per_role.items()}
+    fdf: dict[tuple[str, str], set] = {}
+    for (c, role, t) in tf:
+        fdf.setdefault((t, role), set()).add(c)
+    terms = sorted({t.lower() for t in query})
+    scores: dict[str, float] = {}
+    for c in {cc for cc, _ in flen}:
+        total = 0.0
+        for t in terms:
+            per_field = []
+            for role in avg:
+                f = tf.get((c, role, t), 0)
+                if f == 0:
+                    continue
+                df = len(fdf[(t, role)])
+                idf = math.log((n_f[role] - df + 0.5) / (df + 0.5) + 1.0)
+                norm = 1.0 - b + b * flen[(c, role)] / avg[role]
+                per_field.append(idf * f / (f + k1 * norm))
+            if per_field:
+                mx = max(per_field)
+                total += mx + tie * (sum(per_field) - mx)
+        if total > 0.0:
+            scores[c] = total
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+def test_dismax_rank_identity(setup, small_transcripts_pdf):
+    from fulltextsearchengine_spark.operators.bm25f import dismax_search
+
+    _, _, sdf = setup
+    fidx = build_field_index(sdf)
+    for tie in (0.0, 0.3):
+        for q in QUERIES:
+            exp = _brute_dismax(
+                small_transcripts_pdf, q, tie, BM25F_K1, BM25F_B, K
+            )
+            got = [
+                (r["conv_id"], r["score"])
+                for r in dismax_search(fidx, q, K, tie_breaker=tie).collect()
+            ]
+            assert [g[0] for g in got] == [e[0] for e in exp], (tie, q)
+            for (_, es), (_, gs) in zip(exp, got):
+                assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_dismax_differs_from_bm25f_and_validates(setup):
+    from fulltextsearchengine_spark.operators.bm25f import dismax_search
+
+    _, _, sdf = setup
+    fidx = build_field_index(sdf)
+    q = QUERIES[0]
+    dm = [r["conv_id"] for r in dismax_search(fidx, q, 30).collect()]
+    bf = [r["conv_id"] for r in bm25f_search(fidx, q, 30).collect()]
+    assert dm != bf  # max-composition is a genuinely different ranking
+    with pytest.raises(ValueError):
+        dismax_search(fidx, q, 5, tie_breaker=1.5)
+
+
 # ---------------------------------------------------------------- RM3
 
 
