@@ -324,6 +324,37 @@ FROM fscored ORDER BY score DESC, conv_id LIMIT {k}
     )
 
 
+def _expansion_bm25_sql(
+    match_sql: str,
+    max_exp: int,
+    k: int,
+    literals: list[str] | None = None,
+    exclude_term: str | None = None,
+) -> str:
+    """DuckDB twin of operators/multiterm._expanded_search: dictionary
+    expansion (``match_sql`` predicate over terms, top-``max_exp`` by
+    cf desc / term asc) ∪ literal terms, scored by standard BM25;
+    ``exclude_term`` adds the grammar's -negation anti-filter."""
+    qterms = (
+        f"SELECT term FROM (SELECT term FROM terms WHERE {match_sql} "
+        f"ORDER BY cf DESC, term LIMIT {max_exp})"
+    )
+    for lit in literals or []:
+        qterms += f" UNION SELECT '{lit}' AS term"
+    anti = (
+        f"WHERE doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{exclude_term}')"
+        if exclude_term
+        else ""
+    )
+    return (
+        _bm25_scored_cte(None, qterms_sql=qterms)
+        + f"""
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM scored {anti} ORDER BY score DESC, doc_id LIMIT {k}
+"""
+    )
+
+
 def _dismax_sql(query: list[str], k: int, tie: float) -> str:
     """DuckDB twin of operators/bm25f.dismax_search (best-fields dismax:
     per-role-field Lucene BM25 with per-field df/N/avglen, max + tie·rest
@@ -2620,6 +2651,11 @@ CHAMP_N = 4
 PQ_GATE = {"dim": 64, "m": 16, "n_codes": 16, "seed": 7, "query_vec_id": 3}
 IVF_APPEND_QVEC_ID = 7
 Q_SPELL = ["sparc", "join", "fast"]  # "sparc": an edit-1 typo to correct
+WILD_PAT = "s*"  # expands to scan/small/slow/stream/spark/sort by cf
+WILD_MAXEXP = 4  # exercise the max_expansions cap (6 matches, keep 4)
+FUZZ_GATE = "sparc"  # edit-1 neighborhood = {spark}
+REGEX_GATE = "s.an|sl.w"  # full-match → {scan, slow}
+Q_MULTI = "s* sparc~ join -dup"  # grammar: wildcard+fuzzy+literal+negation
 
 
 def _q_bm25f(spark, sf_dir):
@@ -2631,6 +2667,42 @@ def _q_bm25f(spark, sf_dir):
     fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
     return bm25f_search(fidx, Q_BM25F, TOPK).select(
         "conv_id", _micro("score", "score_micro")
+    )
+
+
+def _q_wildcard_search(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.multiterm import wildcard_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return wildcard_search(
+        s, WILD_PAT, TOPK, max_expansions=WILD_MAXEXP, literal_terms=["join"]
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
+def _q_fuzzy_search(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.multiterm import fuzzy_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return fuzzy_search(s, FUZZ_GATE, TOPK, literal_terms=["join"]).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_regex_search(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.multiterm import regex_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return regex_search(s, REGEX_GATE, TOPK).select(
+        "doc_id", _micro("score", "score_micro")
+    )
+
+
+def _q_query_multiterm(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.queryparse import execute_query
+
+    s = Searcher(_index(spark, sf_dir))
+    return execute_query(s, Q_MULTI, k=TOPK).select(
+        "doc_id", _micro("score", "score_micro")
     )
 
 
@@ -3200,6 +3272,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_query_boosted": _q_query_boosted,
         "ftse_bm25_wand_boosted": _q_bm25_wand_boosted,
         "ftse_dismax_topk": _q_dismax,
+        "ftse_wildcard_search": _q_wildcard_search,
+        "ftse_fuzzy_search": _q_fuzzy_search,
+        "ftse_regex_search": _q_regex_search,
+        "ftse_query_multiterm": _q_query_multiterm,
     }
 
 
@@ -4712,4 +4788,20 @@ ORDER BY score DESC, doc_id LIMIT {TOPK}
         "dedup_duplicate_spans": _duplicate_spans_sql(SPANS_N, SPANS_MIN_COUNT),
         "ftse_interleave": _interleave_sql(Q_BM25, Q_LNN, INTERLEAVE_DEPTH),
         "ftse_dismax_topk": _dismax_sql(Q_BM25F, TOPK, DISMAX_TIE),
+        "ftse_wildcard_search": _expansion_bm25_sql(
+            "term LIKE 's%'", WILD_MAXEXP, TOPK, literals=["join"]
+        ),
+        "ftse_fuzzy_search": _expansion_bm25_sql(
+            f"levenshtein(term, '{FUZZ_GATE}') <= 1", 50, TOPK, literals=["join"]
+        ),
+        "ftse_regex_search": _expansion_bm25_sql(
+            f"regexp_full_match(term, '{REGEX_GATE}')", 50, TOPK
+        ),
+        "ftse_query_multiterm": _expansion_bm25_sql(
+            f"term LIKE 's%' OR levenshtein(term, '{FUZZ_GATE}') <= 1",
+            50,
+            TOPK,
+            literals=["join"],
+            exclude_term="dup",
+        ),
     }

@@ -16,6 +16,18 @@ syntax subset — public knowledge):
     spark^2.5 join               per-term boost (Lucene ^N): the term's
                                  BM25 contribution is multiplied by N;
                                  composes with mm:N and every filter
+    quer* *dex te*le             wildcard terms (Lucene MultiTermQuery):
+                                 expanded against the dictionary, top
+                                 max_expansions by cf, each scored with
+                                 its own idf (scoring-boolean rewrite)
+    sparc~  sparc~1              fuzzy term: edit-distance-1 dictionary
+                                 neighborhood (FastSS sidecar, exact);
+                                 only distance 1 is supported
+    /qu.r[xy]/                   full-match regex over the dictionary
+                                 (Lucene RegexpQuery; terms are
+                                 lowercase — write patterns lowercase);
+                                 all three take -negation and ^N boosts
+                                 (boost applies to every expansion)
     sort:-ts  sort:turn_idx      order results by a docs column instead
                                  of score (leading '-' = descending;
                                  fields: ts, turn_idx, doc_id); score is
@@ -83,6 +95,28 @@ class ParsedQuery:
     boosts: dict[str, float] = field(default_factory=dict)
     # (docs column, descending) — None = rank by score
     sort: tuple[str, bool] | None = None
+    # multi-term clauses (Lucene MultiTermQuery syntax): `te*m` wildcard,
+    # `term~` / `term~1` fuzzy, `/regex/` full-match regex — each expands
+    # against the dictionary at execute time (operators/multiterm.py)
+    wildcards: list[str] = field(default_factory=list)
+    excluded_wildcards: list[str] = field(default_factory=list)
+    fuzzies: list[str] = field(default_factory=list)
+    excluded_fuzzies: list[str] = field(default_factory=list)
+    regexes: list[str] = field(default_factory=list)
+    excluded_regexes: list[str] = field(default_factory=list)
+    # "<kind>:<pattern>" -> boost, kind in {w, f, r}; applied to every
+    # term the pattern expands to (explicit per-term boosts win)
+    pattern_boosts: dict[str, float] = field(default_factory=dict)
+
+    def has_positive_clause(self) -> bool:
+        return bool(
+            self.terms
+            or self.phrases
+            or self.proximities
+            or self.wildcards
+            or self.fuzzies
+            or self.regexes
+        )
 
 
 # split-first/lower-second, exactly like tokens_col (shared fold)
@@ -144,6 +178,43 @@ def parse_query(q: str) -> ParsedQuery:
                 if boost <= 0:
                     raise ValueError(f"bad boost in {word!r} (want > 0)")
                 word = word[: bm.start()]
+            # multi-term clauses, classified before tokenizer folding
+            # (folding would split the pattern metacharacters away)
+            if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+                # /regex/ — terms are lowercase alnum, so patterns
+                # should be written lowercase; not folded (case classes
+                # like \D must survive)
+                pat = word[1:-1]
+                (out.excluded_regexes if neg else out.regexes).append(pat)
+                if boost is not None and not neg:
+                    out.pattern_boosts[f"r:{pat}"] = boost
+                continue
+            fz = re.fullmatch(r"(.+)~(\d*)", word)
+            if fz:
+                base, edits = fz.group(1), fz.group(2)
+                if edits not in ("", "1"):
+                    raise ValueError(
+                        f"bad fuzzy {word!r}: only edit distance 1 is "
+                        "supported (FastSS neighborhood is exact at 1)"
+                    )
+                toks = _fold(base)
+                if len(toks) != 1:
+                    raise ValueError(f"bad fuzzy {word!r}: want one term")
+                (out.excluded_fuzzies if neg else out.fuzzies).append(toks[0])
+                if boost is not None and not neg:
+                    out.pattern_boosts[f"f:{toks[0]}"] = boost
+                continue
+            if "*" in word:
+                pat = word.lower()
+                if not re.fullmatch(r"[a-z0-9*]+", pat) or pat.strip("*") == "":
+                    raise ValueError(
+                        f"bad wildcard {word!r}: want alnum and '*' with "
+                        "at least one literal character"
+                    )
+                (out.excluded_wildcards if neg else out.wildcards).append(pat)
+                if boost is not None and not neg:
+                    out.pattern_boosts[f"w:{pat}"] = boost
+                continue
             toks = _fold(word)
             (out.excluded_terms if neg else out.terms).extend(toks)
             if boost is not None and not neg:
@@ -157,10 +228,15 @@ def execute_query(
     q: str | ParsedQuery,
     k: int = 10,
     pos_postings: DataFrame | None = None,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """(doc_id, score) top-k for a search-box query. Phrase clauses
     require the opt-in positional side-table (positions.py); without
-    it, a phrase query raises rather than silently degrading."""
+    it, a phrase query raises rather than silently degrading.
+    Multi-term clauses (wildcard/fuzzy/regex) expand against the
+    dictionary first (≤ ``max_expansions`` terms each, cf desc) and
+    score like ordinary OR terms with their own idf — the Lucene
+    scoring-boolean rewrite (operators/multiterm.py)."""
     pq = parse_query(q) if isinstance(q, str) else q
     needs_pos = (
         pq.phrases or pq.excluded_phrases
@@ -168,17 +244,48 @@ def execute_query(
     )
     if needs_pos and pos_postings is None:
         raise ValueError("phrase/proximity clauses need the positional side-table")
+    if not pq.has_positive_clause():
+        raise ValueError("query has no positive terms")
     # phrase/proximity terms are scoring terms too (standard search-box behavior)
     terms = (
         pq.terms
         + [t for ph in pq.phrases for t in ph]
         + [t for ph, _ in pq.proximities for t in ph]
     )
+    boosts = dict(pq.boosts)
+    excluded_terms = list(pq.excluded_terms)
+    if (
+        pq.wildcards or pq.fuzzies or pq.regexes
+        or pq.excluded_wildcards or pq.excluded_fuzzies or pq.excluded_regexes
+    ):
+        from .multiterm import expand_fuzzy, expand_regex, expand_wildcard
+
+        for kind, pats, expander in (
+            ("w", pq.wildcards, expand_wildcard),
+            ("f", pq.fuzzies, expand_fuzzy),
+            ("r", pq.regexes, expand_regex),
+        ):
+            for pat in pats:
+                exp = expander(searcher, pat, max_expansions)
+                terms.extend(exp)
+                b_ = pq.pattern_boosts.get(f"{kind}:{pat}")
+                if b_ is not None:
+                    for t in exp:
+                        boosts.setdefault(t, b_)
+        for pats, expander in (
+            (pq.excluded_wildcards, expand_wildcard),
+            (pq.excluded_fuzzies, expand_fuzzy),
+            (pq.excluded_regexes, expand_regex),
+        ):
+            for pat in pats:
+                excluded_terms.extend(expander(searcher, pat, max_expansions))
     if not terms:
-        raise ValueError("query has no positive terms")
-    if pq.boosts:
+        # every positive clause was a pattern and all expanded empty:
+        # Lucene MatchNoDocs — an empty result, not an error
+        return Searcher.topk(searcher._empty_scores(), k)
+    if boosts:
         # boosted path: weight 1.0 for unboosted terms; mm composes
-        weights = {t: pq.boosts.get(t, 1.0) for t in {x.lower() for x in terms}}
+        weights = {t: boosts.get(t, 1.0) for t in {x.lower() for x in terms}}
         scores = bm25_weighted_scores(
             searcher, weights, min_should_match=pq.min_should_match
         )
@@ -205,8 +312,8 @@ def execute_query(
     if pq.filters:
         scores = scores.join(docs.select("doc_id"), "doc_id", "left_semi")
 
-    if pq.excluded_terms:
-        bad = searcher.postings_for(pq.excluded_terms).select("doc_id").distinct()
+    if excluded_terms:
+        bad = searcher.postings_for(excluded_terms).select("doc_id").distinct()
         scores = scores.join(bad, "doc_id", "left_anti")
 
     # phrase verification last: touch the positional table only for
