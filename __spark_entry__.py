@@ -2670,6 +2670,12 @@ def _q_bm25f(spark, sf_dir):
     )
 
 
+def _q_sketch_report(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.sketches import corpus_sketch_report
+
+    return corpus_sketch_report(_index(spark, sf_dir))
+
+
 def _q_wildcard_search(spark, sf_dir):
     from fulltextsearchengine_spark.operators.multiterm import wildcard_search
 
@@ -3276,6 +3282,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_fuzzy_search": _q_fuzzy_search,
         "ftse_regex_search": _q_regex_search,
         "ftse_query_multiterm": _q_query_multiterm,
+        "corpus_sketch_report": _q_sketch_report,
     }
 
 
@@ -4796,6 +4803,22 @@ ORDER BY score DESC, doc_id LIMIT {TOPK}
         ),
         "ftse_regex_search": _expansion_bm25_sql(
             f"regexp_full_match(term, '{REGEX_GATE}')", 50, TOPK
+        ),
+        "corpus_sketch_report": (
+            PRELUDE
+            + """
+, vals AS (
+  SELECT 'conv_id' AS entity, conv_id AS v FROM (SELECT DISTINCT conv_id FROM docs)
+  UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM docs
+  UNION ALL SELECT 'term', term FROM terms
+  UNION ALL SELECT 'term_doc_pair', term || '|' || CAST(doc_id AS VARCHAR) FROM postings
+)
+SELECT entity,
+       count(DISTINCT v) AS n_sampled,
+       CAST(round(count(DISTINCT v) * 16.0 / 4) AS BIGINT) AS est_distinct
+FROM vals WHERE substring(md5(v), 1, 1) < '4'
+GROUP BY entity ORDER BY entity
+"""
         ),
         "ftse_query_multiterm": _expansion_bm25_sql(
             f"term LIKE 's%' OR levenshtein(term, '{FUZZ_GATE}') <= 1",
