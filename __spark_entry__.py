@@ -2670,6 +2670,32 @@ def _q_bm25f(spark, sf_dir):
     )
 
 
+ANN_TOMBSTONES = [0, 1, 2]  # 0 = the query vector: guarantees displacement
+SUGGEST_CTX = ["join"]
+SUGGEST_PREFIX = "s"
+SUGGEST_K = 5
+
+
+def _q_ann_tombstoned(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return cosine_topk(emb, qvec, TOPK, tombstones=ANN_TOMBSTONES).select(
+        "vec_id", _micro("cosine", "cosine_micro")
+    )
+
+
+def _q_suggest_next(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.suggest import suggest_next_terms
+
+    return suggest_next_terms(
+        _index(spark, sf_dir), SUGGEST_CTX, SUGGEST_PREFIX, SUGGEST_K
+    )
+
+
 def _q_sketch_report(spark, sf_dir):
     from fulltextsearchengine_spark.operators.sketches import corpus_sketch_report
 
@@ -3283,6 +3309,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_regex_search": _q_regex_search,
         "ftse_query_multiterm": _q_query_multiterm,
         "corpus_sketch_report": _q_sketch_report,
+        "ann_tombstoned_topk": _q_ann_tombstoned,
+        "ftse_suggest_next": _q_suggest_next,
     }
 
 
@@ -4795,6 +4823,32 @@ ORDER BY score DESC, doc_id LIMIT {TOPK}
         "dedup_duplicate_spans": _duplicate_spans_sql(SPANS_N, SPANS_MIN_COUNT),
         "ftse_interleave": _interleave_sql(Q_BM25, Q_LNN, INTERLEAVE_DEPTH),
         "ftse_dismax_topk": _dismax_sql(Q_BM25F, TOPK, DISMAX_TIE),
+        "ann_tombstoned_topk": (
+            "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+            "FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, "
+            "list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) "
+            "/ (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN q "
+            f"WHERE e.vec_id NOT IN ({', '.join(str(i) for i in ANN_TOMBSTONES)})) "
+            f"SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro "
+            f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK}"
+        ),
+        "ftse_suggest_next": (
+            PRELUDE
+            + f"""
+, ctxd AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({_sql_csv(SUGGEST_CTX)}))
+, cand AS (SELECT term, cf FROM terms
+           WHERE term LIKE '{SUGGEST_PREFIX}%' AND term NOT IN ({_sql_csv(SUGGEST_CTX)}))
+, co AS (SELECT p.term, count(*) AS co_docs FROM postings p JOIN ctxd USING (doc_id)
+         WHERE p.term LIKE '{SUGGEST_PREFIX}%' AND p.term NOT IN ({_sql_csv(SUGGEST_CTX)})
+         GROUP BY p.term)
+SELECT c.term, CAST(coalesce(co.co_docs, 0) AS BIGINT) AS co_docs, c.cf
+FROM cand c LEFT JOIN co USING (term)
+ORDER BY co_docs DESC, cf DESC, term LIMIT {SUGGEST_K}
+"""
+        ),
         "ftse_wildcard_search": _expansion_bm25_sql(
             "term LIKE 's%'", WILD_MAXEXP, TOPK, literals=["join"]
         ),

@@ -55,9 +55,31 @@ def cosine_scores(
     )
 
 
-def cosine_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int, **kw
+def exclude_vector_ids(
+    embeddings: DataFrame, tombstones, id_col: str = "vec_id"
 ) -> DataFrame:
+    """Deleted-vector filter for ANN serving — the embedding-side twin
+    of deletes.exclude_docs (Lucene deleted-bitset semantics: applied to
+    CANDIDATES before top-k, so dead vectors can't displace live ones).
+    ``tombstones``: an iterable of ids (broadcast isin) or a DataFrame
+    with ``id_col`` (anti-join)."""
+    if isinstance(tombstones, DataFrame):
+        return embeddings.join(
+            tombstones.select(id_col).distinct(), id_col, "left_anti"
+        )
+    dead = sorted(set(tombstones))
+    if not dead:
+        return embeddings
+    return embeddings.filter(~F.col(id_col).isin(dead))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int, tombstones=None, **kw
+) -> DataFrame:
+    if tombstones is not None:
+        embeddings = exclude_vector_ids(
+            embeddings, tombstones, id_col=kw.get("id_col", "vec_id")
+        )
     return (
         cosine_scores(embeddings, query_vec, **kw)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -270,9 +292,13 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tombstones=None,
 ) -> DataFrame:
     """IVF query: rank centroids by cosine to the query, scan only the
-    n_probe nearest inverted lists, exact re-rank within them."""
+    n_probe nearest inverted lists, exact re-rank within them.
+    ``tombstones`` masks deleted vectors inside the probed lists (before
+    the re-rank, so k live results come back whenever the lists hold
+    them — same contract as cosine_topk)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
@@ -281,7 +307,9 @@ def ivf_topk(
         F.col("vec_id").alias("_ivf_id")
     )
     cand = embeddings.join(cand_ids, embeddings[id_col] == F.col("_ivf_id"), "left_semi")
-    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(
+        cand, query_vec, k, id_col=id_col, vec_col=vec_col, tombstones=tombstones
+    )
 
 
 def with_srp_bucket(

@@ -42,6 +42,37 @@ def test_cosine_topk_exact(emb):
         assert gc == pytest.approx(cos[oid], rel=1e-6)
 
 
+def test_cosine_topk_tombstoned(emb):
+    from fulltextsearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    df, vecs = emb
+    q = vecs[3].tolist()
+    base = [r["vec_id"] for r in cosine_topk(df, q, 10).collect()]
+    dead = base[:2]  # kill the top-2 live results
+    got = [r["vec_id"] for r in cosine_topk(df, q, 10, tombstones=dead).collect()]
+    cos = _cosine_oracle(vecs, np.asarray(q))
+    order = [i for i in sorted(range(N), key=lambda i: (-cos[i], i)) if i not in dead]
+    assert got == order[:10]  # dead filtered BEFORE top-k: still 10 live
+    # DataFrame-shaped tombstones behave identically
+    spark = df.sparkSession
+    tomb_df = spark.createDataFrame([(int(d),) for d in dead], "vec_id long")
+    got2 = [r["vec_id"] for r in cosine_topk(df, q, 10, tombstones=tomb_df).collect()]
+    assert got2 == got
+    # empty tombstones = no-op
+    assert [r["vec_id"] for r in cosine_topk(df, q, 10, tombstones=[]).collect()] == base
+    # IVF path masks inside the probed lists too
+    cents = ivf_train_centroids(df, 4, DIM, seed=7)
+    ivf_live = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, 5, cents, n_probe=4, tombstones=dead).collect()
+    ]
+    assert ivf_live == order[:5]  # n_probe=all lists → exact minus dead
+
+
 def test_srp_topk_recall(emb):
     from fulltextsearchengine_spark.operators.similarity import srp_bucketed_topk
 
