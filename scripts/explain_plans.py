@@ -611,6 +611,54 @@ def main() -> None:
         ["!CartesianProduct", "!BatchEvalPython"],
     ))
 
+    # Round-4 session-2: dismax best-fields — same keyed-agg shape as
+    # BM25F (per-field stats fold into CASE literals; two aggs, no UDF)
+    from fulltextsearchengine_spark.operators.bm25f import dismax_search
+
+    p = grab_plan(dismax_search(fidx, ["spark", "join", "fast"], 10, tie_breaker=0.3))
+    sections.append((
+        "Dismax best-fields search (per-field CASE idf, max+tie agg, no UDF)", p,
+        ["TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython",
+         "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    # Round-4 session-2: multi-term (wildcard) search — after the
+    # dictionary expansion (a separate vocabulary-sized job), the
+    # scoring plan must be byte-identical in SHAPE to plain BM25:
+    # pushed In over the expanded term set, one pivot, TakeOrdered.
+    from fulltextsearchengine_spark.operators.multiterm import wildcard_search
+
+    p = grab_plan(wildcard_search(s, "s*", 10, literal_terms=["join"]))
+    sections.append((
+        "Wildcard multi-term search (expansion feeds the ordinary pruned scorer)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    # Round-4 session-2: context-aware suggest — candidate postings scan
+    # carries a pushed prefix filter; context side is a pruned In scan.
+    from fulltextsearchengine_spark.operators.suggest import suggest_next_terms
+
+    p = grab_plan(suggest_next_terms(idx, ["join"], "s", 5))
+    sections.append((
+        "Context-aware suggest (pushed StartsWith candidates, semi-join context)", p,
+        ["StringStartsWith(term,s)", "TakeOrderedAndProject",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    # Round-4 session-2: hash-threshold distinct sketch — the md5
+    # threshold filter prunes BEFORE the distinct aggregation's
+    # exchange; everything stays in codegen.
+    from fulltextsearchengine_spark.operators.sketches import hash_threshold_distinct
+
+    p = grab_plan(
+        hash_threshold_distinct(idx.postings.select(F.col("term").alias("v")), F.col("v"))
+    )
+    sections.append((
+        "Hash-threshold distinct sketch (filter below the distinct agg)", p,
+        ["HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
