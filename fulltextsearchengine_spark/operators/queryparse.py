@@ -229,6 +229,8 @@ def execute_query(
     k: int = 10,
     pos_postings: DataFrame | None = None,
     max_expansions: int = 50,
+    trigram_index: DataFrame | None = None,
+    fuzzy_index: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) top-k for a search-box query. Phrase clauses
     require the opt-in positional side-table (positions.py); without
@@ -236,7 +238,12 @@ def execute_query(
     Multi-term clauses (wildcard/fuzzy/regex) expand against the
     dictionary first (≤ ``max_expansions`` terms each, cf desc) and
     score like ordinary OR terms with their own idf — the Lucene
-    scoring-boolean rewrite (operators/multiterm.py)."""
+    scoring-boolean rewrite (operators/multiterm.py). A serving
+    deployment should pass the PERSISTED ``trigram_index`` /
+    ``fuzzy_index`` sidecars (lexicon.py save/load): without them each
+    wildcard/fuzzy query re-derives the sidecar from the terms table —
+    correct, and fine on a vocabulary-sized table, but wasted work at
+    a 100M-term vocabulary."""
     pq = parse_query(q) if isinstance(q, str) else q
     needs_pos = (
         pq.phrases or pq.excluded_phrases
@@ -260,9 +267,15 @@ def execute_query(
     ):
         from .multiterm import expand_fuzzy, expand_regex, expand_wildcard
 
+        def _wild(s, p, m):
+            return expand_wildcard(s, p, m, trigram_index=trigram_index)
+
+        def _fuzz(s, p, m):
+            return expand_fuzzy(s, p, m, fuzzy_index=fuzzy_index)
+
         for kind, pats, expander in (
-            ("w", pq.wildcards, expand_wildcard),
-            ("f", pq.fuzzies, expand_fuzzy),
+            ("w", pq.wildcards, _wild),
+            ("f", pq.fuzzies, _fuzz),
             ("r", pq.regexes, expand_regex),
         ):
             for pat in pats:
@@ -273,8 +286,8 @@ def execute_query(
                     for t in exp:
                         boosts.setdefault(t, b_)
         for pats, expander in (
-            (pq.excluded_wildcards, expand_wildcard),
-            (pq.excluded_fuzzies, expand_fuzzy),
+            (pq.excluded_wildcards, _wild),
+            (pq.excluded_fuzzies, _fuzz),
             (pq.excluded_regexes, expand_regex),
         ):
             for pat in pats:

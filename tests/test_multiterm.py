@@ -197,3 +197,27 @@ def test_execute_query_multiterm(setup):
     assert execute_query(searcher, "zzqq*", k=K).count() == 0
     with pytest.raises(ValueError):  # still no positive clause at all
         execute_query(searcher, "-noise", k=K)
+
+
+def test_execute_query_uses_persisted_sidecars(setup):
+    from fulltextsearchengine_spark.operators.lexicon import (
+        build_fuzzy_index,
+        build_trigram_index,
+    )
+
+    golden, searcher = setup
+    cf = _vocab_cf(golden)
+    base = sorted(cf)[0]
+    typo = base[:-1] + "z"
+    tri = build_trigram_index(searcher.index.terms).cache()
+    fz = build_fuzzy_index(searcher.index.terms).cache()
+    q = f"a* {typo}~ db"
+    with_side = execute_query(
+        searcher, q, k=K, trigram_index=tri, fuzzy_index=fz
+    ).collect()
+    without = execute_query(searcher, q, k=K).collect()
+    assert [(r["doc_id"], r["score"]) for r in with_side] == [
+        (r["doc_id"], r["score"]) for r in without
+    ]
+    tri.unpersist()
+    fz.unpersist()
