@@ -411,3 +411,87 @@ def duplicate_ngram_spans(
         (F.max("pos") + n - F.min("pos")).cast("long").alias("span_tokens"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text, n_tokens, n_removed): the REMOVAL transform for
+    Lee et al. 2022 exact-substring dedup — every token position covered
+    by a corpus-duplicated n-gram (≥ ``min_count`` occurrences, same
+    contract as ``duplicate_ngram_spans``) is cut from the document and
+    the survivors re-join with single spaces. Detection finds the spans;
+    this produces the cleaned corpus a training pipeline actually ships.
+
+    A position p is covered iff some duplicated n-gram starts at
+    s ∈ [p−n+1, p] within the doc — equivalently iff it lies inside one
+    of the detector's merged spans; removal works off the raw duplicated
+    START positions directly (no span merge needed for a mask).
+
+    Plan shape: the n-gram expansion is row-local; ONE gram groupBy
+    (map-side combined) finds hot grams; the mark-back is a semi-join of
+    doc grams against the hot-gram set; per-doc start lists collect with
+    one doc_id exchange and the mask itself is a row-local array HOF —
+    no window, no per-row Python. Token re-join normalizes whitespace
+    (the tokenizer already defined token identity; reconstruction
+    cannot recover inter-token bytes and does not pretend to).
+    """
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2, got {min_count}")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.when(
+                    F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("toks", i + 1, n), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    starts = (
+        grams.join(dup.select("gram"), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("dup_starts"))
+    )
+    masked = toks.join(starts, "doc_id", "left").withColumn(
+        "dup_starts",
+        F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")),
+    )
+    kept = masked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.filter(
+            F.transform(
+                F.coalesce("toks", F.array().cast("array<string>")),
+                lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+            ),
+            lambda s: ~F.exists(
+                "dup_starts",
+                lambda st: (st <= s["p"]) & (s["p"] <= st + F.lit(n - 1)),
+            ),
+        ).alias("kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.array_join(F.transform("kept", lambda s: s["t"]), " ").alias("text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+    )

@@ -75,3 +75,43 @@ def faceted_search(
             F.round(F.col("score") * 1e6).cast("long").alias("score_micro"),
         )
     )
+
+
+def hits_time_histogram(
+    searcher: Searcher,
+    query: list[str] | None = None,
+    granularity: str = "hour",
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """(bucket_ts, n_hits, sum_score, max_score): the ES
+    ``date_histogram`` aggregation over a query's candidate set —
+    "when did the matching turns happen", the standard dashboard view
+    over transcript search.
+
+    Same composition contract as ``faceted_search``: pass ``query`` for
+    plain BM25 candidates or ``scores`` (any (doc_id, score) frame) to
+    histogram an msm/boolean/filtered candidate set. The scored frame is
+    query-sized (term-pruned scan), the join brings ts from docs on the
+    doc_id key, and the bucket agg is a partial-agg groupBy over at most
+    |hits| rows → one small exchange. ``granularity`` is any
+    ``date_trunc`` unit (hour/day/week/month).
+
+    Scores sum in a deterministic micro-rounded domain: per-bucket sums
+    add micro-ints, so cross-engine float association can't wobble the
+    totals.
+    """
+    if (query is None) == (scores is None):
+        raise ValueError("pass exactly one of query= or scores=")
+    if granularity not in ("minute", "hour", "day", "week", "month", "year"):
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    scored = scores if scores is not None else searcher.bm25_scores(query)
+    docs = searcher.index.docs.select("doc_id", "ts")
+    cand = scored.join(docs, "doc_id").select(
+        F.date_trunc(granularity, F.col("ts")).alias("bucket_ts"),
+        F.round(F.col("score") * 1e6).cast("long").alias("score_micro"),
+    )
+    return cand.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("score_micro").alias("sum_score_micro"),
+        F.max("score_micro").alias("max_score_micro"),
+    )
