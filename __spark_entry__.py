@@ -3096,6 +3096,15 @@ TS_GRANULARITY = "hour"
 SPANS_N = 6
 SPANS_MIN_COUNT = 2
 INTERLEAVE_DEPTH = 10
+
+# round-4 session-3 gate constants
+RESCORE_WINDOW = 60
+RESCORE_W2 = 0.3  # rescore_weight for the Dirichlet second pass
+TV_DOC_IDS = [5, 17, 99]
+HIST_GRANULARITY = "hour"
+PARA_LINE_TOKENS = 10  # derived line width for the paragraph-dedup gate
+RP_OUT_DIM = 16
+RP_SEED = 11
 _TS_CACHE: dict[tuple[int, str], object] = {}
 
 
@@ -3134,6 +3143,86 @@ def _q_interleave(spark, sf_dir):
         s.bm25_search(Q_LNN, 2 * INTERLEAVE_DEPTH),
         depth=INTERLEAVE_DEPTH,
     )
+
+
+def _q_rescore(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.rescore import rescore_search
+
+    s = Searcher(_index(spark, sf_dir))
+    return rescore_search(
+        s, Q_BM25, k=TOPK, window_size=RESCORE_WINDOW, rescore_weight=RESCORE_W2
+    ).select(
+        "doc_id",
+        _micro("first_score", "first_micro"),
+        _micro("second_score", "second_micro"),
+        _micro("score", "score_micro"),
+    )
+
+
+def _q_term_vectors(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.termvectors import term_vectors
+
+    idx = _index(spark, sf_dir)
+    docs_text = transcripts_from_documents(spark, sf_dir).join(
+        idx.docs.select("doc_id", "conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+    )
+    return term_vectors(docs_text, idx, TV_DOC_IDS)
+
+
+def _q_hits_histogram(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.facets import hits_time_histogram
+
+    s = Searcher(_index(spark, sf_dir))
+    return hits_time_histogram(s, Q_BM25, granularity=HIST_GRANULARITY)
+
+
+def _lined_documents(spark, sf_dir):
+    """documents reshaped into PARA_LINE_TOKENS-token lines — the
+    deterministic multi-line view the paragraph-dedup gate runs on
+    (the synthetic corpus has no newlines of its own)."""
+    from fulltextsearchengine_spark.functions.tokenize import tokens_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    L = PARA_LINE_TOKENS
+    lines = F.transform(
+        F.sequence(F.lit(0), (F.ceil(F.size("toks") / F.lit(L))).cast("int") - 1),
+        lambda i: F.array_join(F.slice("toks", i * L + 1, L), " "),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.when(F.size("toks") > 0, F.array_join(lines, "\n"))
+            .otherwise(F.lit(""))
+            .alias("text"),
+        )
+    )
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.paragraphs import dedup_paragraphs
+
+    return dedup_paragraphs(_lined_documents(spark, sf_dir), min_chars=1)
+
+
+def _q_remove_spans(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, n=SPANS_N, min_count=SPANS_MIN_COUNT)
+
+
+def _q_random_projection(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.projection import (
+        sparse_random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = sparse_random_projection(emb, out_dim=RP_OUT_DIM, seed=RP_SEED)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "v")
+    ).select("vec_id", "dim", F.round(F.col("v") * 1e6).cast("long").alias("v_micro"))
 
 
 # Driver-window ordering (VERDICT r3 #2/#7): the driver CORRECTNESS-checks
@@ -3311,6 +3400,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketch_report": _q_sketch_report,
         "ann_tombstoned_topk": _q_ann_tombstoned,
         "ftse_suggest_next": _q_suggest_next,
+        "ftse_rescore_topk": _q_rescore,
+        "ftse_term_vectors": _q_term_vectors,
+        "ftse_hits_histogram": _q_hits_histogram,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "dedup_remove_spans": _q_remove_spans,
+        "emb_random_projection": _q_random_projection,
     }
 
 
@@ -3749,6 +3844,124 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {n} - min(pos) AS BIGINT) AS span_tokens,
        count(*) AS n_dup_grams
 FROM sp2 GROUP BY doc_id, sid
+"""
+
+
+def _rescore_sql(
+    query: list[str], k: int, window: int, qw: float, rw: float, mu: float
+) -> str:
+    """Twin of operators/rescore.rescore_search: BM25 first pass cuts
+    the window (score desc, doc_id), Dirichlet QL over the same OR
+    candidate set is the second pass, blended = qw·s1 + rw·s2 in full
+    precision before micro-rounding — exactly the fused Spark plan."""
+    return (
+        _bm25_scored_cte([t.lower() for t in query])
+        + f"""
+, qt AS (SELECT term, count(*) AS qtf FROM qterms GROUP BY term)
+, qd AS (SELECT q.term, q.qtf, t.cf FROM qt q JOIN terms t USING (term) WHERE t.cf > 0)
+, cands AS (SELECT doc_id FROM scored)
+, second AS (
+  SELECT c.doc_id,
+         sum( q.qtf * ln( (coalesce(p.tf, 0) + {mu} * q.cf / CAST(g.total_tokens AS DOUBLE))
+                          / (d.doc_len + {mu}) ) ) AS s2
+  FROM cands c
+  CROSS JOIN qd q
+  LEFT JOIN postings p ON p.doc_id = c.doc_id AND p.term = q.term
+  JOIN docs d ON d.doc_id = c.doc_id
+  CROSS JOIN gstats g
+  GROUP BY c.doc_id
+)
+, win AS (
+  SELECT s.doc_id, s.score AS s1, x.s2
+  FROM scored s JOIN second x USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id LIMIT {window}
+)
+SELECT doc_id,
+       CAST(round(s1 * 1e6) AS BIGINT) AS first_micro,
+       CAST(round(s2 * 1e6) AS BIGINT) AS second_micro,
+       CAST(round(({qw} * s1 + {rw} * s2) * 1e6) AS BIGINT) AS score_micro
+FROM win ORDER BY ({qw} * s1 + {rw} * s2) DESC, doc_id LIMIT {k}
+"""
+    )
+
+
+def _dedup_paragraphs_sql(L: int) -> str:
+    """Twin of operators/paragraphs.dedup_paragraphs over the derived
+    L-token-line view of documents (same derivation as the Spark gate):
+    keep-first by (doc_id, line_idx) per distinct trimmed line; lines
+    shorter than min_chars=1 (i.e. empty) always survive."""
+    return f"""
+WITH tokd AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+nl AS (SELECT doc_id, tokens,
+              greatest(CAST(ceil(len(tokens) / {L}.0) AS INT), 1) AS n_lines
+       FROM tokd),
+ln0 AS (SELECT doc_id, tokens, CAST(unnest(range(n_lines)) AS INT) AS line_idx FROM nl),
+lines AS (SELECT doc_id, line_idx,
+                 array_to_string(tokens[line_idx * {L} + 1 : line_idx * {L} + {L}], ' ') AS line
+          FROM ln0),
+rk AS (SELECT doc_id, line_idx, line,
+              ROW_NUMBER() OVER (PARTITION BY trim(line) ORDER BY doc_id, line_idx) AS rn
+       FROM lines),
+agg AS (SELECT doc_id,
+               coalesce(string_agg(
+                   CASE WHEN rn = 1 OR len(trim(line)) < 1 THEN line END,
+                   chr(10) ORDER BY line_idx), '') AS text,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 OR len(trim(line)) < 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        FROM rk GROUP BY doc_id)
+SELECT doc_id, text, n_lines, n_removed FROM agg
+"""
+
+
+def _remove_spans_sql(n: int, min_count: int) -> str:
+    """Twin of dedup.remove_duplicate_spans: positions covered by any
+    corpus-duplicated n-gram start are cut; survivors re-join with
+    single spaces in position order."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+gr0 AS (SELECT doc_id, tokens,
+               unnest(range(greatest(len(tokens) - {n} + 1, 0))) AS pos
+        FROM toks),
+gr AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+              array_to_string(tokens[pos + 1 : pos + {n}], ' ') AS gram
+       FROM gr0),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= {min_count}),
+mk AS (SELECT g.doc_id, g.pos FROM gr g JOIN dup USING (gram)),
+tp0 AS (SELECT doc_id, tokens, unnest(range(len(tokens))) AS p FROM toks),
+tp AS (SELECT doc_id, CAST(p AS INT) AS p, tokens[CAST(p AS INT) + 1] AS tok FROM tp0),
+kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+         WHERE NOT EXISTS (SELECT 1 FROM mk m WHERE m.doc_id = t.doc_id
+                           AND t.p BETWEEN m.pos AND m.pos + {n} - 1)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       CAST(len(d.tokens) AS BIGINT) AS n_tokens,
+       CAST(len(d.tokens) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _random_projection_sql(out_dim: int, seed: int, in_dim: int = 64) -> str:
+    """Twin of operators/projection.sparse_random_projection: the
+    md5-nibble matrix reconstructs in SQL (0,1 → +s; 2,3 → −s; else 0,
+    s = sqrt(4/out_dim)); in_dim=64 per the driver embeddings contract
+    (TESTDATA.md) — the Spark side reads it from the data."""
+    s = f"sqrt(4.0 / {out_dim})"
+    nib = f"substring(md5(concat('{seed}:', i.i, ':', j.j)), 1, 1)"
+    return f"""
+WITH mat AS (
+  SELECT i.i, j.j,
+         CASE WHEN {nib} IN ('0', '1') THEN {s}
+              WHEN {nib} IN ('2', '3') THEN -{s}
+              ELSE 0.0 END AS w
+  FROM (SELECT CAST(unnest(range({out_dim})) AS INT) AS i) i
+  CROSS JOIN (SELECT CAST(unnest(range({in_dim})) AS INT) AS j) j),
+ev0 AS (SELECT vec_id, embedding, CAST(unnest(range({in_dim})) AS INT) AS j FROM embeddings),
+ev AS (SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x FROM ev0)
+SELECT e.vec_id, m.i AS dim, CAST(round(sum(e.x * m.w) * 1e6) AS BIGINT) AS v_micro
+FROM ev e JOIN mat m ON m.j = e.j
+GROUP BY e.vec_id, m.i
 """
 
 
@@ -4881,4 +5094,33 @@ GROUP BY entity ORDER BY entity
             literals=["join"],
             exclude_term="dup",
         ),
+        "ftse_rescore_topk": _rescore_sql(
+            Q_BM25, TOPK, RESCORE_WINDOW, 1.0, RESCORE_W2, DIRICHLET_MU
+        ),
+        "ftse_term_vectors": (
+            PRELUDE
+            + f"""
+, tv AS (SELECT doc_id, unnest(tokens) AS term FROM toksd
+         WHERE doc_id IN ({', '.join(str(i) for i in TV_DOC_IDS)}))
+, tvc AS (SELECT doc_id, term, count(*) AS tf FROM tv GROUP BY doc_id, term)
+SELECT v.doc_id, v.term, v.tf, t.df, t.cf FROM tvc v JOIN terms t USING (term)
+"""
+        ),
+        "ftse_hits_histogram": (
+            _bm25_scored_cte(Q_BM25)
+            + f"""
+, withts AS (
+  SELECT CAST(round(s.score * 1e6) AS BIGINT) AS score_micro,
+         date_trunc('{HIST_GRANULARITY}', r.ts) AS bucket_ts
+  FROM scored s JOIN ranked r USING (doc_id)
+)
+SELECT bucket_ts, count(*) AS n_hits,
+       sum(score_micro) AS sum_score_micro,
+       max(score_micro) AS max_score_micro
+FROM withts GROUP BY bucket_ts
+"""
+        ),
+        "dedup_paragraphs": _dedup_paragraphs_sql(PARA_LINE_TOKENS),
+        "dedup_remove_spans": _remove_spans_sql(SPANS_N, SPANS_MIN_COUNT),
+        "emb_random_projection": _random_projection_sql(RP_OUT_DIM, RP_SEED),
     }
