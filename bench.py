@@ -511,6 +511,52 @@ def main() -> None:
         repeat=reps,
     )
     timed("dup_spans_n8", lambda: duplicate_ngram_spans(docs_raw, n=8).count(), repeat=reps)
+
+    # ---- round-4 session-3 ops ---------------------------------------
+    from fulltextsearchengine_spark.operators.dedup import remove_duplicate_spans
+    from fulltextsearchengine_spark.operators.facets import hits_time_histogram
+    from fulltextsearchengine_spark.operators.paragraphs import dedup_paragraphs
+    from fulltextsearchengine_spark.operators.projection import (
+        sparse_random_projection,
+    )
+    from fulltextsearchengine_spark.operators.rescore import rescore_search
+
+    timed(
+        "rescore_bm25_dirichlet",
+        lambda: [
+            rescore_search(searcher, qq, 10, window_size=100, rescore_weight=0.3).collect()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    timed(
+        "hits_histogram",
+        lambda: [
+            hits_time_histogram(searcher, qq, granularity="hour").count()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    timed(
+        "remove_dup_spans_n8",
+        lambda: remove_duplicate_spans(docs_raw, n=8).count(),
+        repeat=reps,
+    )
+    lined = docs_raw.selectExpr(
+        "doc_id",
+        "array_join(transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1),"
+        " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')), '\\n') AS text",
+    )
+    timed(
+        "dedup_paragraphs",
+        lambda: dedup_paragraphs(lined).count(),
+        repeat=reps,
+    )
+    timed(
+        "random_projection_d16",
+        lambda: sparse_random_projection(emb, out_dim=16, seed=11).count(),
+        repeat=reps,
+    )
     timed(
         "interleave_draft",
         lambda: team_draft_interleave(

@@ -659,6 +659,75 @@ def main() -> None:
         ["HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    # Round-4 session-3: fused rescore — ONE pruned In-scan feeds both
+    # scorers (two Columns off one pivot agg); the window cut and the
+    # blended re-rank are both TakeOrderedAndProject heaps, no second
+    # posting scan, no Python.
+    from fulltextsearchengine_spark.operators.rescore import rescore_search
+
+    p = grab_plan(rescore_search(s, ["spark", "join", "fast"], 10, window_size=50))
+    sections.append((
+        "Rescore (fused BM25+Dirichlet, window cut + blended re-rank)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "HashAggregate",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+    # count within the formatted half only (simple mode repeats the scan line)
+    assert p.split("--- simple ---")[0].count("PushedFilters: [In(term") == 1, (
+        "rescore must scan postings once"
+    )
+
+    # term vectors: requested docs' tf probes the vocabulary table via
+    # a BROADCAST of the tiny doc side — no exchange of terms.
+    from fulltextsearchengine_spark.operators.termvectors import term_vectors
+
+    tdf = transcripts_from_documents(spark, sf_dir).join(
+        idx.docs.select("doc_id", "conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+    )
+    p = grab_plan(term_vectors(tdf, idx, [5, 17, 99]))
+    sections.append((
+        "Term vectors (broadcast doc-side probe of the dictionary)", p,
+        ["BroadcastHashJoin", "!CartesianProduct"],
+    ))
+
+    # paragraph dedup: keep-first via min-struct groupBy (map-side
+    # partial agg = hot boilerplate lines pre-collapse per partition;
+    # no window over the line key).
+    from fulltextsearchengine_spark.operators.paragraphs import dedup_paragraphs
+
+    lined = transcripts_from_documents(spark, sf_dir).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "replace(text, ' the ', '\\n') AS text"
+    )
+    p = grab_plan(dedup_paragraphs(lined))
+    sections.append((
+        "Paragraph dedup (agg-based keep-first, no line window)", p,
+        ["HashAggregate", "!Window", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    # duplicate-span removal: one gram agg + semi-join + row-local mask.
+    from fulltextsearchengine_spark.operators.dedup import remove_duplicate_spans
+
+    p = grab_plan(remove_duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=6
+    ))
+    sections.append((
+        "Duplicate-span removal (gram agg + semi-join + array mask)", p,
+        ["LeftSemi", "HashAggregate", "!Window", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    # sparse random projection: a single Arrow-batched map pass.
+    from fulltextsearchengine_spark.operators.projection import (
+        sparse_random_projection,
+    )
+
+    p = grab_plan(sparse_random_projection(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), out_dim=16, seed=11
+    ))
+    sections.append((
+        "Sparse random projection (one ArrowEvalPython map, no shuffle)", p,
+        ["ArrowEvalPython", "!Exchange", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
