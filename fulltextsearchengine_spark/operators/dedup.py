@@ -495,3 +495,46 @@ def remove_duplicate_spans(
         "n_tokens",
         (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
     )
+
+
+def keep_best_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, key, n_tokens, keep): URL-style metadata dedup — at most
+    ONE document survives per ``key_col`` value (RefinedWeb/C4 keep one
+    page per URL; transcript pipelines keep one turn per upstream
+    record id). The keeper is the LONGEST document (token count), ties
+    lowest id — "longest wins" is the standard recrawl rule (the latest
+    fetch of a page is usually the most complete). NULL keys are never
+    deduped: a missing URL says nothing about identity.
+
+    Emitted as a verdict table (every input row, ``keep`` boolean) so
+    pipelines can count attrition per key before filtering.
+
+    Plan shape: groupBy(key).agg(min(struct(-len, id))) — map-side
+    partial agg, so a key with 10⁹ rows pre-collapses per partition
+    (same skew argument as paragraphs.dedup_paragraphs); one join back
+    on the key. No window over the key."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(key_col).alias("key"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    best = (
+        toks.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.min(F.struct((-F.col("n_tokens")).alias("neg_len"), F.col("doc_id").alias("best_id"))).alias("b"))
+        .select("key", F.col("b.best_id").alias("best_id"))
+    )
+    return (
+        toks.join(best, "key", "left")
+        .select(
+            "doc_id",
+            "key",
+            "n_tokens",
+            (F.col("key").isNull() | (F.col("doc_id") == F.col("best_id"))).alias("keep"),
+        )
+    )

@@ -75,3 +75,55 @@ def hybrid_search(
         k=k,
         rrf_k=rrf_k,
     )
+
+
+def minmax_normalize(scores: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """(id, nscore): scores rescaled to [0, 1] by the list's own min/max
+    (the standard interpolation-fusion calibration, e.g. ES 8 hybrid
+    "min_max" normalizer). A degenerate list (max == min) maps to 1.0 —
+    every member is equally "best in list". The input is a top-``pool``
+    list, so the min/max agg is one row and attaches via a broadcast
+    cross join, never a window."""
+    stats = scores.agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    return scores.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
+        .otherwise((F.col(score_col) - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+        .alias("nscore"),
+    )
+
+
+def hybrid_weighted_search(
+    sparse_scores: DataFrame,
+    dense_scores: DataFrame,
+    k: int = 10,
+    w_sparse: float = 0.5,
+    w_dense: float = 0.5,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, fused_score): min-max-normalized weighted interpolation of
+    two top-pool lists — the OTHER standard hybrid fusion (convex score
+    combination), complementing RRF: interpolation preserves score
+    MAGNITUDE information RRF's ordinal ranks discard, at the price of
+    the min-max calibration this function applies.
+
+    Inputs are (id_col, score) frames (each already a bounded top-pool
+    list). A doc absent from one list contributes 0 from that arm (its
+    true normalized score is unknowable without unbounding the pool —
+    the same convention ES hybrid search uses). Ties break id asc."""
+    sn = minmax_normalize(sparse_scores, "score", id_col)
+    dn = minmax_normalize(dense_scores, "score", id_col)
+    fused = (
+        sn.withColumnRenamed("nscore", "ns")
+        .join(dn.withColumnRenamed("nscore", "nd"), "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.lit(w_sparse) * F.coalesce(F.col("ns"), F.lit(0.0))
+                + F.lit(w_dense) * F.coalesce(F.col("nd"), F.lit(0.0))
+            ).alias("fused_score"),
+        )
+    )
+    return fused.orderBy(F.desc("fused_score"), F.asc("id")).limit(k)

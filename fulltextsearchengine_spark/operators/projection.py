@@ -82,3 +82,47 @@ def sparse_random_projection(
         return pd.Series(list(out))
 
     return emb.select(F.col(id_col), _project(F.col(vec_col)).alias(out_col))
+
+
+def projected_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    out_dim: int = 16,
+    seed: int = 0,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cosine): two-stage ANN through the projection — cosine
+    top-(shortlist_factor·k) in the out_dim-d projected space (cheap:
+    out_dim/in_dim of the FLOPs and bytes), then EXACT cosine re-rank
+    of just the shortlist in the original space. The classic
+    coarse-then-refine shape (same contract as ivf_topk's refine):
+    returned scores are exact; only RECALL depends on the projection
+    (JL distortion), and shortlist_factor is the recall dial.
+
+    Scale shape: stage 1 is the projection map pass + a bounded top-N
+    heap; stage 2 is a pushed ``In(vec_id, …)`` point fetch of
+    shortlist_factor·k originals. At 100 TB you'd persist the projected
+    table once (sparse_random_projection is deterministic, so appends
+    project consistently) and amortize stage 1's map pass away."""
+    from .similarity import cosine_scores, cosine_topk
+
+    if k <= 0 or shortlist_factor < 1:
+        raise ValueError(f"need k ≥ 1 and shortlist_factor ≥ 1, got {k}, {shortlist_factor}")
+    proj = sparse_random_projection(
+        emb, out_dim=out_dim, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    in_dim = len(query_vec)
+    qp = (projection_matrix(in_dim, out_dim, seed) @ np.asarray(query_vec, dtype=np.float64)).tolist()
+    short = cosine_topk(
+        proj, qp, shortlist_factor * k, id_col=id_col, vec_col="projected"
+    )
+    ids = [r["vec_id"] for r in short.select("vec_id").collect()]
+    cand = emb.filter(F.col(id_col).isin(ids))
+    return (
+        cosine_scores(cand, query_vec, id_col=id_col, vec_col=vec_col)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -454,6 +454,45 @@ class Searcher:
         slot = {t: f"tf_{i}" for i, t in enumerate(terms)}
         return piv.select("doc_id", self.bm25_pivot_score(idf, avgdl, slot, k1, b))
 
+    def match_counts(self, query: list[str]) -> DataFrame:
+        """(min_should_match, n_hits): the ES ``_count`` API generalized
+        over the msm dial — for every m in 1..n (n = distinct in-vocab
+        query terms), how many docs match at least m of them. m=1 is the
+        OR hit count, m=n the AND hit count; the full curve is what a
+        query-tuning UI shows when the user drags the
+        minimum_should_match slider.
+
+        Plan: ONE pruned ``In(term,…)`` scan + the same pivot as every
+        scorer, a ≤n-row matched-distribution agg, then a tiny non-equi
+        left join against the m axis (both sides n rows) — the whole
+        curve costs one posting pass, not n re-queries. OOV-only
+        queries return an empty frame (no satisfiable m)."""
+        terms = sorted(set(normalize_query(query)))
+        stats = self.term_stats(terms)
+        terms = sorted(t for t in terms if stats.get(t, (0, 0))[0] > 0)
+        spark = self.index.postings.sparkSession
+        if not terms:
+            return spark.createDataFrame(
+                [], "min_should_match int, n_hits bigint"
+            )
+        piv = self._pivoted_tf(terms)
+        matched = F.lit(0)
+        for i in range(len(terms)):
+            matched = matched + F.col(f"tf_{i}").isNotNull().cast("int")
+        dist = (
+            piv.select(matched.alias("matched"))
+            .groupBy("matched")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ms = spark.range(1, len(terms) + 1).select(
+            F.col("id").cast("int").alias("min_should_match")
+        )
+        return (
+            ms.join(dist, dist["matched"] >= F.col("min_should_match"), "left")
+            .groupBy("min_should_match")
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_hits"))
+        )
+
     # ---- batched multi-query scoring (beyond the reference) ------------
     def bm25_search_batch(
         self,
