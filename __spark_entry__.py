@@ -3105,6 +3105,12 @@ HIST_GRANULARITY = "hour"
 PARA_LINE_TOKENS = 10  # derived line width for the paragraph-dedup gate
 RP_OUT_DIM = 16
 RP_SEED = 11
+
+# round-4 session-4 gate constants
+DRIFT_TOP_K = 40
+HYBRID_W_SPARSE = 0.7
+PROJ_QID = 2  # query = embeddings vec_id 2 (ann_ivf uses 1, cosine uses 0)
+PROJ_FACTOR = 4
 _TS_CACHE: dict[tuple[int, str], object] = {}
 
 
@@ -3223,6 +3229,75 @@ def _q_random_projection(spark, sf_dir):
     return proj.select(
         "vec_id", F.posexplode("projected").alias("dim", "v")
     ).select("vec_id", "dim", F.round(F.col("v") * 1e6).cast("long").alias("v_micro"))
+
+
+def _q_match_counts(spark, sf_dir):
+    return Searcher(_index(spark, sf_dir)).match_counts(Q_BM25)
+
+
+def _q_hybrid_weighted(spark, sf_dir):
+    """Same arm construction as ftse_hybrid_rrf (BM25 remapped to the
+    documents id space ⊕ cosine over embeddings), fused by min-max
+    weighted interpolation instead of reciprocal ranks."""
+    from fulltextsearchengine_spark.operators.hybrid import hybrid_weighted_search
+    from fulltextsearchengine_spark.operators.similarity import cosine_topk
+    from fulltextsearchengine_spark.sources.transcripts import DOCS_N_CONVS
+
+    s = Searcher(_index(spark, sf_dir))
+    bm = (
+        s.bm25_search(Q_BM25, HYBRID_POOL)
+        .join(s.index.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select(
+            (
+                F.col("turn_idx").cast("long") * DOCS_N_CONVS
+                + F.substring("conv_id", 6, 6).cast("long")
+            ).alias("id"),
+            "score",
+        )
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    cos = (
+        cosine_topk(emb, qvec, HYBRID_POOL)
+        .withColumnRenamed("vec_id", "id")
+        .withColumnRenamed("cosine", "score")
+    )
+    return hybrid_weighted_search(
+        bm, cos, k=TOPK, w_sparse=HYBRID_W_SPARSE, w_dense=1.0 - HYBRID_W_SPARSE
+    ).select("id", _micro("fused_score", "fused_micro"))
+
+
+def _q_drift_report(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.drift import corpus_drift_report
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_drift_report(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        top_k=DRIFT_TOP_K,
+    )
+
+
+def _q_dedup_by_key(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.dedup import keep_best_per_key
+
+    return keep_best_per_key(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key_col="source"
+    )
+
+
+def _q_ann_projected(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.projection import projected_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == PROJ_QID).collect()[0]["embedding"]
+    ]
+    return projected_cosine_topk(
+        emb, qvec, k=TOPK, out_dim=RP_OUT_DIM, seed=RP_SEED,
+        shortlist_factor=PROJ_FACTOR,
+    ).select("vec_id", _micro("cosine", "cosine_micro"))
 
 
 # Driver-window ordering (VERDICT r3 #2/#7): the driver CORRECTNESS-checks
@@ -3406,6 +3481,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_remove_spans": _q_remove_spans,
         "emb_random_projection": _q_random_projection,
+        "ftse_match_counts": _q_match_counts,
+        "ftse_hybrid_weighted": _q_hybrid_weighted,
+        "text_drift_report": _q_drift_report,
+        "dedup_by_key": _q_dedup_by_key,
+        "ann_projected_topk": _q_ann_projected,
     }
 
 
@@ -3962,6 +4042,105 @@ ev AS (SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x FROM ev0)
 SELECT e.vec_id, m.i AS dim, CAST(round(sum(e.x * m.w) * 1e6) AS BIGINT) AS v_micro
 FROM ev e JOIN mat m ON m.j = e.j
 GROUP BY e.vec_id, m.i
+"""
+
+
+def _hybrid_weighted_sql(query: list[str], k: int, pool: int, w_sparse: float) -> str:
+    """Twin of hybrid.hybrid_weighted_search over the RRF gate's arms:
+    per-list min-max normalization (degenerate list → 1.0), convex
+    blend, absent side contributes 0."""
+    from fulltextsearchengine_spark.sources.transcripts import DOCS_N_CONVS
+
+    w_dense = 1.0 - w_sparse
+    return (
+        _bm25_scored_cte(query)
+        + f"""
+, bmtop AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {pool})
+, bmmap AS (SELECT d.turn_idx * {DOCS_N_CONVS} + CAST(substr(d.conv_id, 6) AS BIGINT) AS id,
+                   b.score
+            FROM bmtop b JOIN docs d USING (doc_id))
+, bmn AS (SELECT id, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                          ELSE (score - min(score) OVER ())
+                               / (max(score) OVER () - min(score) OVER ()) END AS ns
+          FROM bmmap)
+, e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+, qv AS (SELECT v AS q FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+, coss AS (SELECT e.vec_id,
+      list_dot_product(e.v, qv.q)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q))) AS cosine
+    FROM e CROSS JOIN qv)
+, ctop AS (SELECT vec_id, cosine FROM coss ORDER BY cosine DESC, vec_id LIMIT {pool})
+, cn AS (SELECT vec_id AS id, CASE WHEN max(cosine) OVER () = min(cosine) OVER () THEN 1.0
+                                   ELSE (cosine - min(cosine) OVER ())
+                                        / (max(cosine) OVER () - min(cosine) OVER ()) END AS nd
+         FROM ctop)
+, fused AS (SELECT coalesce(b.id, c.id) AS id,
+                   {w_sparse} * coalesce(b.ns, 0) + {w_dense} * coalesce(c.nd, 0) AS f
+            FROM bmn b FULL OUTER JOIN cn c ON b.id = c.id)
+SELECT id, CAST(round(f * 1e6) AS BIGINT) AS fused_micro
+FROM fused ORDER BY f DESC, id LIMIT {k}
+"""
+    )
+
+
+def _drift_sql(top_k: int) -> str:
+    """Twin of operators/drift.corpus_drift_report over the even/odd
+    doc_id slices of documents: add-one JSD per term in nats × 1e9."""
+    contrib = "0.5 * (p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2)))"
+    return f"""
+WITH ta AS (SELECT unnest({_TOKENS}) AS term FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest({_TOKENS}) AS term FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY term),
+cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY term),
+uni AS (SELECT term, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         FROM ca FULL OUTER JOIN cb USING (term)),
+tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM uni),
+sc AS (SELECT term, cnt_a, cnt_b,
+              (cnt_a + 1) / CAST(na + v AS DOUBLE) AS p,
+              (cnt_b + 1) / CAST(nb + v AS DOUBLE) AS q
+       FROM uni CROSS JOIN tot)
+SELECT term, cnt_a, cnt_b,
+       CAST(round(({contrib}) * 1e9) AS BIGINT) AS jsd_nano
+FROM sc ORDER BY ({contrib}) DESC, term LIMIT {top_k}
+"""
+
+
+def _projected_ann_sql(
+    out_dim: int, seed: int, qid: int, k: int, factor: int, in_dim: int = 64
+) -> str:
+    """Twin of projection.projected_cosine_topk: md5-nibble matrix →
+    projected vectors (long format) → RP-space cosine shortlist of
+    factor·k → exact cosine re-rank in the original 64-d space."""
+    s = f"sqrt(4.0 / {out_dim})"
+    nib = f"substring(md5(concat('{seed}:', i.i, ':', j.j)), 1, 1)"
+    return f"""
+WITH mat AS (
+  SELECT i.i, j.j,
+         CASE WHEN {nib} IN ('0', '1') THEN {s}
+              WHEN {nib} IN ('2', '3') THEN -{s}
+              ELSE 0.0 END AS w
+  FROM (SELECT CAST(unnest(range({out_dim})) AS INT) AS i) i
+  CROSS JOIN (SELECT CAST(unnest(range({in_dim})) AS INT) AS j) j),
+ev0 AS (SELECT vec_id, embedding, CAST(unnest(range({in_dim})) AS INT) AS j FROM embeddings),
+ev AS (SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x FROM ev0),
+pv AS (SELECT e.vec_id, m.i AS dim, sum(e.x * m.w) AS v
+       FROM ev e JOIN mat m ON m.j = e.j GROUP BY e.vec_id, m.i),
+qp AS (SELECT dim, v FROM pv WHERE vec_id = {qid}),
+pn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM pv GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qp),
+pcos AS (SELECT p.vec_id, sum(p.v * q.v) / (any_value(pn.n) * any_value(qn.n)) AS c
+         FROM pv p JOIN qp q USING (dim)
+         JOIN pn ON pn.vec_id = p.vec_id CROSS JOIN qn
+         GROUP BY p.vec_id),
+short AS (SELECT vec_id FROM pcos ORDER BY c DESC, vec_id LIMIT {factor * k}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = {qid}),
+exact AS (SELECT e.vec_id,
+      list_dot_product(e.v, qv.v)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+    FROM e JOIN short USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro
+FROM exact ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 
@@ -5123,4 +5302,35 @@ FROM withts GROUP BY bucket_ts
         "dedup_paragraphs": _dedup_paragraphs_sql(PARA_LINE_TOKENS),
         "dedup_remove_spans": _remove_spans_sql(SPANS_N, SPANS_MIN_COUNT),
         "emb_random_projection": _random_projection_sql(RP_OUT_DIM, RP_SEED),
+        "ftse_match_counts": (
+            PRELUDE
+            + f"""
+, qraw AS (SELECT unnest({_sql_list(Q_BM25)}) AS term)
+, qv AS (SELECT DISTINCT q.term FROM qraw q JOIN terms t USING (term))
+, md AS (SELECT p.doc_id, count(DISTINCT p.term) AS matched
+         FROM postings p JOIN qv USING (term) GROUP BY p.doc_id)
+, ms AS (SELECT CAST(unnest(range(1, (SELECT count(*) FROM qv) + 1)) AS INT) AS min_should_match)
+SELECT ms.min_should_match, CAST(count(md.doc_id) AS BIGINT) AS n_hits
+FROM ms LEFT JOIN md ON md.matched >= ms.min_should_match
+GROUP BY ms.min_should_match
+"""
+        ),
+        "ftse_hybrid_weighted": _hybrid_weighted_sql(
+            Q_BM25, TOPK, HYBRID_POOL, HYBRID_W_SPARSE
+        ),
+        "text_drift_report": _drift_sql(DRIFT_TOP_K),
+        "dedup_by_key": f"""
+WITH toks AS (SELECT doc_id, source AS key,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents),
+rk AS (SELECT doc_id, key, n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY key ORDER BY n_tokens DESC, doc_id) AS rn
+       FROM toks WHERE key IS NOT NULL)
+SELECT doc_id, key, n_tokens, (rn = 1) AS keep FROM rk
+UNION ALL
+SELECT doc_id, key, n_tokens, TRUE AS keep FROM toks WHERE key IS NULL
+""",
+        "ann_projected_topk": _projected_ann_sql(
+            RP_OUT_DIM, RP_SEED, PROJ_QID, TOPK, PROJ_FACTOR
+        ),
     }
