@@ -557,6 +557,36 @@ def main() -> None:
         lambda: sparse_random_projection(emb, out_dim=16, seed=11).count(),
         repeat=reps,
     )
+
+    # ---- round-4 session-4 ops ---------------------------------------
+    from fulltextsearchengine_spark.operators.dedup import keep_best_per_key
+    from fulltextsearchengine_spark.operators.drift import corpus_drift_report
+    from fulltextsearchengine_spark.operators.projection import projected_cosine_topk
+
+    timed(
+        "match_counts_curve",
+        lambda: [searcher.match_counts(qq).collect() for qq in BENCH_QUERIES],
+        repeat=reps,
+    )
+    timed(
+        "corpus_drift_jsd",
+        lambda: corpus_drift_report(
+            docs_raw.filter(F.col("doc_id") % 2 == 0),
+            docs_raw.filter(F.col("doc_id") % 2 == 1),
+        ).count(),
+        repeat=reps,
+    )
+    timed(
+        "dedup_by_key",
+        lambda: keep_best_per_key(docs_raw).count(),
+        repeat=reps,
+    )
+    _q2 = [float(x) for x in emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"]]
+    timed(
+        "ann_projected_topk",
+        lambda: projected_cosine_topk(emb, _q2, k=10, out_dim=16, seed=11).collect(),
+        repeat=reps,
+    )
     timed(
         "interleave_draft",
         lambda: team_draft_interleave(

@@ -728,6 +728,44 @@ def main() -> None:
         ["ArrowEvalPython", "!Exchange", "!CartesianProduct"],
     ))
 
+    # Round-4 session-4: match-counts curve — one pruned scan serves
+    # every m level; the m axis joins as a tiny broadcast non-equi join.
+    p = grab_plan(s.match_counts(["spark", "join", "fast"]))
+    sections.append((
+        "Match-counts curve (one scan for all m levels)", p,
+        ["PushedFilters: [In(term", "BroadcastNestedLoopJoin", "HashAggregate",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+    assert p.split("--- simple ---")[0].count("PushedFilters: [In(term") == 1, (
+        "match_counts must scan postings once"
+    )
+
+    # corpus drift: two map-side token counts + a vocab-sized outer
+    # join + a bounded top-k heap; nothing corpus-sized shuffles twice.
+    from fulltextsearchengine_spark.operators.drift import corpus_drift_report
+
+    draw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = grab_plan(corpus_drift_report(
+        draw.filter(F.col("doc_id") % 2 == 0), draw.filter(F.col("doc_id") % 2 == 1)
+    ))
+    sections.append((
+        "Corpus drift report (counting-first JSD)", p,
+        ["HashAggregate", "TakeOrderedAndProject", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    # key dedup: agg-based argmax (map-side combined), no key window.
+    from fulltextsearchengine_spark.operators.dedup import keep_best_per_key
+
+    p = grab_plan(keep_best_per_key(draw))
+    sections.append((
+        # min(struct) compiles to SortAggregate, still two-phase:
+        # partial below the Exchange = map-side combine, the property
+        # that keeps a 10^9-copy hot key from straggling one task.
+        "Keep-best-per-key dedup (agg argmax, no window)", p,
+        ["SortAggregate", "!Window", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
