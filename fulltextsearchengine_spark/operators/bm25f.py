@@ -280,3 +280,106 @@ def dismax_search(
         .orderBy(F.desc("score"), F.asc("conv_id"))
         .limit(k)
     )
+
+
+# ----------------------------------------------------------- cross_fields
+# Elasticsearch multi_match "cross_fields" / Lucene BlendedTermQuery
+# (public semantics: Lucene BlendedTermQuery.java docs + the ES
+# multi-match reference). Term-centric: the fields are searched as if
+# they were ONE field, which means the per-field document frequencies
+# must be BLENDED before scoring — otherwise a term that is rare in one
+# field (e.g. a user name in the assistant role) gets a spuriously huge
+# idf there and best-fields ranks garbage first. Lucene blends by taking
+# the MAX df across the field group and scoring every field's term with
+# that shared df:
+#
+#     df_blend(t) = max_f df_{t,f}        N_blend = max_f N_f
+#     idf(t)      = ln((N_blend − df_blend + 0.5)/(df_blend + 0.5) + 1)
+#     s(t, c, f)  = idf(t) · tf / (tf + k1·(1 − b + b·len_{c,f}/avglen_f))
+#     x(t, c)     = max_f s(t,c,f) + tie · (Σ_f s(t,c,f) − max_f …)
+#     score(c)    = Σ_t x(t, c)
+#
+# i.e. exactly dismax over per-field scores, except idf is the shared
+# blended value instead of each field's own (tie=0.0, the ES default,
+# is pure best-field on the blended scores). The length normalization
+# stays per-field — that part of the statistics is genuinely per-field
+# in Lucene too (each field keeps its own norms).
+#
+# Scale shape: identical to dismax_scores — one pushed In(term,…) scan
+# of field_postings feeds both the driver-sized df collect (≤|q|·|roles|
+# rows) and the scoring join; blending happens driver-side on those few
+# rows; idf/avglen fold into CASE literals; then one (conv_id, role)
+# join + two keyed aggs + TakeOrderedAndProject. No new exchange.
+
+
+def cross_fields_scores(
+    fidx: FieldIndex,
+    query: list[str],
+    tie_breaker: float = 0.0,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """(conv_id, score) under cross-fields blended-df scoring."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    terms = sorted({t.lower() for t in query})
+    if not terms:
+        return _empty(fidx)
+    fp = fidx.field_postings.filter(F.col("term").isin(terms))
+    df_rows = fp.groupBy("term", "role").agg(
+        F.count(F.lit(1)).alias("df")
+    ).collect()  # ≤ |q|·|roles| rows — driver-sized
+    if not df_rows:
+        return _empty(fidx)
+    df_blend: dict[str, int] = {}
+    for r in df_rows:
+        df_blend[r["term"]] = max(df_blend.get(r["term"], 0), int(r["df"]))
+    n_blend = max(fidx.field_counts.values())
+    idf = {
+        t: math.log((n_blend - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in df_blend.items()
+    }
+    idf_col = F.lit(0.0)
+    for t, v in sorted(idf.items()):
+        idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+    norm_col = F.lit(1.0)
+    for role, avg in sorted(fidx.avg_flen.items()):
+        norm_col = F.when(
+            F.col("role") == role,
+            F.lit(1.0 - b) + F.lit(b) * F.col("flen") / F.lit(avg),
+        ).otherwise(norm_col)
+    s = fp.join(fidx.field_lens, ["conv_id", "role"]).select(
+        "conv_id",
+        "term",
+        (idf_col * F.col("tf") / (F.col("tf") + F.lit(k1) * norm_col)).alias("s"),
+    )
+    per_term = s.groupBy("conv_id", "term").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("tot")
+    )
+    return (
+        per_term.select(
+            "conv_id",
+            (
+                F.col("mx")
+                + F.lit(tie_breaker) * (F.col("tot") - F.col("mx"))
+            ).alias("d"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("d").alias("score"))
+    )
+
+
+def cross_fields_search(
+    fidx: FieldIndex,
+    query: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    k1: float = BM25F_K1,
+    b: float = BM25F_B,
+) -> DataFrame:
+    """Top-k conversations under cross-fields: score desc, conv_id asc."""
+    return (
+        cross_fields_scores(fidx, query, tie_breaker=tie_breaker, k1=k1, b=b)
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )
