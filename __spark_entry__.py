@@ -385,6 +385,190 @@ FROM fin ORDER BY score DESC, conv_id LIMIT {k}
     )
 
 
+def _c4_badwords() -> list[str]:
+    from fulltextsearchengine_spark.functions.c4 import C4_BADWORDS
+
+    return C4_BADWORDS
+
+
+def _refusal_phrases() -> list[str]:
+    from fulltextsearchengine_spark.operators.refusals import REFUSAL_PHRASES
+
+    return REFUSAL_PHRASES
+
+
+def _cross_fields_sql(query: list[str], k: int, tie: float) -> str:
+    """DuckDB twin of operators/bm25f.cross_fields_search — dismax shape
+    with BLENDED statistics: per-term df = max over fields, N = max
+    field presence count, one shared idf for every field; per-field
+    length norms unchanged (k1=1.2 / b=0.75)."""
+    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query}))
+    return (
+        PRELUDE
+        + f"""
+, ftoks AS (SELECT conv_id, role, unnest(tokens) AS term FROM toksd)
+, fp AS (SELECT conv_id, role, term, count(*) AS tf FROM ftoks
+         WHERE term IN ({terms}) GROUP BY conv_id, role, term)
+, flens AS (SELECT conv_id, role, CAST(sum(len(tokens)) AS BIGINT) AS flen
+            FROM toksd GROUP BY conv_id, role)
+, avgf AS (SELECT role, avg(flen) AS a, count(*) AS n FROM flens GROUP BY role)
+, fdf AS (SELECT term, role, count(*) AS df FROM fp GROUP BY term, role)
+, bdf AS (SELECT term, max(df) AS df FROM fdf GROUP BY term)
+, nmax AS (SELECT max(n) AS nb FROM avgf)
+, s AS (SELECT fp.conv_id, fp.term,
+       ln((nm.nb - bd.df + 0.5) / (bd.df + 0.5) + 1.0) * fp.tf
+         / (fp.tf + 1.2 * (0.25 + 0.75 * fl.flen / av.a)) AS s
+   FROM fp JOIN flens fl ON fl.conv_id = fp.conv_id AND fl.role = fp.role
+   JOIN avgf av ON av.role = fp.role
+   JOIN bdf bd ON bd.term = fp.term
+   CROSS JOIN nmax nm)
+, dm AS (SELECT conv_id, term, max(s) + {tie} * (sum(s) - max(s)) AS d
+         FROM s GROUP BY conv_id, term)
+, fin AS (SELECT conv_id, sum(d) AS score FROM dm GROUP BY conv_id)
+SELECT conv_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fin ORDER BY score DESC, conv_id LIMIT {k}
+"""
+    )
+
+
+def _line_tokens_sql(var: str) -> str:
+    """Tokenizer macro over a lambda variable (the _TOKENS expression is
+    bound to a column literally named ``text``)."""
+    return (
+        f"list_transform(list_filter(regexp_split_to_array(coalesce({var}, ''), "
+        f"'[^A-Za-z0-9]+'), t -> t <> ''), t -> lower(t))"
+    )
+
+
+def _c4_view_sql(L: int) -> str:
+    """CTEs rebuilding the _c4_documents derived view: L-token lines
+    with deterministic terminal marks / javascript infixes / page-level
+    lorem-brace-badword injections (keep in lockstep with the Spark
+    side)."""
+    return f"""
+c4src AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+c4doc AS (SELECT doc_id,
+  (CASE WHEN len(tokens) > 0 THEN
+    array_to_string(list_transform(range(0, CAST(ceil(len(tokens) / {L}.0) AS INT)), i ->
+      array_to_string(tokens[i*{L}+1 : i*{L}+{L}], ' ')
+      || (CASE WHEN (doc_id + i) % 11 = 3 THEN ' javascript' ELSE '' END)
+      || (['','!','?','.','.'])[CAST((doc_id + i) % 5 AS INT) + 1]
+    ), chr(10))
+  ELSE '' END)
+  || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet today.' ELSE '' END)
+  || (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'this line has a {{ brace marker here.' ELSE '' END)
+  || (CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'they said badwordbravo aloud in there yesterday.' ELSE '' END)
+  AS text FROM c4src)
+"""
+
+
+def _c4_rules_sql(L: int, badwords: list[str]) -> str:
+    """Twin of functions/c4.c4_rules_report over the derived view."""
+    bad = ", ".join(f"'{w}'" for w in sorted(badwords))
+    lt = _line_tokens_sql("trim(l)")
+    return (
+        "WITH "
+        + _c4_view_sql(L)
+        + f"""
+, split AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM c4doc)
+, kept AS (SELECT doc_id, text, ls,
+    list_filter(ls, l -> regexp_matches(trim(l), '[.!?\"]$')
+      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+      AND NOT list_contains({lt}, 'javascript')) AS kl
+  FROM split)
+, rep AS (SELECT doc_id, text, ls, kl,
+    coalesce(array_to_string(kl, chr(10)), '') AS clean_text FROM kept)
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(len(kl) AS BIGINT) AS n_kept_lines,
+  CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+  (length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3) AS rule_min_sentences,
+  NOT contains(lower(text), 'lorem ipsum') AS rule_no_lorem,
+  NOT contains(text, '{{') AS rule_no_brace,
+  NOT list_has_any({_TOKENS}, [{bad}]) AS rule_no_badwords,
+  ((length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3)
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')
+   AND NOT list_has_any({_TOKENS}, [{bad}])) AS c4_keep,
+  clean_text
+FROM rep
+"""
+    )
+
+
+_NORM_SUFFIX_SQL = (
+    "' cafe' || chr(769) || ' x' || chr(7) || 'y z' || chr(8203) || 'w'"
+)
+_CTRL_CLASS_RE2 = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+)
+
+
+def _normalize_sql() -> str:
+    """Twin of functions/unicode_norm.normalize_corpus (NFC +
+    control-strip) over the every-third-doc injected view. DuckDB's
+    native nfc_normalize vs Python's unicodedata — two independent
+    implementations of the same Unicode standard."""
+    return f"""
+WITH v AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || {_NORM_SUFFIX_SQL} ELSE text END AS text
+  FROM documents),
+n AS (SELECT doc_id, coalesce(text, '') AS raw,
+    regexp_replace(nfc_normalize(coalesce(text, '')), '{_CTRL_CLASS_RE2}', '', 'g') AS text_norm
+  FROM v)
+SELECT doc_id, text_norm, (text_norm <> raw) AS changed,
+  CAST(length(text_norm) - length(raw) AS BIGINT) AS n_chars_delta
+FROM n
+"""
+
+
+def _refusals_sql(
+    phrases: list[str],
+    dup_text: str,
+    refusal_prefix: str,
+    template_prefix: str,
+    opener_tokens: int,
+    min_count: int,
+) -> str:
+    """Twin of operators/refusals.refusal_report over the injected
+    transcript view (CASE order mirrors the Spark when-chain)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    toks = _line_tokens_sql("text")
+    refusal_or = " OR ".join(
+        f"contains(' ' || c.canon || ' ', ' {q(p)} ')" for p in sorted(phrases)
+    )
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+inj AS (SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 9 = 4 THEN '{q(dup_text)}'
+         WHEN turn_idx % 7 = 0 THEN '{q(refusal_prefix)}' || text
+         WHEN turn_idx % 5 = 0 THEN '{q(template_prefix)}' || text
+         ELSE text END AS text
+  FROM transcripts WHERE role = 'assistant'),
+cturns AS (SELECT conv_id, turn_idx,
+    array_to_string({toks}, ' ') AS canon,
+    array_to_string(list_slice({toks}, 1, {opener_tokens}), ' ') AS opener
+  FROM inj),
+dupc AS (SELECT canon, count(*) AS dup_count FROM cturns
+         WHERE length(canon) > 0 GROUP BY canon),
+openc AS (SELECT opener, count(*) AS opener_count FROM cturns
+          WHERE length(canon) > 0 GROUP BY opener)
+SELECT c.conv_id, c.turn_idx,
+  (length(c.canon) > 0 AND ({refusal_or})) AS is_refusal,
+  CAST(CASE WHEN length(c.canon) > 0 THEN coalesce(o.opener_count, 0) ELSE 0 END AS BIGINT) AS opener_count,
+  CAST(CASE WHEN length(c.canon) > 0 THEN coalesce(d.dup_count, 0) ELSE 0 END AS BIGINT) AS dup_count,
+  (CASE WHEN length(c.canon) > 0 THEN
+     coalesce(o.opener_count, 0) >= {min_count} OR coalesce(d.dup_count, 0) >= {min_count}
+   ELSE FALSE END) AS is_boilerplate
+FROM cturns c
+LEFT JOIN dupc d ON d.canon = c.canon AND length(c.canon) > 0
+LEFT JOIN openc o ON o.opener = c.opener AND length(c.canon) > 0
+"""
+
+
 def _rm3_sql(
     query: list[str], k: int, fb_docs: int, fb_terms: int, alpha: float
 ) -> str:
@@ -3305,6 +3489,136 @@ def _q_ann_projected(spark, sf_dir):
 # ftse_* index/scorer gates first, then the priority block (brand-new +
 # state-machinery-heavy gates the judge called out), then everything else
 # NEWEST-FIRST so the least-proven surface always sits inside the window.
+# ------------------------------------------------------- session-5 gates
+
+XFIELDS_TIE = 0.25
+RF_PIVOT = 30.0
+RF_BOOST = 2.0
+C4_LINE_TOKENS = 10
+NORM_SUFFIX = " cafe\u0301 x\u0007y z\u200bw"  # NFC merges the acute (-1); strip drops BEL+ZWSP (-2)
+REFUSAL_DUP_TEXT = "Thanks for asking, goodbye!"
+REFUSAL_PREFIX = "I'm sorry, but I cannot help with that. "
+TEMPLATE_PREFIX = "Sure here is the standard template response for you. "
+
+
+def _q_cross_fields(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.bm25f import (
+        build_field_index,
+        cross_fields_search,
+    )
+
+    fidx = build_field_index(transcripts_from_documents(spark, sf_dir))
+    return cross_fields_search(fidx, Q_BM25F, TOPK, tie_breaker=XFIELDS_TIE).select(
+        "conv_id", _micro("score", "score_micro")
+    )
+
+
+def _q_rank_feature(spark, sf_dir):
+    """BM25 + saturation(doc_len) — doc_len standing in for the static
+    per-doc prior (pagerank/clicks) a serving deployment would store."""
+    from fulltextsearchengine_spark.operators.rankfeature import rank_feature_search
+
+    s = Searcher(_index(spark, sf_dir))
+    feats = s.index.docs.select(
+        "doc_id", F.col("doc_len").cast("double").alias("feature")
+    )
+    return rank_feature_search(
+        s, feats, query=Q_BM25, k=TOPK, pivot=RF_PIVOT, boost=RF_BOOST
+    ).select("doc_id", _micro("score", "score_micro"))
+
+
+def _c4_documents(spark, sf_dir):
+    """documents reshaped into punctuated multi-line pages — the
+    deterministic view the C4 gate runs on (the synthetic corpus has no
+    newlines or punctuation of its own; house precedent:
+    _lined_documents). Line i of doc d gets a ' javascript' infix when
+    (d+i)%11==3 and a terminal mark by (d+i)%5 (0 → none, 1 → '!',
+    2 → '?', else '.'); docs divisible by 13/17/19 get an extra
+    lorem-ipsum / brace / badword line — every C4 rule gets real bites."""
+    from fulltextsearchengine_spark.functions.tokenize import tokens_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = C4_LINE_TOKENS
+    did = F.col("doc_id")
+    marks = F.array(F.lit(""), F.lit("!"), F.lit("?"), F.lit("."), F.lit("."))
+
+    def line(i):
+        base = F.array_join(F.slice("toks", i * L + 1, L), " ")
+        js = F.when((did + i) % 11 == 3, F.lit(" javascript")).otherwise(F.lit(""))
+        return F.concat(base, js, F.element_at(marks, ((did + i) % 5 + 1).cast("int")))
+
+    body = F.when(
+        F.size("toks") > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.ceil(F.size("toks") / F.lit(L))).cast("int") - 1
+                ),
+                line,
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    extra = F.concat(
+        F.when(did % 13 == 0, F.lit("\nlorem ipsum dolor sit amet today.")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 17 == 0, F.lit("\nthis line has a { brace marker here.")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 19 == 0, F.lit("\nthey said badwordbravo aloud in there yesterday.")
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", tokens_col(F.col("text")).alias("toks")).select(
+        "doc_id", F.concat(body, extra).alias("text")
+    )
+
+
+def _q_c4_rules(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.c4 import c4_rules_report
+
+    return c4_rules_report(_c4_documents(spark, sf_dir))
+
+
+def _q_normalize(spark, sf_dir):
+    """NFC + control-strip over a view that injects a combining acute,
+    a BEL, and a ZWSP into every third doc — the synthetic corpus is
+    pure ASCII, so normalization needs derived bites (both engines
+    build the identical view)."""
+    from fulltextsearchengine_spark.functions.unicode_norm import normalize_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(NORM_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_corpus(v).select(
+        "doc_id", "text_norm", "changed", "n_chars_delta"
+    )
+
+
+def _q_refusals(spark, sf_dir):
+    """Refusal/boilerplate turn report over transcripts with injected
+    canned text: turn_idx%9==4 → exact-dup turn, %7==0 → refusal
+    prefix, %5==0 → shared 9-token template opener (first-match-wins
+    CASE order, mirrored in the twin)."""
+    from fulltextsearchengine_spark.operators.refusals import refusal_report
+
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = (
+        F.when(F.col("turn_idx") % 9 == 4, F.lit(REFUSAL_DUP_TEXT))
+        .when(F.col("turn_idx") % 7 == 0, F.concat(F.lit(REFUSAL_PREFIX), F.col("text")))
+        .when(F.col("turn_idx") % 5 == 0, F.concat(F.lit(TEMPLATE_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return refusal_report(t.withColumn("text", txt))
+
+
 _CORE_GATES = [
     "ftse_docs", "ftse_postings", "ftse_terms", "ftse_stats",
     "ftse_conv_ranges", "ftse_bm25_topk", "ftse_bm25_batch",
@@ -3486,6 +3800,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_drift_report": _q_drift_report,
         "dedup_by_key": _q_dedup_by_key,
         "ann_projected_topk": _q_ann_projected,
+        "ftse_cross_fields_topk": _q_cross_fields,
+        "ftse_rank_feature_topk": _q_rank_feature,
+        "text_c4_rules": _q_c4_rules,
+        "text_normalize": _q_normalize,
+        "conv_refusals": _q_refusals,
     }
 
 
@@ -5332,5 +5651,27 @@ SELECT doc_id, key, n_tokens, TRUE AS keep FROM toks WHERE key IS NULL
 """,
         "ann_projected_topk": _projected_ann_sql(
             RP_OUT_DIM, RP_SEED, PROJ_QID, TOPK, PROJ_FACTOR
+        ),
+        "ftse_cross_fields_topk": _cross_fields_sql(Q_BM25F, TOPK, XFIELDS_TIE),
+        "ftse_rank_feature_topk": (
+            _bm25_scored_cte(Q_BM25)
+            + f"""
+, fin AS (SELECT s.doc_id,
+    s.score + {RF_BOOST} * (CAST(d.doc_len AS DOUBLE)
+                            / (CAST(d.doc_len AS DOUBLE) + {RF_PIVOT})) AS score
+  FROM scored s JOIN docs d USING (doc_id))
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+FROM fin ORDER BY score DESC, doc_id LIMIT {TOPK}
+"""
+        ),
+        "text_c4_rules": _c4_rules_sql(C4_LINE_TOKENS, _c4_badwords()),
+        "text_normalize": _normalize_sql(),
+        "conv_refusals": _refusals_sql(
+            _refusal_phrases(),
+            REFUSAL_DUP_TEXT,
+            REFUSAL_PREFIX,
+            TEMPLATE_PREFIX,
+            8,
+            3,
         ),
     }
