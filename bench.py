@@ -597,6 +597,42 @@ def main() -> None:
         repeat=reps,
     )
 
+    # ---- round-4 session-5 ops ---------------------------------------
+    from fulltextsearchengine_spark.functions.c4 import c4_rules_report
+    from fulltextsearchengine_spark.functions.unicode_norm import normalize_corpus
+    from fulltextsearchengine_spark.operators.bm25f import cross_fields_search
+    from fulltextsearchengine_spark.operators.rankfeature import rank_feature_search
+    from fulltextsearchengine_spark.operators.refusals import refusal_report
+
+    timed(
+        "cross_fields_search",
+        lambda: [
+            cross_fields_search(fidx, qq, 10, tie_breaker=0.25).collect()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    _feats = idx.docs.select(
+        "doc_id", F.col("doc_len").cast("double").alias("feature")
+    )
+    timed(
+        "rank_feature_search",
+        lambda: [
+            rank_feature_search(searcher, _feats, query=qq, k=10, pivot=30.0).collect()
+            for qq in BENCH_QUERIES
+        ],
+        repeat=reps,
+    )
+    timed("c4_rules_report", lambda: c4_rules_report(docs_raw).count(), repeat=reps)
+    timed(
+        "unicode_normalize",
+        lambda: normalize_corpus(docs_raw)
+        .select(F.sum(F.col("changed").cast("int")))
+        .collect(),
+        repeat=reps,
+    )
+    timed("refusal_report", lambda: refusal_report(t).count(), repeat=reps)
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

@@ -766,6 +766,65 @@ def main() -> None:
         ["SortAggregate", "!Window", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    # Round-4 session-5: cross_fields — dismax plan with blended idf;
+    # the blend happens driver-side on the ≤|q|·|roles| df collect, so
+    # the distributed plan must be shape-identical to dismax.
+    from fulltextsearchengine_spark.operators.bm25f import cross_fields_search
+
+    p = grab_plan(cross_fields_search(fidx, ["spark", "join", "fast"], 10, tie_breaker=0.25))
+    sections.append((
+        "Cross-fields blended-df search (dismax shape, shared idf)", p,
+        ["TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython",
+         "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    # Round-4 session-5: rank_feature — the text plan is untouched
+    # (one pruned In scan); the feature joins the candidate-sized score
+    # frame, then a scalar transform and the top-k heap.
+    from fulltextsearchengine_spark.operators.rankfeature import rank_feature_search
+
+    feats = idx.docs.select("doc_id", F.col("doc_len").cast("double").alias("feature"))
+    p = grab_plan(rank_feature_search(s, feats, query=["spark", "join", "fast"], k=10, pivot=30.0))
+    sections.append((
+        "Rank-feature boosted search (saturation on a static doc prior)", p,
+        ["PushedFilters: [In(term", "TakeOrderedAndProject", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+    assert p.split("--- simple ---")[0].count("PushedFilters: [In(term") == 1, (
+        "rank_feature must not re-scan postings"
+    )
+
+    # Round-4 session-5: C4 rules — line HOFs + scalar predicates only;
+    # a corpus pass with ZERO exchanges (same contract as gopher/quality).
+    from fulltextsearchengine_spark.functions.c4 import c4_rules_report
+
+    p = grab_plan(c4_rules_report(draw))
+    sections.append((
+        "C4 line/page rules report (pure scan, no shuffle)", p,
+        ["!Exchange", "!BatchEvalPython", "!Window", "!CartesianProduct"],
+    ))
+
+    # Round-4 session-5: unicode normalize — exactly one Arrow batch
+    # hop (no JVM NFC builtin exists), still shuffle-free.
+    from fulltextsearchengine_spark.functions.unicode_norm import normalize_corpus
+
+    p = grab_plan(normalize_corpus(draw))
+    sections.append((
+        "Unicode NFC normalize (one ArrowEvalPython map, no shuffle)", p,
+        ["ArrowEvalPython", "!Exchange", "!BatchEvalPython"],
+    ))
+
+    # Round-4 session-5: refusal/boilerplate report — two fingerprint
+    # keyed aggs (map-side combined: hot template keys pre-collapse)
+    # joined back; no window over a hot key, no Python.
+    from fulltextsearchengine_spark.operators.refusals import refusal_report
+
+    p = grab_plan(refusal_report(transcripts_from_documents(spark, sf_dir)))
+    sections.append((
+        "Refusal/boilerplate turn report (fingerprint aggs, no window)", p,
+        ["HashAggregate", "!Window", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
