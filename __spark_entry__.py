@@ -3619,6 +3619,170 @@ def _q_refusals(spark, sf_dir):
     return refusal_report(t.withColumn("text", txt))
 
 
+# ---------------------------------------------------------------------------
+# session-6 gates: heavy hitters, as-of join, funnel, range join,
+# temperature mixture
+
+HH_PHI = 0.01
+FUNNEL_STEPS = ["view", "click", "purchase"]
+RJ_GAP_S = 2 * 86400.0
+RJ_BUCKET_S = 86400.0
+MIX_TAU = 0.5
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.heavyhitters import term_heavy_hitters
+
+    return term_heavy_hitters(_index(spark, sf_dir), HH_PHI)
+
+
+def _q_asof_join(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ref_id_r").alias("signup_event_id"),
+        F.round(F.col("asof_lag_sec") * 1e6).cast("long").alias("lag_micro"),
+    )
+
+
+def _q_funnel(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_report(ev, FUNNEL_STEPS)
+
+
+def _q_range_join(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = session_stats(ev, gap_seconds=RJ_GAP_S).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "start_ts",
+        "end_ts",
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        pur, sess, "ts", "start_ts", "end_ts", RJ_BUCKET_S, keys=["user_id"]
+    )
+    eps = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        "session_idx",
+        F.floor(eps("ts") - eps("start_ts")).cast("long").alias("offset_sec"),
+    )
+
+
+def _q_mixture_temperature(spark, sf_dir):
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+    from fulltextsearchengine_spark.operators.mixing import mixture_temperature_plan
+
+    d = with_token_counts(_docs_raw(spark, sf_dir))
+    plan = mixture_temperature_plan(d, "source", "n_alnum_tokens", MIX_TAU, MIX_BUDGET)
+    rows = [
+        (dom, total, int(round(w * 1e6)), int(round(rate * 1e6)))
+        for dom, (total, w, rate) in plan.items()
+    ]
+    return spark.createDataFrame(
+        rows, "domain string, total_cost long, weight_ppm long, rate_ppm long"
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, r.event_id AS signup_event_id,
+       CAST(round((epoch(l.ts) - epoch(r.ts)) * 1e6) AS BIGINT) AS lag_micro
+FROM events l LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'signup' AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r ON true
+WHERE l.event_type = 'purchase'
+"""
+
+
+def _events_funnel_sql(steps: list[str]) -> str:
+    ctes = [
+        "u AS (SELECT DISTINCT user_id FROM events)",
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i} ON e.user_id = s{i}.user_id AND e.ts >= s{i}.t "
+            f"WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"
+        )
+    n = len(steps)
+    completed = " + ".join(
+        f"CASE WHEN s{i + 1}.t IS NOT NULL THEN 1 ELSE 0 END" for i in range(n)
+    )
+    tcols = ", ".join(
+        f"CAST(round(epoch(s{i + 1}.t) * 1e6) AS BIGINT) AS t{i + 1}_micro"
+        for i in range(n)
+    )
+    joins = " ".join(f"LEFT JOIN s{i + 1} USING (user_id)" for i in range(n))
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT u.user_id, CAST({completed} AS BIGINT) AS steps_completed, "
+        + tcols + f" FROM u {joins}"
+    )
+
+
+def _range_join_sql(gap_seconds: float) -> str:
+    return f"""
+WITH e AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_seconds}
+             THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_start) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM e
+),
+iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              min(ts) AS st, max(ts) AS en
+       FROM s GROUP BY user_id, session_idx)
+SELECT p.event_id, p.user_id, iv.session_idx,
+       CAST(floor(epoch(p.ts) - epoch(iv.st)) AS BIGINT) AS offset_sec
+FROM events p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts >= iv.st AND p.ts <= iv.en
+WHERE p.event_type = 'purchase'
+"""
+
+
+def _mix_temperature_sql(tau: float, budget: float) -> str:
+    return (
+        f"WITH tc AS (SELECT doc_id, source, CAST(len({_TOKENS}) AS BIGINT) AS cost "
+        "FROM documents), "
+        "tot AS (SELECT source, CAST(sum(cost) AS BIGINT) AS total_cost FROM tc "
+        "GROUP BY source), "
+        f"pw AS (SELECT source, total_cost, "
+        f"pow(CAST(total_cost AS DOUBLE), {tau!r}) AS p FROM tot), "
+        "z AS (SELECT sum(p) AS z FROM pw), "
+        "w AS (SELECT source, total_cost, p / z.z AS wt FROM pw CROSS JOIN z) "
+        "SELECT source AS domain, total_cost, "
+        "CAST(round(wt * 1e6) AS BIGINT) AS weight_ppm, "
+        f"CAST(round(least(1.0, {budget!r} * wt / total_cost) * 1e6) AS BIGINT) "
+        "AS rate_ppm FROM w"
+    )
+
+
 _CORE_GATES = [
     "ftse_docs", "ftse_postings", "ftse_terms", "ftse_stats",
     "ftse_conv_ranges", "ftse_bm25_topk", "ftse_bm25_batch",
@@ -3631,6 +3795,8 @@ _PRIORITY_GATES = [
     "ftse_bm25_wand_tombstoned", "dedup_groups_star",
     "stream_dedup_exact", "stream_dedup_simhash",
     "ftse_percolate", "events_sessionize",
+    "term_heavy_hitters", "events_asof_join", "events_funnel",
+    "events_range_join", "mixture_temperature",
 ]
 
 
@@ -3764,6 +3930,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftse_index_fsck": _q_fsck,
         "ftse_significant_terms": _q_significant_terms,
         "events_sessionize": _q_sessionize,
+        "term_heavy_hitters": _q_heavy_hitters,
+        "events_asof_join": _q_asof_join,
+        "events_funnel": _q_funnel,
+        "events_range_join": _q_range_join,
+        "mixture_temperature": _q_mixture_temperature,
         "ftse_query_clarity": _q_query_clarity,
         "corpus_law_fit": _q_corpus_law,
         "emb_kmeans": _q_kmeans,
@@ -5521,6 +5692,20 @@ ORDER BY score DESC, doc_id LIMIT {TOPK}
         ),
         "ftse_significant_terms": _significant_terms_sql(SIGTERMS_K, 2),
         "events_sessionize": _sessionize_sql(SESSION_GAP_S),
+        "term_heavy_hitters": (
+            PRELUDE
+            + f"""
+SELECT t.term, t.cf,
+       CAST(round(t.cf / CAST(g.total_tokens AS DOUBLE) * 1e6) AS BIGINT)
+         AS share_ppm
+FROM terms t CROSS JOIN gstats g
+WHERE t.cf >= {HH_PHI!r} * g.total_tokens
+"""
+        ),
+        "events_asof_join": _ASOF_SQL,
+        "events_funnel": _events_funnel_sql(FUNNEL_STEPS),
+        "events_range_join": _range_join_sql(RJ_GAP_S),
+        "mixture_temperature": _mix_temperature_sql(MIX_TAU, MIX_BUDGET),
         "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
         "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
         "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),

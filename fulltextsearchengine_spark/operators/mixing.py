@@ -56,6 +56,72 @@ def mixture_plan(
     return plan
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    cost_col: str,
+    tau: float,
+    domains: list[str] | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights w_d ∝ (Σ cost_d)^τ — the
+    multilingual-pretraining reweighting (mBERT/XLM-R exponential
+    smoothing; τ=1 is proportional/natural, τ=0 uniform, τ∈(0,1) lifts
+    the tail without letting head domains drown it.
+
+    One map-side-combining groupBy over the domain cardinality; weights
+    are computed driver-side from the integer totals with plain double
+    math so any SQL engine reproduces them bit-identically.
+    ``domains`` restricts/orders the universe (absent → every domain
+    seen, empty-cost domains get weight 0)."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    agg = df
+    if domains is not None:
+        agg = agg.filter(F.col(domain_col).isin(sorted(domains)))
+    rows = agg.groupBy(domain_col).agg(F.sum(cost_col).alias("total_cost")).collect()
+    totals = {r[domain_col]: int(r["total_cost"]) for r in rows}
+    universe = sorted(domains) if domains is not None else sorted(totals)
+    powered = {d: float(totals.get(d, 0)) ** tau if totals.get(d, 0) else 0.0 for d in universe}
+    z = sum(powered.values())
+    if z <= 0:
+        raise ValueError("no domain has positive cost")
+    return {d: powered[d] / z for d in universe}
+
+
+def mixture_temperature_plan(
+    df: DataFrame,
+    domain_col: str,
+    cost_col: str,
+    tau: float,
+    budget: float,
+    domains: list[str] | None = None,
+) -> dict[str, tuple[int, float, float]]:
+    """domain → (total_cost, weight, keep_rate) under temperature-τ
+    weights: rate_d = min(1, budget·w_d / total_cost_d). Composes
+    ``temperature_weights`` with the ``mixture_plan`` rate rule (one
+    extra tiny agg; both collects are domain-cardinality-sized)."""
+    w = temperature_weights(df, domain_col, cost_col, tau, domains)
+    base = mixture_plan(df, domain_col, cost_col, w, budget)
+    return {d: (base[d][0], w[d], base[d][1]) for d in w}
+
+
+def mixture_temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    cost_col: str,
+    tau: float,
+    budget: float,
+    key_col: str,
+    domains: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic md5-threshold sample hitting the temperature-τ
+    per-domain budgets in expectation (same keep rule as
+    ``mixture_sample``; nested under budget increases)."""
+    plan = mixture_temperature_plan(df, domain_col, cost_col, tau, budget, domains)
+    rates = {d: rate for d, (_, _, rate) in plan.items()}
+    return stratified_sample(df, domain_col, rates, key_col)
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

@@ -1,0 +1,89 @@
+"""Point-in-interval range join — "which events fall inside which time
+windows" — expressed as an equi-join Spark can shuffle-partition,
+never as the inequality theta-join Catalyst would execute as
+BroadcastNestedLoopJoin (a cartesian product that dies at scale).
+
+The bucketed-range-join pattern (the task brief names range joins as a
+custom operator; Databricks ships the same trick as a join hint):
+  - each interval explodes to the fixed-width time buckets it overlaps
+    (``sequence(floor(start/w), floor(end/w))``);
+  - each point has exactly ONE bucket (``floor(ts/w)``);
+  - equi-join on (key…, bucket), then the exact containment filter.
+Because a point owns a single bucket, every (point, interval) pair
+meets at most once — no post-join dedup. Cost: the interval side grows
+by avg(interval_len / bucket_width + 1); pick ``bucket_seconds`` near
+the median interval length so the blow-up is ~2× while each point joins
+against only its bucket's intervals, not the whole interval set.
+
+Bounds are closed on both ends (start <= ts <= end), matching interval
+tables built from min/max aggregates (e.g. ``sessions.session_stats``
+start_ts/end_ts).
+
+Skew: a bucket holding many intervals (a busy hour) fans its points
+out over those intervals — that fan-out is the true result size, not a
+join artifact. AQE's skew-join split handles a hot bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sessions import _epoch_s
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: float,
+    keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """points' columns + intervals' non-key columns, one output row per
+    (point, containing interval). ``keys``: equality columns shared by
+    both sides (e.g. user_id) — co-partition the join beyond the time
+    bucket. ``how='left'`` keeps pointless points with null interval
+    columns (each matched pair still appears once).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be > 0")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    keys = list(keys or [])
+    bw = float(bucket_seconds)
+
+    s_eps = _epoch_s(F.col(start_col))
+    e_eps = _epoch_s(F.col(end_col))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_eps / F.lit(bw)).cast("long"),
+                F.floor(e_eps / F.lit(bw)).cast("long"),
+            )
+        ),
+    ).withColumn("_s_eps", s_eps).withColumn("_e_eps", e_eps)
+
+    p_eps = _epoch_s(F.col(point_ts))
+    pt = points.withColumn("_p_eps", p_eps).withColumn(
+        "_bucket", F.floor(F.col("_p_eps") / F.lit(bw)).cast("long")
+    )
+
+    cond = (F.col("_p_eps") >= F.col("_s_eps")) & (F.col("_p_eps") <= F.col("_e_eps"))
+    iv_cols = [c for c in intervals.columns if c not in keys]
+    joined = pt.join(iv, on=keys + ["_bucket"], how="inner").filter(cond)
+    out_cols = [F.col(c) for c in points.columns] + [F.col(c) for c in iv_cols]
+    matched = joined.select(*out_cols)
+    if how == "inner":
+        return matched
+    # left: anti-join the matched point ids back — a point may match
+    # several intervals, so an outer bucket-join would both duplicate
+    # and null-pad; reconstruct left semantics explicitly.
+    pk = points.columns
+    unmatched = points.join(matched.select(*pk).distinct(), on=pk, how="left_anti")
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(unmatched)

@@ -825,6 +825,81 @@ def main() -> None:
         ["HashAggregate", "!Window", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    # Round-4 session-6: as-of join — the union trick must plan as ONE
+    # window over the key (no join operator at all), never a
+    # nested-loop/cartesian inequality join.
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    p = grab_plan(asof_join(left, right, on="user_id", right_cols=["ref_id"]))
+    sections.append((
+        "As-of join (union + last-non-null window; no join operator)", p,
+        ["Window", "!BroadcastNestedLoopJoin", "!CartesianProduct",
+         "!SortMergeJoin", "!BatchEvalPython"],
+    ))
+
+    # Round-4 session-6: funnel — k cascaded running-min windows over
+    # one (user_id) partitioning + final agg; no self-joins.
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    p = grab_plan(funnel_report(ev, ["view", "click", "purchase"]))
+    sections.append((
+        "Funnel report (cascaded RANGE running-mins, one key shuffle)", p,
+        ["Window", "HashAggregate", "!BroadcastNestedLoopJoin",
+         "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
+    # Round-4 session-6: range join — bucketed equi-join (Generate
+    # explodes intervals to buckets), exact filter after; the whole
+    # point is NO inequality nested-loop join in the plan.
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    sess = session_stats(ev, gap_seconds=2 * 86400.0).select(
+        "user_id", "session_idx", "start_ts", "end_ts"
+    )
+    p = grab_plan(range_join(
+        left.select("event_id", "user_id", "ts"), sess,
+        "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"],
+    ))
+    sections.append((
+        "Range join (bucketed equi-join, exact containment filter)", p,
+        ["Generate explode", "!BroadcastNestedLoopJoin", "!CartesianProduct",
+         "!BatchEvalPython"],
+    ))
+
+    # Round-4 session-6: heavy hitters — sketch pass is MapInPandas
+    # (zero shuffle), refinement joins a BROADCAST candidate set and
+    # aggregates candidates only.
+    from fulltextsearchengine_spark.operators.heavyhitters import term_heavy_hitters
+
+    p = grab_plan(term_heavy_hitters(idx, 0.01))
+    sections.append((
+        "Heavy hitters (Misra-Gries MapInPandas + broadcast refinement)", p,
+        ["MapInPandas", "BroadcastHashJoin", "HashAggregate",
+         "!CartesianProduct", "!SortMergeJoin"],
+    ))
+
+    # Round-4 session-6: temperature mixture sample — after the two
+    # domain-sized plan collects, the sample itself is a pure scan
+    # filter: zero shuffles, zero Python.
+    from fulltextsearchengine_spark.operators.mixing import mixture_temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+
+    p = grab_plan(mixture_temperature_sample(
+        with_token_counts(docs), "source", "n_alnum_tokens", 0.5, 5000.0, "doc_id"
+    ))
+    sections.append((
+        "Temperature mixture sample (md5-threshold scan filter)", p,
+        ["FileScan", "!Exchange", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:

@@ -29,3 +29,17 @@ def small_transcripts_pdf():
     from fulltextsearchengine_spark.datagen import make_transcripts
 
     return make_transcripts(n_turns=1000, n_convs=100, vocab_size=2000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def sf001_events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+@pytest.fixture(scope="session")
+def sf001_docs_tokens(spark):
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+
+    return with_token_counts(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )

@@ -1,0 +1,388 @@
+"""Session-6 operators: as-of join, funnel, range join, heavy hitters,
+temperature mixture. Each checked against a brute-force pandas/python
+oracle on crafted inputs (the driver gate re-checks against DuckDB at
+sf0.01)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- asof
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00"), 5.0),
+            (2, 10, _ts("2024-01-01 00:20:00"), 6.0),
+            (3, 10, _ts("2024-01-01 00:04:00"), 7.0),  # before any right
+            (4, 20, _ts("2024-01-01 01:00:00"), 8.0),
+            (5, 20, _ts("2024-01-01 00:30:00"), 9.0),  # tie with right ts
+            (6, 30, _ts("2024-01-01 00:00:00"), 1.0),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:05:00"), "a"),
+            (101, 10, _ts("2024-01-01 00:15:00"), "b"),
+            (102, 20, _ts("2024-01-01 00:30:00"), "c"),  # equal-ts: matches left 5
+            (103, 20, _ts("2024-01-01 00:30:00"), "d"),  # same ts, higher id wins
+        ],
+        "ref_id long, user_id long, ts timestamp, tag string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_ties(spark, asof_frames):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, on="user_id", right_cols=["ref_id", "tag"], right_id="ref_id")
+    got = {r["event_id"]: (r["ref_id_r"], r["tag_r"]) for r in out.collect()}
+    assert got[1] == (100, "a")  # 00:05 latest at-or-before 00:10
+    assert got[2] == (101, "b")
+    assert got[3] == (None, None)  # nothing at-or-before
+    assert got[4] == (103, "d")
+    assert got[5] == (103, "d")  # equal ts matches; max ref_id breaks the tie
+    assert got[6] == (None, None)  # key absent from right
+    assert out.count() == left.count()  # left-outer: no row gained or lost
+
+
+def test_asof_lag_and_tolerance(spark, asof_frames):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id")
+    lags = {r["event_id"]: r["asof_lag_sec"] for r in out.collect()}
+    assert lags[1] == 300.0 and lags[5] == 0.0 and lags[3] is None
+
+    tight = asof_join(
+        left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        tolerance_seconds=299.0,
+    )
+    got = {r["event_id"]: r["ref_id_r"] for r in tight.collect()}
+    assert got[1] is None and got[2] is None  # both lags are 300 s > 299 s
+    assert got[5] == 103  # lag 0 survives any tolerance
+
+
+def test_asof_matches_pandas_merge_asof(spark, sf001_events):
+    """Random-ish real data: purchases joined to latest prior signup,
+    compared row-for-row with pandas.merge_asof."""
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = sf001_events
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id")
+    got = (
+        out.select("event_id", "ref_id_r").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.select("event_id", "user_id", "ts").toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (got["ref_id_r"].fillna(-1) == exp["ref_id"].fillna(-1)).all()
+
+
+def test_asof_validates(spark, asof_frames):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        asof_join(left, right.select("user_id"), on="user_id")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", right_cols=["tag"], right_id="nope")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", tolerance_seconds=-1.0)
+
+
+# -------------------------------------------------------------- funnel
+
+
+def test_funnel_cascade_order(spark):
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    rows = [
+        # u1 completes in order
+        (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+        (2, 1, _ts("2024-01-01 00:01:00"), "click"),
+        (3, 1, _ts("2024-01-01 00:02:00"), "purchase"),
+        # u2: purchase BEFORE click -> only 2 steps
+        (4, 2, _ts("2024-01-01 00:00:00"), "view"),
+        (5, 2, _ts("2024-01-01 00:00:30"), "purchase"),
+        (6, 2, _ts("2024-01-01 00:01:00"), "click"),
+        # u3: click only -> 0 steps (no view)
+        (7, 3, _ts("2024-01-01 00:00:00"), "click"),
+        # u4: view at same ts as click -> >= counts both
+        (8, 4, _ts("2024-01-01 00:00:00"), "click"),
+        (9, 4, _ts("2024-01-01 00:00:00"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = funnel_report(ev, ["view", "click", "purchase"])
+    got = {r["user_id"]: r["steps_completed"] for r in out.collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2}
+    t = {r["user_id"]: (r["t1_micro"], r["t2_micro"], r["t3_micro"]) for r in out.collect()}
+    assert t[3] == (None, None, None)
+    assert t[2][2] is None  # purchase-before-click rejected
+    assert t[4][0] == t[4][1]  # equal-ts view enables the click
+
+
+def test_funnel_earliest_proof(spark):
+    """Greedy-earliest: t_i is the FIRST qualifying event of step i."""
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+            (2, 1, _ts("2024-01-01 00:05:00"), "click"),
+            (3, 1, _ts("2024-01-01 00:09:00"), "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    row = funnel_report(ev, ["view", "click"]).collect()[0]
+    assert row["t2_micro"] == int(_ts("2024-01-01 00:05:00").timestamp() * 1e6)
+
+
+def test_funnel_brute_force_parity(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    steps = ["view", "click", "purchase"]
+    out = funnel_report(sf001_events, steps)
+    got = {r["user_id"]: r["steps_completed"] for r in out.collect()}
+    pdf = sf001_events.select("user_id", "ts", "event_type").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        prev, done = None, 0
+        for s in steps:
+            cand = grp[(grp.event_type == s)]
+            if prev is not None:
+                cand = cand[cand.ts >= prev]
+            if cand.empty:
+                break
+            prev = cand.ts.min()
+            done += 1
+        assert got[uid] == done, uid
+
+
+def test_funnel_validates(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    with pytest.raises(ValueError):
+        funnel_report(sf001_events, [])
+    with pytest.raises(ValueError):
+        funnel_report(sf001_events, ["view", "view"])
+
+
+# ----------------------------------------------------------- rangejoin
+
+
+def test_range_join_containment(spark):
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:05:00")),
+            (2, 10, _ts("2024-01-01 00:59:00")),  # outside
+            (3, 10, _ts("2024-01-01 00:30:00")),  # boundary end, closed
+            (4, 20, _ts("2024-01-01 00:05:00")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, 7, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00")),
+            (20, 8, _ts("2024-01-01 00:04:00"), _ts("2024-01-01 00:06:00")),
+        ],
+        "user_id long, session_idx long, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(pts, iv, "ts", "start_ts", "end_ts", bucket_seconds=60.0, keys=["user_id"])
+    got = sorted((r["event_id"], r["session_idx"]) for r in out.collect())
+    assert got == [(1, 7), (3, 7), (4, 8)]
+
+    left = range_join(pts, iv, "ts", "start_ts", "end_ts", 60.0, keys=["user_id"], how="left")
+    assert left.count() == 4
+    assert {r["event_id"]: r["session_idx"] for r in left.collect()}[2] is None
+
+
+def test_range_join_multi_match_and_bucket_width_invariance(spark):
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:10:00"))], "event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+            (2, _ts("2024-01-01 00:09:00"), _ts("2024-01-01 00:11:00")),
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    for bw in (7.0, 60.0, 3600.0, 86400.0):
+        out = range_join(pts, iv, "ts", "start_ts", "end_ts", bw)
+        assert sorted(r["iv_id"] for r in out.collect()) == [1, 2], bw
+
+
+def test_range_join_brute_force_parity(spark, sf001_events):
+    """Purchases inside the user's click-sessions vs a plain
+    inequality-join oracle."""
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    sess = session_stats(sf001_events, gap_seconds=7 * 86400.0).select(
+        "user_id", "session_idx", "start_ts", "end_ts"
+    )
+    pur = sf001_events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(pur, sess, "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"])
+    got = sorted((r["event_id"], r["session_idx"]) for r in out.collect())
+    oracle = sorted(
+        (r["event_id"], r["session_idx"])
+        for r in pur.alias("p")
+        .join(sess.alias("s"), "user_id")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")))
+        .collect()
+    )
+    assert got == oracle and len(got) > 0
+
+
+def test_range_join_validates(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    with pytest.raises(ValueError):
+        range_join(sf001_events, sf001_events, "ts", "ts", "ts", 0.0)
+    with pytest.raises(ValueError):
+        range_join(sf001_events, sf001_events, "ts", "ts", "ts", 1.0, how="full")
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark):
+    """Zipf-ish corpus with vocab >> sketch counters so Misra-Gries
+    eviction actually happens."""
+    from fulltextsearchengine_spark.operators.index_build import build_index
+
+    rows = []
+    tid = 0
+    for v in range(400):  # 400 distinct terms
+        reps = 200 if v < 3 else (20 if v < 20 else 1)
+        for r in range(reps):
+            rows.append((f"c{tid % 37}", tid % 11, "user", f"term{v:03d}", "", None))
+            tid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.Timestamp("2024-01-01")
+    return build_index(spark.createDataFrame(pdf).repartition(8))
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, skewed_index):
+    from fulltextsearchengine_spark.operators.heavyhitters import term_heavy_hitters
+
+    idx = skewed_index
+    total = int(idx.stats_row()["total_tokens"])
+    for phi in (0.005, 0.02, 0.1):
+        got = [(r["term"], r["cf"]) for r in term_heavy_hitters(idx, phi).collect()]
+        exact = (
+            idx.postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+            .filter(F.col("cf") >= phi * total)
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .collect()
+        )
+        assert got == [(r["term"], r["cf"]) for r in exact], phi
+        assert len(got) > 0
+
+
+def test_heavy_hitters_sketch_bounds_candidates(spark, skewed_index):
+    """The sketch pass must emit ≤ k survivors per partition."""
+    from fulltextsearchengine_spark.operators.heavyhitters import _mg_partition
+
+    src = skewed_index.postings.select("term", F.col("tf").cast("long").alias("tf"))
+    k = 50
+    cand = src.mapInPandas(_mg_partition(k), schema="term string")
+    per_part = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_part <= k
+    assert cand.distinct().count() < 400  # strictly fewer than the vocab
+
+
+def test_heavy_hitters_validates(skewed_index):
+    from fulltextsearchengine_spark.operators.heavyhitters import term_heavy_hitters
+
+    with pytest.raises(ValueError):
+        term_heavy_hitters(skewed_index, 0.0)
+    with pytest.raises(ValueError):
+        term_heavy_hitters(skewed_index, 0.01, sketch_counters=10)
+
+
+# ------------------------------------------------- temperature mixture
+
+
+def test_temperature_weights_endpoints(spark, sf001_docs_tokens):
+    from fulltextsearchengine_spark.operators.mixing import temperature_weights
+
+    d = sf001_docs_tokens
+    w1 = temperature_weights(d, "source", "n_alnum_tokens", 1.0)
+    totals = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum("n_alnum_tokens").alias("t")).collect()
+    }
+    z = sum(totals.values())
+    for dom, w in w1.items():
+        assert math.isclose(w, totals[dom] / z)
+    w0 = temperature_weights(d, "source", "n_alnum_tokens", 0.0)
+    assert all(math.isclose(w, 1.0 / len(w0)) for w in w0.values())
+    # tau < 1 compresses: max weight shrinks, min grows
+    wh = temperature_weights(d, "source", "n_alnum_tokens", 0.5)
+    assert max(wh.values()) < max(w1.values()) + 1e-12
+    assert min(wh.values()) > min(w1.values()) - 1e-12
+
+
+def test_temperature_sample_budget_and_nesting(spark, sf001_docs_tokens):
+    from fulltextsearchengine_spark.operators.mixing import (
+        mixture_temperature_plan,
+        mixture_temperature_sample,
+    )
+
+    d = sf001_docs_tokens
+    plan = mixture_temperature_plan(d, "source", "n_alnum_tokens", 0.5, 5000.0)
+    for dom, (total, w, rate) in plan.items():
+        assert 0.0 <= rate <= 1.0 and total > 0 and w > 0
+    small = mixture_temperature_sample(d, "source", "n_alnum_tokens", 0.5, 5000.0, "doc_id")
+    big = mixture_temperature_sample(d, "source", "n_alnum_tokens", 0.5, 20000.0, "doc_id")
+    sids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    bids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert sids <= bids  # nested under budget increase
+    got = sum(r["n_alnum_tokens"] for r in small.collect())
+    assert got < sum(r["n_alnum_tokens"] for r in d.collect())
+
+
+def test_temperature_validates(spark, sf001_docs_tokens):
+    from fulltextsearchengine_spark.operators.mixing import temperature_weights
+
+    with pytest.raises(ValueError):
+        temperature_weights(sf001_docs_tokens, "source", "n_alnum_tokens", -0.1)
+    with pytest.raises(ValueError):
+        temperature_weights(
+            sf001_docs_tokens, "source", "n_alnum_tokens", 1.0, domains=["nope"]
+        )
