@@ -633,6 +633,54 @@ def main() -> None:
     )
     timed("refusal_report", lambda: refusal_report(t).count(), repeat=reps)
 
+    # ---- session-6: event-analytics joins + sketch-bounded agg --------
+    from fulltextsearchengine_spark.operators.asof import asof_join
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+    from fulltextsearchengine_spark.operators.heavyhitters import term_heavy_hitters
+    from fulltextsearchengine_spark.operators.mixing import mixture_temperature_sample
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    ev_pur = ev.filter(F.col("event_type") == "purchase")
+    ev_sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    timed(
+        "events_asof_join",
+        lambda: asof_join(ev_pur, ev_sig, on="user_id", right_cols=["ref_id"]).count(),
+        repeat=reps,
+    )
+    timed(
+        "events_funnel",
+        lambda: funnel_report(ev, ["view", "click", "purchase"]).count(),
+        repeat=reps,
+    )
+    _rj_sess = session_stats(ev, gap_seconds=2 * 86400.0).select(
+        "user_id", "session_idx", "start_ts", "end_ts"
+    )
+    timed(
+        "events_range_join",
+        lambda: range_join(
+            ev_pur.select("event_id", "user_id", "ts"), _rj_sess,
+            "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"],
+        ).count(),
+        repeat=reps,
+    )
+    timed(
+        "term_heavy_hitters",
+        lambda: term_heavy_hitters(idx, 0.01).collect(),
+        repeat=reps,
+    )
+    from fulltextsearchengine_spark.functions.textstats import with_token_counts
+
+    _docs_tok = with_token_counts(docs_raw)
+    timed(
+        "mixture_temperature_sample",
+        lambda: mixture_temperature_sample(
+            _docs_tok, "source", "n_alnum_tokens", 0.5, 200_000.0, "doc_id"
+        ).count(),
+        repeat=reps,
+    )
+
     # r1 pipeline variants for comparison: explode+groupBy with the
     # Arrow tokenizer (the old fast path) and with the pure-Catalyst
     # tokenizer; the headline index_build_sfdir is the map-side-invert

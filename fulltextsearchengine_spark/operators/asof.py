@@ -72,12 +72,17 @@ def asof_join(
         _epoch_s(F.col(right_ts)).alias("_ats"),
         *[F.col(c).alias(c) for c in right_cols],
     )
+    # tie column keeps right_id's natural ordering: numeric ids compare
+    # as doubles, string ids lexicographically (ANSI mode forbids a
+    # blanket double cast)
+    tie_is_str = dict(right.dtypes)[right_id] == "string"
+    tie_type = "string" if tie_is_str else "double"
     # _side orders right (0) before left (1) at equal epochs => inclusive
     r_tagged = right.select(
         F.col(on).alias("_akey"),
         _epoch_s(F.col(right_ts)).alias("_aeps"),
         F.lit(0).alias("_side"),
-        F.col(right_id).cast("double").alias("_atie"),
+        F.col(right_id).cast(tie_type).alias("_atie"),
         payload.alias("_apay"),
         F.lit(None).cast("long").alias("_arow"),
     )
@@ -87,7 +92,7 @@ def asof_join(
         F.col(on).alias("_akey"),
         _epoch_s(F.col(left_ts)).alias("_aeps"),
         F.lit(1).alias("_side"),
-        F.lit(0.0).alias("_atie"),
+        F.lit(None).cast(tie_type).alias("_atie"),
         F.lit(None).cast(pay_type).alias("_apay"),
         F.lit(1).cast("long").alias("_arow"),
         *[F.col(c) for c in lcols],
