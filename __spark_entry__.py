@@ -3686,6 +3686,36 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_retention(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.retention import retention_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_report(ev)
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fc AS (SELECT user_id, CAST(date_trunc('week', t0) AS DATE) AS cw FROM first),
+sizes AS (SELECT cw, count(*) AS cohort_size FROM fc GROUP BY cw),
+acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw FROM events
+),
+cells AS (
+  SELECT fc.cw, CAST((aw - cw) // 7 AS BIGINT) AS week_offset,
+         count(*) AS n_active
+  FROM acts JOIN fc USING (user_id) GROUP BY fc.cw, week_offset
+)
+SELECT strftime(cells.cw, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+       cohort_size,
+       CAST(round(n_active / CAST(cohort_size AS DOUBLE) * 1e6) AS BIGINT)
+         AS retention_ppm
+FROM cells JOIN sizes USING (cw)
+"""
+
+
 def _q_mixture_temperature(spark, sf_dir):
     from fulltextsearchengine_spark.functions.textstats import with_token_counts
     from fulltextsearchengine_spark.operators.mixing import mixture_temperature_plan
@@ -3796,7 +3826,7 @@ _PRIORITY_GATES = [
     "stream_dedup_exact", "stream_dedup_simhash",
     "ftse_percolate", "events_sessionize",
     "term_heavy_hitters", "events_asof_join", "events_funnel",
-    "events_range_join", "mixture_temperature",
+    "events_range_join", "mixture_temperature", "events_retention",
 ]
 
 
@@ -3935,6 +3965,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "events_range_join": _q_range_join,
         "mixture_temperature": _q_mixture_temperature,
+        "events_retention": _q_retention,
         "ftse_query_clarity": _q_query_clarity,
         "corpus_law_fit": _q_corpus_law,
         "emb_kmeans": _q_kmeans,
@@ -5706,6 +5737,7 @@ WHERE t.cf >= {HH_PHI!r} * g.total_tokens
         "events_funnel": _events_funnel_sql(FUNNEL_STEPS),
         "events_range_join": _range_join_sql(RJ_GAP_S),
         "mixture_temperature": _mix_temperature_sql(MIX_TAU, MIX_BUDGET),
+        "events_retention": _RETENTION_SQL,
         "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
         "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
         "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),

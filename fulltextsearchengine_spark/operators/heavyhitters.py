@@ -59,7 +59,7 @@ def _mg_partition(k: int):
                 vals = sorted(counts.values(), reverse=True)
                 dec = vals[k]  # (k+1)-th largest
                 counts = {t: c - dec for t, c in counts.items() if c - dec > 0}
-        yield pd.DataFrame({"term": list(counts.keys())})
+        yield pd.DataFrame({"term": pd.Series(list(counts.keys()), dtype=object)})
 
     return run
 

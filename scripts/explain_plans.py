@@ -900,6 +900,18 @@ def main() -> None:
         ["FileScan", "!Exchange", "!BatchEvalPython"],
     ))
 
+    # Round-4 session-6: cohort retention — two keyed aggs + a user_id
+    # equi-join + a broadcast cohort-size join; no windows, no
+    # nested-loop joins.
+    from fulltextsearchengine_spark.operators.retention import retention_report
+
+    p = grab_plan(retention_report(ev))
+    sections.append((
+        "Cohort retention (keyed aggs + broadcast sizes; no window)", p,
+        ["HashAggregate", "BroadcastHashJoin", "!Window",
+         "!BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:

@@ -386,3 +386,57 @@ def test_temperature_validates(spark, sf001_docs_tokens):
         temperature_weights(
             sf001_docs_tokens, "source", "n_alnum_tokens", 1.0, domains=["nope"]
         )
+
+
+# ------------------------------------------------------------ retention
+
+
+def test_retention_crafted(spark):
+    from fulltextsearchengine_spark.operators.retention import retention_report
+
+    rows = [
+        # u1 signs up week of 2024-01-01 (Mon), active weeks 0 and 2
+        (1, 1, _ts("2024-01-02 10:00:00"), "signup"),
+        (2, 1, _ts("2024-01-16 10:00:00"), "click"),
+        # u2 same cohort, active week 0 only
+        (3, 2, _ts("2024-01-03 10:00:00"), "signup"),
+        # u3 pre-signup activity -> negative offset kept
+        (4, 3, _ts("2024-01-01 10:00:00"), "view"),
+        (5, 3, _ts("2024-01-10 10:00:00"), "signup"),
+        # u4 never signs up -> excluded entirely
+        (6, 4, _ts("2024-01-05 10:00:00"), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = retention_report(ev)
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_active"], r["cohort_size"])
+        for r in out.collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2)  # u1+u2 active their signup week
+    assert got[("2024-01-01", 2)] == (1, 2)  # only u1 two weeks later
+    assert got[("2024-01-08", -1)] == (1, 1)  # u3's pre-signup view
+    assert got[("2024-01-08", 0)] == (1, 1)
+    assert not any(k[0] == "2024-01-01" and k[1] == 1 for k in got)  # empty cell absent
+    ppm = {r["week_offset"]: r["retention_ppm"] for r in out.collect() if r["cohort_week"] == "2024-01-01"}
+    assert ppm[2] == 500000
+
+
+def test_retention_brute_force_parity(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.retention import retention_report
+
+    out = retention_report(sf001_events).collect()
+    pdf = sf001_events.select("user_id", "ts", "event_type").toPandas()
+    su = pdf[pdf.event_type == "signup"].groupby("user_id").ts.min()
+    cw = su.dt.to_period("W-SUN").dt.start_time  # pandas Monday-start week
+    acts = pdf.assign(aw=pdf.ts.dt.to_period("W-SUN").dt.start_time)[
+        ["user_id", "aw"]
+    ].drop_duplicates()
+    merged = acts.merge(cw.rename("cw"), left_on="user_id", right_index=True)
+    merged["off"] = ((merged.aw - merged.cw).dt.days / 7).astype(int)
+    cells = merged.groupby([merged.cw.dt.strftime("%Y-%m-%d"), "off"]).size()
+    got = {(r["cohort_week"], r["week_offset"]): r["n_active"] for r in out}
+    assert len(got) == len(cells) and all(
+        got[(c, o)] == n for (c, o), n in cells.items()
+    )
