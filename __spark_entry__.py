@@ -3686,6 +3686,38 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_asof_forward(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "signup")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ref_id_r").alias("purchase_event_id"),
+        F.round(F.col("asof_lag_sec") * 1e6).cast("long").alias("lag_micro"),
+    )
+
+
+_ASOF_FWD_SQL = """
+SELECT l.event_id, l.user_id, r.event_id AS purchase_event_id,
+       CAST(round((epoch(l.ts) - epoch(r.ts)) * 1e6) AS BIGINT) AS lag_micro
+FROM events l LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'purchase' AND r.ts >= l.ts
+  ORDER BY r.ts ASC, r.event_id DESC LIMIT 1
+) r ON true
+WHERE l.event_type = 'signup'
+"""
+
+
 def _q_retention(spark, sf_dir):
     from fulltextsearchengine_spark.operators.retention import retention_report
 
@@ -3827,6 +3859,7 @@ _PRIORITY_GATES = [
     "ftse_percolate", "events_sessionize",
     "term_heavy_hitters", "events_asof_join", "events_funnel",
     "events_range_join", "mixture_temperature", "events_retention",
+    "events_asof_forward",
 ]
 
 
@@ -3966,6 +3999,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_range_join,
         "mixture_temperature": _q_mixture_temperature,
         "events_retention": _q_retention,
+        "events_asof_forward": _q_asof_forward,
         "ftse_query_clarity": _q_query_clarity,
         "corpus_law_fit": _q_corpus_law,
         "emb_kmeans": _q_kmeans,
@@ -5738,6 +5772,7 @@ WHERE t.cf >= {HH_PHI!r} * g.total_tokens
         "events_range_join": _range_join_sql(RJ_GAP_S),
         "mixture_temperature": _mix_temperature_sql(MIX_TAU, MIX_BUDGET),
         "events_retention": _RETENTION_SQL,
+        "events_asof_forward": _ASOF_FWD_SQL,
         "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
         "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
         "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),

@@ -49,14 +49,22 @@ def asof_join(
     right_id: str | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left columns + (right_cols each renamed ``<col><suffix>``) +
-    ``asof_lag_sec`` (left.ts - matched right.ts, null when unmatched).
+    ``asof_lag_sec`` (left.ts - matched right.ts, null when unmatched;
+    <= 0 under ``direction='forward'``).
 
     ``right_cols`` defaults to every right column except the key;
     ``right_id`` (a right column, default the first of ``right_cols``)
-    breaks equal-timestamp ties — greatest value wins.
+    breaks equal-timestamp ties — greatest value wins (both directions).
+    ``direction``: 'backward' matches the latest right row at-or-before
+    each left row; 'forward' the earliest at-or-after (same plan — the
+    scan order flips sign, everything else is unchanged).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    sign = 1.0 if direction == "backward" else -1.0
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on]
     if not right_cols:
@@ -100,7 +108,7 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy("_akey")
-        .orderBy(F.asc("_aeps"), F.asc("_side"), F.asc("_atie"))
+        .orderBy(F.asc(F.col("_aeps") * F.lit(sign)), F.asc("_side"), F.asc("_atie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_apay", ignorenulls=True).over(w)
@@ -112,7 +120,8 @@ def asof_join(
         out = out.withColumn(
             "_am",
             F.when(
-                F.col("_aeps") - F.col("_am._ats") <= F.lit(float(tolerance_seconds)),
+                (F.col("_aeps") - F.col("_am._ats")) * F.lit(sign)
+                <= F.lit(float(tolerance_seconds)),
                 F.col("_am"),
             ),
         )

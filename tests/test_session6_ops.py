@@ -440,3 +440,44 @@ def test_retention_brute_force_parity(spark, sf001_events):
     assert len(got) == len(cells) and all(
         got[(c, o)] == n for (c, o), n in cells.items()
     )
+
+
+def test_asof_forward(spark, asof_frames):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        direction="forward",
+    )
+    got = {r["event_id"]: (r["ref_id_r"], r["asof_lag_sec"]) for r in out.collect()}
+    assert got[3] == (100, -60.0)   # 00:04 -> earliest at-or-after is 00:05
+    assert got[1] == (101, -300.0)  # 00:10 -> 00:15
+    assert got[2] == (None, None)   # nothing after 00:20 for user 10
+    assert got[5] == (103, 0.0)     # equal ts matches; max ref_id tie rule
+    assert got[4] == (None, None)
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", direction="nearest")
+
+
+def test_asof_forward_matches_pandas(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = sf001_events
+    left = ev.filter(F.col("event_type") == "signup")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        direction="forward",
+    )
+    got = (
+        out.select("event_id", "ref_id_r").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.select("event_id", "user_id", "ts").toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="forward")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (got["ref_id_r"].fillna(-1) == exp["ref_id"].fillna(-1)).all()
