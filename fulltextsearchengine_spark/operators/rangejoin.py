@@ -53,6 +53,12 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     keys = list(keys or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(clash)}; "
+            "rename one side"
+        )
     bw = float(bucket_seconds)
 
     s_eps = _epoch_s(F.col(start_col))

@@ -481,3 +481,13 @@ def test_asof_forward_matches_pandas(spark, sf001_events):
     exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="forward")
     exp = exp.sort_values("event_id").reset_index(drop=True)
     assert (got["ref_id_r"].fillna(-1) == exp["ref_id"].fillna(-1)).all()
+
+
+def test_range_join_rejects_column_clash(spark, sf001_events):
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    iv = sf001_events.select(
+        "user_id", "ts", F.col("ts").alias("end_ts")
+    )
+    with pytest.raises(ValueError, match="share non-key columns"):
+        range_join(sf001_events, iv, "ts", "ts", "end_ts", 60.0, keys=["user_id"])
