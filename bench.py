@@ -654,6 +654,9 @@ def main() -> None:
         lambda: funnel_report(ev, ["view", "click", "purchase"]).count(),
         repeat=reps,
     )
+    from fulltextsearchengine_spark.operators.retention import retention_report
+
+    timed("events_retention", lambda: retention_report(ev).count(), repeat=reps)
     _rj_sess = session_stats(ev, gap_seconds=2 * 86400.0).select(
         "user_id", "session_idx", "start_ts", "end_ts"
     )
