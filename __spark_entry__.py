@@ -3853,20 +3853,60 @@ _CORE_GATES = [
     "ftse_lm_topk", "ftse_conv_search", "ftse_parse_blocks",
     "ftse_parse_log_lines",
 ]
+# Gates the current round specifically needs driver evidence for (e.g. a
+# prior-round red row whose fix must show up green in CORRECTNESS_r{N}).
 _PRIORITY_GATES = [
-    "ftse_bm25_wand_tombstoned", "dedup_groups_star",
-    "stream_dedup_exact", "stream_dedup_simhash",
-    "ftse_percolate", "events_sessionize",
-    "term_heavy_hitters", "events_asof_join", "events_funnel",
-    "events_range_join", "mixture_temperature", "events_retention",
-    "events_asof_forward",
+    "ftse_hits_histogram",  # r4's only red row — oracle HUGEINT cast fixed r5
 ]
 
 
+def _last_driver_checked() -> dict[str, int]:
+    """Round number each gate last appeared in a driver CORRECTNESS file.
+
+    Read at queries() time from CORRECTNESS_r*.json next to this file, so the
+    rotation policy self-advances every round without manual list edits.
+    Gates never driver-checked are absent (treated as round 0 → first in line).
+    """
+    import glob
+    import json
+    import re
+
+    here = Path(__file__).resolve().parent
+    seen: dict[str, int] = {}
+    for f in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for k in rows:
+            seen[k] = max(seen.get(k, 0), rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry, ordered so the driver's fixed-size check window rotates
+    over the LEAST-recently-driver-checked gates (verdict r4 #2).
+
+    Order: the 17 core index/search gates (always in-window), then this
+    round's priority gates, then every remaining gate ascending by the round
+    it last got a driver CORRECTNESS row (never-checked first, name-sorted
+    within a round for determinism). With a 50-slot window this guarantees
+    every gate cycles through driver verification within ~ceil(169/33) rounds.
+    """
     all_q = _all_queries()
-    head = _CORE_GATES + _PRIORITY_GATES
-    order = head + [k for k in reversed(list(all_q)) if k not in set(head)]
+    head = _CORE_GATES + [g for g in _PRIORITY_GATES if g not in _CORE_GATES]
+    last = _last_driver_checked()
+    rest = sorted(
+        (k for k in all_q if k not in set(head)),
+        key=lambda k: (last.get(k, 0), k),
+    )
+    order = head + rest
     return {k: all_q[k] for k in order}
 
 
@@ -5864,8 +5904,8 @@ SELECT v.doc_id, v.term, v.tf, t.df, t.cf FROM tvc v JOIN terms t USING (term)
          date_trunc('{HIST_GRANULARITY}', r.ts) AS bucket_ts
   FROM scored s JOIN ranked r USING (doc_id)
 )
-SELECT bucket_ts, count(*) AS n_hits,
-       sum(score_micro) AS sum_score_micro,
+SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(score_micro) AS BIGINT) AS sum_score_micro,
        max(score_micro) AS max_score_micro
 FROM withts GROUP BY bucket_ts
 """
