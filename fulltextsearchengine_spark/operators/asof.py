@@ -25,10 +25,14 @@ Semantics (deterministic):
     ``merge_asof(tolerance=)``;
   - unmatched left rows keep null right columns (left-outer).
 
-Skew note: all rows of one key land in one task (window partition). If
-a single key can exceed task memory, pre-split by (key, coarse time
-bucket) and seed each bucket with the previous bucket's last right row
-— the standard stitch; not needed at human/agent key cardinalities.
+Skew note: all rows of one key land in one task (window partition) by
+default. When a single key can exceed task memory (a bot/system account
+emitting 10^9 events), pass ``split_bucket_seconds``: both sides are
+pre-split by (key, coarse time bucket), the running-last window runs
+per bucket, and each bucket is seeded with the latest right row of all
+previous buckets — a tiny per-key-per-bucket stitch table (the standard
+boundary stitch). Value-identical to the unsplit path; costs one extra
+small shuffle.
 """
 
 from __future__ import annotations
@@ -37,6 +41,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sessions import _epoch_s
+
+_RESERVED = (
+    "_akey", "_aeps", "_side", "_atie", "_apay", "_arow", "_am",
+    "_abkt", "_ablast", "_acarry", "asof_lag_sec",
+)
+
+
+def _tie_cast_type(dtype: str) -> str:
+    """SQL type the tie-break column is normalized to.
+
+    Integral ids stay bigint — casting a long id > 2^53 to double loses
+    precision and can flip equal-timestamp tie-breaks vs an exact
+    integer ORDER BY (advice r4). Floats/decimals compare as double,
+    strings lexicographically; anything else (timestamp, date, bool)
+    keeps its own orderable type.
+    """
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        return "double"
+    if dtype == "string":
+        return "string"
+    return dtype
 
 
 def asof_join(
@@ -50,6 +77,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     suffix: str = "_r",
     direction: str = "backward",
+    split_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Left columns + (right_cols each renamed ``<col><suffix>``) +
     ``asof_lag_sec`` (left.ts - matched right.ts, null when unmatched;
@@ -61,6 +89,10 @@ def asof_join(
     ``direction``: 'backward' matches the latest right row at-or-before
     each left row; 'forward' the earliest at-or-after (same plan — the
     scan order flips sign, everything else is unchanged).
+    ``split_bucket_seconds``: opt-in hot-key pre-split (see module
+    docstring) — partition the window by (key, floor(ts/bucket)) and
+    stitch bucket boundaries; value-identical, bounds task memory by
+    rows-per-bucket instead of rows-per-key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -75,16 +107,21 @@ def asof_join(
         raise ValueError(f"right_id {right_id!r} not in right columns")
     if tolerance_seconds is not None and tolerance_seconds < 0:
         raise ValueError("tolerance_seconds must be >= 0")
+    if split_bucket_seconds is not None and split_bucket_seconds <= 0:
+        raise ValueError("split_bucket_seconds must be > 0")
+    reserved_hit = (set(left.columns) | set(right.columns)) & set(_RESERVED)
+    if reserved_hit:
+        raise ValueError(
+            f"input columns collide with asof_join internals "
+            f"{sorted(reserved_hit)}; rename them"
+        )
 
     payload = F.struct(
         _epoch_s(F.col(right_ts)).alias("_ats"),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    # tie column keeps right_id's natural ordering: numeric ids compare
-    # as doubles, string ids lexicographically (ANSI mode forbids a
-    # blanket double cast)
-    tie_is_str = dict(right.dtypes)[right_id] == "string"
-    tie_type = "string" if tie_is_str else "double"
+    # tie column keeps right_id's natural ordering (see _tie_cast_type)
+    tie_type = _tie_cast_type(dict(right.dtypes)[right_id])
     # _side orders right (0) before left (1) at equal epochs => inclusive
     r_tagged = right.select(
         F.col(on).alias("_akey"),
@@ -106,16 +143,70 @@ def asof_join(
         *[F.col(c) for c in lcols],
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy("_akey")
-        .orderBy(F.asc(F.col("_aeps") * F.lit(sign)), F.asc("_side"), F.asc("_atie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("_apay", ignorenulls=True).over(w)
-    out = (
-        u.withColumn("_am", matched)
-        .filter(F.col("_arow").isNotNull())
-    )
+    scan_ord = [
+        F.asc(F.col("_aeps") * F.lit(sign)),
+        F.asc("_side"),
+        F.asc("_atie"),
+    ]
+    if split_bucket_seconds is None:
+        w = (
+            Window.partitionBy("_akey")
+            .orderBy(*scan_ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn("_am", F.last("_apay", ignorenulls=True).over(w))
+    else:
+        # Hot-key pre-split: bucket on the sign-multiplied epoch so bucket
+        # ids increase in scan order for both directions, run the running
+        # last per (key, bucket), and seed each bucket with the latest
+        # right payload of all PREVIOUS buckets (the carry-in). The carry
+        # table has one row per (key, bucket) — tiny — so its per-key
+        # window cannot skew even when one key owns 10^9 events.
+        bw = float(split_bucket_seconds)
+        u = u.withColumn(
+            "_abkt",
+            F.floor(F.col("_aeps") * F.lit(sign) / F.lit(bw)).cast("long"),
+        )
+        wb = (
+            Window.partitionBy("_akey", "_abkt")
+            .orderBy(*scan_ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = F.last("_apay", ignorenulls=True).over(wb)
+        # Last right payload of each (key, bucket): max over the same
+        # (order, tie) the scan uses; struct comparison is field-wise so
+        # this picks exactly the row the running last would end on.
+        blast = (
+            u.filter(F.col("_side") == 0)
+            .groupBy("_akey", "_abkt")
+            .agg(
+                F.max_by(
+                    "_apay",
+                    F.struct(
+                        (F.col("_aeps") * F.lit(sign)).alias("o"),
+                        F.col("_atie").alias("t"),
+                    ),
+                ).alias("_ablast")
+            )
+        )
+        buckets = u.select("_akey", "_abkt").distinct()
+        wc = (
+            Window.partitionBy("_akey")
+            .orderBy("_abkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            buckets.join(blast, on=["_akey", "_abkt"], how="left")
+            .withColumn(
+                "_acarry", F.last("_ablast", ignorenulls=True).over(wc)
+            )
+            .select("_akey", "_abkt", "_acarry")
+        )
+        out = (
+            u.join(carry, on=["_akey", "_abkt"], how="left")
+            .withColumn("_am", F.coalesce(within, F.col("_acarry")))
+        )
+    out = out.filter(F.col("_arow").isNotNull())
     if tolerance_seconds is not None:
         out = out.withColumn(
             "_am",

@@ -101,8 +101,26 @@ def mixture_temperature_plan(
     ``temperature_weights`` with the ``mixture_plan`` rate rule (one
     extra tiny agg; both collects are domain-cardinality-sized)."""
     w = temperature_weights(df, domain_col, cost_col, tau, domains)
-    base = mixture_plan(df, domain_col, cost_col, w, budget)
-    return {d: (base[d][0], w[d], base[d][1]) for d in w}
+    # Rates computed DIRECTLY from the already-normalized w_d — routing
+    # through mixture_plan would re-normalize by sum(w)≈1.0, an extra
+    # float division whose rounding can flip a rate landing exactly on a
+    # .5 micro-rounding boundary vs the oracle's single p/z division
+    # (advice r4).
+    agg = df
+    if domains is not None:
+        agg = agg.filter(F.col(domain_col).isin(sorted(domains)))
+    else:
+        agg = agg.filter(F.col(domain_col).isin(sorted(w)))
+    rows = (
+        agg.groupBy(domain_col).agg(F.sum(cost_col).alias("total_cost")).collect()
+    )
+    totals = {r[domain_col]: int(r["total_cost"]) for r in rows}
+    out: dict[str, tuple[int, float, float]] = {}
+    for d in w:
+        total = totals.get(d, 0)
+        rate = 1.0 if total == 0 else min(1.0, budget * w[d] / total)
+        out[d] = (total, w[d], rate)
+    return out
 
 
 def mixture_temperature_sample(

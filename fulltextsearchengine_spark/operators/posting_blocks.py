@@ -45,6 +45,30 @@ DEFAULT_BLOCK_SIZE = 128
 # corpus when moving 2^16 → 2^22).
 DEFAULT_BUCKET_RANGE = 1 << 22
 
+
+def auto_bucket_range(
+    num_docs: int,
+    min_range: int = 1 << 12,
+    max_range: int = DEFAULT_BUCKET_RANGE,
+) -> int:
+    """Size ``bucket_range`` to the corpus: ``next_pow2(num_docs/512)``.
+
+    A fixed bucket_range stops skipping at scale — 2^19 leaves only 58
+    buckets at 30M docs and WAND's bucket-level pruning degraded to 0.307
+    there (verdict r4). ~512 buckets per corpus keeps bucket pruning
+    meaningful at every size while (term, bucket) group count stays
+    ≤ 512·|hot terms| (applyInPandas overhead bounded). Clamps:
+    ``min_range`` floors tiny corpora (finer than 4k docs/bucket buys
+    nothing), ``max_range`` caps per-task postings at DEFAULT_BUCKET_RANGE
+    (~100 MB pandas) for 10^9+-doc corpora — there bucket COUNT grows
+    instead, which skipping likes anyway.
+    """
+    if num_docs <= 0:
+        return min_range
+    target = max(1, num_docs // 512)
+    r = 1 << max(0, (target - 1).bit_length())
+    return min(max(r, min_range), max_range)
+
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),

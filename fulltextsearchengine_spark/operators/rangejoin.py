@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 from .sessions import _epoch_s
 
 
+_RESERVED = ("_bucket", "_p_eps", "_s_eps", "_e_eps", "_rj_pid")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -41,12 +44,20 @@ def range_join(
     bucket_seconds: float,
     keys: list[str] | None = None,
     how: str = "inner",
+    max_span_buckets: int | None = 4096,
 ) -> DataFrame:
     """points' columns + intervals' non-key columns, one output row per
     (point, containing interval). ``keys``: equality columns shared by
     both sides (e.g. user_id) — co-partition the join beyond the time
     bucket. ``how='left'`` keeps pointless points with null interval
     columns (each matched pair still appears once).
+
+    ``max_span_buckets`` guards the interval explode: one interval much
+    longer than ``bucket_seconds`` (a year at 7-s buckets) would silently
+    fan out to millions of rows. Any interval spanning more than this
+    many buckets fails the job with a clear message (``F.raise_error``
+    inside the plan — no extra Spark job to check). Pass ``None`` to
+    disable when huge spans are genuinely intended.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be > 0")
@@ -59,37 +70,63 @@ def range_join(
             f"points and intervals share non-key columns {sorted(clash)}; "
             "rename one side"
         )
+    reserved_hit = (set(points.columns) | set(intervals.columns)) & set(_RESERVED)
+    if reserved_hit:
+        raise ValueError(
+            f"input columns collide with range_join internals {sorted(reserved_hit)}; "
+            "rename them"
+        )
     bw = float(bucket_seconds)
 
     s_eps = _epoch_s(F.col(start_col))
     e_eps = _epoch_s(F.col(end_col))
+    lo = F.floor(s_eps / F.lit(bw)).cast("long")
+    hi = F.floor(e_eps / F.lit(bw)).cast("long")
+    if max_span_buckets is not None:
+        span = hi - lo + F.lit(1)
+        hi = F.when(
+            span > F.lit(int(max_span_buckets)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join: interval spans "
+                    ),
+                    span.cast("string"),
+                    F.lit(
+                        f" buckets (> max_span_buckets={int(max_span_buckets)}); "
+                        f"raise bucket_seconds (={bw}) toward the median interval "
+                        "length or pass max_span_buckets=None"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(hi)
     iv = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(s_eps / F.lit(bw)).cast("long"),
-                F.floor(e_eps / F.lit(bw)).cast("long"),
-            )
-        ),
+        "_bucket", F.explode(F.sequence(lo, hi))
     ).withColumn("_s_eps", s_eps).withColumn("_e_eps", e_eps)
 
     p_eps = _epoch_s(F.col(point_ts))
     pt = points.withColumn("_p_eps", p_eps).withColumn(
         "_bucket", F.floor(F.col("_p_eps") / F.lit(bw)).cast("long")
     )
+    if how == "left":
+        # Unique per-row id so left semantics survive NULL-bearing or
+        # duplicate point rows (an all-columns anti-join is null-unsafe:
+        # a matched row with a NULL column would be re-emitted null-padded).
+        pt = pt.withColumn("_rj_pid", F.monotonically_increasing_id())
 
     cond = (F.col("_p_eps") >= F.col("_s_eps")) & (F.col("_p_eps") <= F.col("_e_eps"))
     iv_cols = [c for c in intervals.columns if c not in keys]
     joined = pt.join(iv, on=keys + ["_bucket"], how="inner").filter(cond)
     out_cols = [F.col(c) for c in points.columns] + [F.col(c) for c in iv_cols]
-    matched = joined.select(*out_cols)
     if how == "inner":
-        return matched
-    # left: anti-join the matched point ids back — a point may match
+        return joined.select(*out_cols)
+    # left: anti-join matched point row-ids back — a point may match
     # several intervals, so an outer bucket-join would both duplicate
     # and null-pad; reconstruct left semantics explicitly.
-    pk = points.columns
-    unmatched = points.join(matched.select(*pk).distinct(), on=pk, how="left_anti")
+    matched = joined.select("_rj_pid", *out_cols)
+    unmatched = pt.join(
+        matched.select("_rj_pid").distinct(), on="_rj_pid", how="left_anti"
+    ).select(*points.columns)
     for c in iv_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.unionByName(unmatched)
+    return matched.drop("_rj_pid").unionByName(unmatched)

@@ -18,10 +18,18 @@ Semantics (deterministic):
 Plan shape at 100 TB: ONE shuffle on user_id (the window partition key),
 then two in-partition window passes (lag + running sum) and a partial
 (user, session) agg — exactly the shape Spark executes as
-Window[user_id] with no global ordering anywhere. Skew note: a single
-hyperactive user's events land in one task; if a user can exceed a
-task's memory, pre-split by (user_id, day) and stitch boundary sessions
-— not needed for human/agent-scale activity.
+Window[user_id] with no global ordering anywhere.
+
+Skew: by default a single hyperactive user's events land in one task.
+When a key can exceed task memory (a bot/system account), pass
+``split_bucket_seconds``: the window partitions by (user, coarse time
+bucket) so per-task rows are bounded by rows-per-bucket, and bucket
+boundaries are stitched through a tiny per-(user, bucket) summary table
+— a bucket whose first event is within ``gap_seconds`` of the previous
+bucket's last event continues that session (its local session 1 merges),
+and later buckets renumber by the running count of stitched sessions.
+Value-identical to the unsplit path (pytest-locked); costs one extra
+bucket-count-sized shuffle.
 """
 
 from __future__ import annotations
@@ -44,9 +52,22 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    split_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Input events + (session_idx, is_session_start) — every event
-    tagged with its user-local 1-based session number."""
+    tagged with its user-local 1-based session number.
+
+    ``split_bucket_seconds``: opt-in hot-key pre-split (module
+    docstring) — value-identical, bounds task memory by rows-per-bucket
+    instead of rows-per-key.
+    """
+    if split_bucket_seconds is not None:
+        if split_bucket_seconds <= 0:
+            raise ValueError("split_bucket_seconds must be > 0")
+        return _sessionize_split(
+            events, float(gap_seconds), user_col, ts_col, id_col,
+            float(split_bucket_seconds),
+        )
     w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
     ts_s = _epoch_s(F.col(ts_col))
     gap = ts_s - F.lag(ts_s).over(w)
@@ -61,6 +82,86 @@ def sessionize(
     )
 
 
+def _sessionize_split(
+    events: DataFrame,
+    gap_seconds: float,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    bw: float,
+) -> DataFrame:
+    """(user, time-bucket)-partitioned sessionize + boundary stitch.
+
+    Within each bucket the plain lag/running-sum pass yields local
+    session numbers. A per-(user, bucket) summary (first/last event
+    epoch, local session count) is tiny — one row per non-empty bucket —
+    so its per-user window cannot skew; it decides for each bucket
+    whether its first local session CONTINUES the previous bucket's last
+    session (boundary gap <= gap_seconds) and the cumulative offset of
+    completed sessions before it. Joined back on (user, bucket):
+    ``global_idx = offset + local_idx - continues`` and the first event
+    of a continuing bucket loses its is_session_start flag.
+    """
+    reserved = {"_sbkt", "_seps", "_sloc", "_soff", "_scont", "_sstart"}
+    clash = set(events.columns) & reserved
+    if clash:
+        raise ValueError(
+            f"input columns collide with sessionize internals {sorted(clash)}"
+        )
+    ts_s = _epoch_s(F.col(ts_col))
+    e = events.withColumn("_seps", ts_s).withColumn(
+        "_sbkt", F.floor(F.col("_seps") / F.lit(bw)).cast("long")
+    )
+    wb = Window.partitionBy(user_col, "_sbkt").orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    gap = F.col("_seps") - F.lag("_seps").over(wb)
+    local_start = F.when(
+        gap.isNull() | (gap > F.lit(gap_seconds)), F.lit(1)
+    ).otherwise(F.lit(0))
+    e = e.withColumn("_sstart", local_start).withColumn(
+        "_sloc",
+        F.sum("_sstart").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summary = e.groupBy(user_col, "_sbkt").agg(
+        F.min("_seps").alias("_first"),
+        F.max("_seps").alias("_last"),
+        F.max("_sloc").alias("_nloc"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("_sbkt")
+    cont = F.when(
+        (F.col("_first") - F.lag("_last").over(wu)) <= F.lit(gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    summary = summary.withColumn("_scont", cont).withColumn(
+        "_soff",
+        F.coalesce(
+            F.sum(F.col("_nloc") - F.col("_scont")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    out = e.join(
+        summary.select(user_col, "_sbkt", "_scont", "_soff"),
+        on=[user_col, "_sbkt"],
+        how="inner",
+    )
+    is_start = F.when(
+        (F.col("_scont") == 1) & (F.col("_sloc") == 1), F.lit(0)
+    ).otherwise(F.col("_sstart"))
+    return (
+        out.withColumn(
+            "session_idx",
+            (F.col("_soff") + F.col("_sloc") - F.col("_scont")).cast("long"),
+        )
+        .withColumn("is_session_start", is_start)
+        .select(*events.columns, "is_session_start", "session_idx")
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap_seconds: float = 1800.0,
@@ -68,10 +169,14 @@ def session_stats(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    split_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """(user_id, session_idx, start_ts, end_ts, duration_sec, n_events,
     n_event_types, sum_value_micro): one row per session."""
-    tagged = sessionize(events, gap_seconds, user_col, ts_col, id_col)
+    tagged = sessionize(
+        events, gap_seconds, user_col, ts_col, id_col,
+        split_bucket_seconds=split_bucket_seconds,
+    )
     return tagged.groupBy(user_col, "session_idx").agg(
         F.min(ts_col).alias("start_ts"),
         F.max(ts_col).alias("end_ts"),

@@ -53,18 +53,39 @@ class TimeSlicedIndex:
 
     @classmethod
     def build(
-        cls, index: InvertedIndex, path: str, granularity: str = "day"
+        cls,
+        index: InvertedIndex,
+        path: str,
+        granularity: str = "day",
+        files_per_slice: int = 1,
     ) -> "TimeSlicedIndex":
         """One postings⋈docs pass to denormalize ts, one partitioned
         write. The slice column is DERIVED (hidden-partitioning style):
-        queries never mention it — searcher_for_range injects it."""
+        queries never mention it — searcher_for_range injects it.
+
+        The write repartitions on (slice[, term-hash]) first: a dynamic
+        partitionBy straight off a term-partitioned shuffle has EVERY
+        task opening a writer for EVERY slice (tasks × slices file
+        handles, small-file spray) — measured 4× slower than the
+        clustered write at sf0.1 (the r4 timeslice_build regression).
+        ``files_per_slice`` > 1 splits a slice across that many tasks by
+        term hash for corpora where one slice exceeds a task; rows stay
+        sorted (slice, term, doc_id) so term predicates prune at the
+        row-group level."""
         sliced = (
             index.postings.join(index.docs.select("doc_id", "ts"), "doc_id")
             .withColumn("slice", slice_col(F.col("ts"), granularity))
             .select("term", "doc_id", "tf", "doc_len", "ts", "slice")
         )
-        sliced.write.partitionBy("slice").mode("overwrite").parquet(
-            f"{path}/postings_by_slice"
+        parts = [F.col("slice")]
+        if files_per_slice > 1:
+            parts.append(F.pmod(F.hash("term"), F.lit(int(files_per_slice))))
+        (
+            sliced.repartition(*parts)
+            .sortWithinPartitions("slice", "term", "doc_id")
+            .write.partitionBy("slice")
+            .mode("overwrite")
+            .parquet(f"{path}/postings_by_slice")
         )
         index.terms.write.mode("overwrite").parquet(f"{path}/terms")
         index.stats.write.mode("overwrite").parquet(f"{path}/stats")

@@ -146,7 +146,7 @@ def build_index_checkpointed(
     transcripts: DataFrame,
     index_path: str,
     block_size: int = 128,
-    bucket_range: int = 1 << 16,
+    bucket_range: int | None = None,
 ):
     """The full staged build: docs → postings → terms → stats → blocks,
     each stage persisted + lineage-tracked + resumable. Returns
@@ -226,6 +226,12 @@ def build_index_checkpointed(
 
     st = stats.collect()[0].asDict()
     avgdl = st["total_tokens"] / st["num_docs"] if st["num_docs"] else 1.0
+    if bucket_range is None:
+        # corpus-sized bucketing (verdict r4 #4): ~512 buckets keeps
+        # WAND's bucket pruning effective at any corpus size
+        from ..operators.posting_blocks import auto_bucket_range
+
+        bucket_range = auto_bucket_range(int(st["num_docs"]))
     blocks = runner.stage(
         "blocks",
         lambda s: build_posting_blocks(

@@ -20,15 +20,23 @@ and sorted by (term, bucket) so term predicates prune at the row-group
 level, and queries READ BACK from disk — exactly what a 1000-executor
 deployment does. Nothing corpus-sized is ever pinned in executor or
 driver memory (`.cache()` of a 7M-row block table is what killed run 1).
-bucket_range is 2^19 here: at 30M docs that is 58 buckets — hot-term
-build tasks capped at 512k postings (~13 MB pandas) while the
-(term, bucket) group count stays ~10^6, not 10^7 (applyInPandas pays
-~0.2 ms per group; see posting_blocks.py DEFAULT_BUCKET_RANGE note).
+bucket_range is auto-sized to the corpus (posting_blocks.
+auto_bucket_range ≈ next_pow2(num_docs/512), verdict r4 #4): the r4 run
+fixed it at 2^19, which left only 58 buckets at 30M docs and measured
+bucket-skip degrading to 0.307 with 5.44 s/query; ~512 buckets keeps
+bucket-level pruning scale-invariant. Override with argv[3].
+
+Warm serving at 100× (verdict r4 #7): besides the cold two-job WAND
+path, this also measures the serving-tier shapes at the big corpus —
+the warm ``WandSearcher`` (per-term metadata cached, ONE Spark job per
+query) and the driver-side ``ShardedBM25`` router (4 doc-range shards,
+ms-scale, zero jobs once warm) — so the ms-scale serving story has a
+30M-doc datapoint, not just 300k.
 
 Skew is read from Spark's own REST API (/api/v1/.../taskSummary), not
 hand-instrumented timers, so the number is the scheduler's view.
 
-Usage: python scripts/scale_proof.py [n_turns] [cpus]
+Usage: python scripts/scale_proof.py [n_turns] [cpus] [bucket_range]
 Prints one JSON line; paste the table into BENCH/BASELINE.md.
 """
 
@@ -43,7 +51,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SCALE_BUCKET_RANGE = 1 << 19
 
 
 def _get(url: str):
@@ -80,6 +87,7 @@ def stage_skew(ui_port: int) -> dict:
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    bucket_override = int(sys.argv[3]) if len(sys.argv) > 3 else None
     ui_port = 4049
 
     import bench
@@ -88,6 +96,7 @@ def main() -> None:
         load_index,
     )
     from fulltextsearchengine_spark.operators.posting_blocks import (
+        auto_bucket_range,
         build_doc_len_slabs,
         build_posting_blocks,
     )
@@ -126,7 +135,7 @@ def main() -> None:
     avgdl = st["total_tokens"] / st["num_docs"]
 
     # Serving sidecar build: blocks + slabs → (term,bucket)-sorted parquet.
-    bucket_range = SCALE_BUCKET_RANGE
+    bucket_range = bucket_override or auto_bucket_range(st["num_docs"])
     blocks_dir = workdir / "wand_blocks"
     slabs_dir = workdir / "wand_slabs"
     t0 = time.perf_counter()
@@ -175,6 +184,48 @@ def main() -> None:
         wand_stats.append(s)
     wand_sec = round(time.perf_counter() - t0, 2)
 
+    # Warm serving at 100× (verdict r4 #7) — the two serving-tier shapes.
+    # (a) WandSearcher: per-term metadata cached after first touch; each
+    # warm query is exactly ONE Spark job over the surviving buckets.
+    from fulltextsearchengine_spark.operators.wand import WandSearcher
+
+    wsearch = WandSearcher(
+        blocks, slabs,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        bucket_range=bucket_range,
+    )
+    for qq in queries:
+        wsearch.search(qq, 10)  # cold fill
+    t0 = time.perf_counter()
+    warm_reps = 3
+    for _ in range(warm_reps):
+        for qq in queries:
+            wsearch.search(qq, 10)
+    wand_warm_sec = round(time.perf_counter() - t0, 2)
+
+    # (b) ShardedBM25: 4 doc-range shards of driver-decoded blocks — the
+    # zero-job ms-scale router. term_df for the 15 query terms only.
+    from fulltextsearchengine_spark.operators.sharding import ShardedBM25
+
+    qterms = sorted({t_ for qq in queries for t_ in qq})
+    term_df = {
+        r["term"]: r["df"]
+        for r in idx.terms.filter(F.col("term").isin(qterms)).collect()
+    }
+    sharded = ShardedBM25(
+        blocks, slabs,
+        n_docs=st["num_docs"], total_tokens=st["total_tokens"],
+        term_df=term_df, bucket_range=bucket_range, n_shards=4,
+    )
+    for qq in queries:
+        sharded.search(qq, 10)  # warm each shard's per-term block cache
+    t0 = time.perf_counter()
+    sharded_reps = 5
+    for _ in range(sharded_reps):
+        for qq in queries:
+            sharded.search(qq, 10)
+    sharded_sec = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "scale_proof_build_wall",
         "value": build_sec,
@@ -191,6 +242,13 @@ def main() -> None:
         "bucket_range": bucket_range,
         "wand_5q_sec": wand_sec,
         "wand_sec_per_query": round(wand_sec / len(queries), 2),
+        "wand_warm_ms_per_query": round(
+            wand_warm_sec / (warm_reps * len(queries)) * 1000, 1
+        ),
+        "sharded_warm_ms_per_query": round(
+            sharded_sec / (sharded_reps * len(queries)) * 1000, 2
+        ),
+        "sharded_n_shards": 4,
         "wand_block_skip_rate": round(
             sum(s["blocks_in_pruned_buckets"] + s["blocks_chunk_skipped"] for s in wand_stats)
             / max(sum(s["blocks_total"] for s in wand_stats), 1), 4

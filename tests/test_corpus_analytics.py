@@ -7,6 +7,7 @@ import datetime as dt
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -146,6 +147,72 @@ def test_sessionize_matches_brute(spark):
         5: (1, 1), 6: (1, 1),  # boundary gap does NOT split
         7: (2, 1), 8: (2, 1),
     }
+
+
+def test_sessionize_split_stitches_boundaries(spark):
+    """Crafted boundary cases for the (user, bucket) pre-split: sessions
+    spanning bucket edges must merge, sessions ending at an edge must
+    not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 0: session crosses a 3600s bucket edge (gap 100 <= 600)
+        (1, base + dt.timedelta(seconds=3550), 0, "a", 1.0, None),
+        (2, base + dt.timedelta(seconds=3650), 0, "a", 1.0, None),
+        # ...and a separate later session in bucket 2
+        (3, base + dt.timedelta(seconds=8000), 0, "a", 1.0, None),
+        # user 1: two sessions entirely inside one bucket, then a
+        # continuing one across the edge — offsets must accumulate
+        (4, base + dt.timedelta(seconds=100), 1, "a", 1.0, None),
+        (5, base + dt.timedelta(seconds=1000), 1, "a", 1.0, None),
+        (6, base + dt.timedelta(seconds=3599), 1, "a", 1.0, None),
+        (7, base + dt.timedelta(seconds=3700), 1, "a", 1.0, None),
+        # user 2: empty middle bucket — gap spans 2 buckets but <= gap_s
+        # is impossible here; use gap > threshold → new session
+        (8, base, 2, "a", 1.0, None),
+        (9, base + dt.timedelta(seconds=7300), 2, "a", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    plain = sessionize(df, gap_seconds=600)
+    split = sessionize(df, gap_seconds=600, split_bucket_seconds=3600.0)
+    key = lambda r: (r["event_id"], r["user_id"], r["session_idx"], r["is_session_start"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, split.collect()))
+    got = {r["event_id"]: r["session_idx"] for r in split.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2, 6: 3, 7: 3, 8: 1, 9: 2}
+
+
+def test_sessionize_split_hot_key_parity(spark):
+    """Verdict r4 #5 family: a hot key with 10^5 events — split path is
+    value-identical to the unsplit window."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_hot, n_cold = 100_000, 20_000
+    base = 1_700_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + n_cold),
+            "user_id": np.concatenate(
+                [np.zeros(n_hot, dtype=np.int64), rng.randint(1, 40, n_cold)]
+            ),
+            "eps": base + rng.randint(0, 10 * 86400, n_hot + n_cold),
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_seconds("eps"))
+        .drop("eps")
+    )
+    plain = sessionize(df, gap_seconds=120.0)
+    split = sessionize(df, gap_seconds=120.0, split_bucket_seconds=3600.0)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+    with pytest.raises(ValueError):
+        sessionize(df, gap_seconds=120.0, split_bucket_seconds=0.0)
 
 
 def test_session_stats(spark):

@@ -471,3 +471,24 @@ def test_wand_weighted_matches_df_scorer(ctx):
         bm25_topk_wand(blocks, slabs, q, 10, weights={"zzz": 2.0}, **kw)
     with pytest.raises(ValueError, match="> 0"):
         bm25_topk_wand(blocks, slabs, q, 10, weights={q[0]: 0.0}, **kw)
+
+
+def test_auto_bucket_range_sizes_to_corpus():
+    """Verdict r4 #4: ~512 buckets at every corpus size, power-of-two,
+    clamped to [2^12, 2^22]."""
+    from fulltextsearchengine_spark.operators.posting_blocks import (
+        DEFAULT_BUCKET_RANGE,
+        auto_bucket_range,
+    )
+
+    assert auto_bucket_range(0) == 1 << 12
+    assert auto_bucket_range(300_000) == 1 << 12        # floor clamp
+    assert auto_bucket_range(30_000_000) == 1 << 16     # 458 buckets
+    assert auto_bucket_range(1 << 31) == 1 << 22        # exactly docs/512
+    assert auto_bucket_range(10**12) == DEFAULT_BUCKET_RANGE  # ceiling clamp
+    for n in (1, 10_000, 123_456_789, 10**10):
+        r = auto_bucket_range(n)
+        assert r & (r - 1) == 0  # power of two
+        assert (1 << 12) <= r <= DEFAULT_BUCKET_RANGE
+        if (1 << 12) < r < DEFAULT_BUCKET_RANGE:
+            assert n / r <= 512 < 2 * n / r  # next_pow2 tightness

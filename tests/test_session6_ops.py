@@ -109,6 +109,86 @@ def test_asof_validates(spark, asof_frames):
         asof_join(left, right, on="user_id", right_cols=["tag"], right_id="nope")
     with pytest.raises(ValueError):
         asof_join(left, right, on="user_id", tolerance_seconds=-1.0)
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", split_bucket_seconds=0.0)
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left.withColumn("_am", F.lit(1)), right, on="user_id")
+
+
+def test_asof_bigint_tie_break_exact(spark):
+    """ADVICE r4: long ids > 2^53 must keep exact integer tie-breaks —
+    a double cast would make 2^60 and 2^60+1 compare equal."""
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    big = 1 << 60
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:30:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (big + 1, 10, _ts("2024-01-01 00:30:00"), "hi"),
+            (big, 10, _ts("2024-01-01 00:30:00"), "lo"),
+        ],
+        "ref_id long, user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id", "tag"], right_id="ref_id"
+    ).collect()
+    assert out[0]["ref_id_r"] == big + 1 and out[0]["tag_r"] == "hi"
+
+
+@pytest.mark.parametrize(
+    "direction,n_hot", [("backward", 1_000_000), ("forward", 100_000)]
+)
+def test_asof_hot_key_presplit_value_identical(spark, direction, n_hot):
+    """Verdict r4 #5: one Zipf-hot key (~10^6 events) among normal keys —
+    the (key, coarse-time-bucket) pre-split with boundary stitch must be
+    value-identical to the unsplit window path. (Forward direction runs
+    at 100k to bound suite time; the plan is direction-symmetric.)"""
+    import numpy as np
+
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    n_cold_keys, n_cold = 50, 20_000
+    base = 1_700_000_000
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + n_cold),
+            "user_id": np.concatenate(
+                [np.zeros(n_hot, dtype=np.int64),
+                 rng.randint(1, n_cold_keys + 1, n_cold)]
+            ),
+            "eps": base + rng.randint(0, 30 * 86400, n_hot + n_cold),
+        }
+    )
+    n_right = 40_000
+    rt = pd.DataFrame(
+        {
+            "ref_id": np.arange(n_right),
+            "user_id": np.concatenate(
+                [np.zeros(n_right // 2, dtype=np.int64),
+                 rng.randint(1, n_cold_keys + 1, n_right - n_right // 2)]
+            ),
+            "eps": base + rng.randint(0, 30 * 86400, n_right),
+        }
+    )
+    left = spark.createDataFrame(lt).withColumn(
+        "ts", F.timestamp_seconds("eps")
+    ).drop("eps")
+    right = spark.createDataFrame(rt).withColumn(
+        "ts", F.timestamp_seconds("eps")
+    ).drop("eps")
+
+    kw = dict(
+        on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        direction=direction, tolerance_seconds=7 * 86400.0,
+    )
+    plain = asof_join(left, right, **kw)
+    split = asof_join(left, right, split_bucket_seconds=86400.0, **kw)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
 
 
 # -------------------------------------------------------------- funnel
@@ -187,6 +267,75 @@ def test_funnel_validates(spark, sf001_events):
         funnel_report(sf001_events, [])
     with pytest.raises(ValueError):
         funnel_report(sf001_events, ["view", "view"])
+    with pytest.raises(ValueError):
+        funnel_report(sf001_events, ["view"], split_bucket_seconds=-1.0)
+
+
+def test_funnel_split_bucket_edges(spark):
+    """Crafted stitch cases: a step resolving in a later bucket, a step
+    type present too early (before its predecessor), equal-ts events."""
+    rows = [
+        # u1: view in bucket 0, click in bucket 1, buy in bucket 3 — all 3
+        (1, "view", _ts("2024-01-01 00:10:00")),
+        (1, "click", _ts("2024-01-01 01:10:00")),
+        (1, "buy", _ts("2024-01-01 03:10:00")),
+        # u2: click BEFORE view (earlier bucket) — click must not count;
+        # a later click (same bucket as nothing else) completes step 2
+        (2, "click", _ts("2024-01-01 00:05:00")),
+        (2, "view", _ts("2024-01-01 01:05:00")),
+        (2, "click", _ts("2024-01-01 02:05:00")),
+        # u3: view and click at the SAME timestamp (>= counts both)
+        (3, "view", _ts("2024-01-01 00:30:00")),
+        (3, "click", _ts("2024-01-01 00:30:00")),
+        # u4: only non-step events → steps_completed 0
+        (4, "scroll", _ts("2024-01-01 00:01:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    kw = dict(steps=["view", "click", "buy"])
+    plain = funnel_report(df, **kw)
+    split = funnel_report(df, split_bucket_seconds=3600.0, **kw)
+    key = lambda r: tuple(r[c] for c in plain.columns)
+    assert sorted(map(key, plain.collect())) == sorted(map(key, split.collect()))
+    got = {r["user_id"]: r["steps_completed"] for r in split.collect()}
+    assert got == {1: 3, 2: 2, 3: 2, 4: 0}
+
+
+def test_funnel_split_hot_key_parity(spark, sf001_events):
+    """Value identity on the sf0.001 events table plus a 10^5-event hot
+    user appended — verdict r4 #5 family."""
+    import numpy as np
+
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    rng = np.random.RandomState(3)
+    n = 100_000
+    hot = pd.DataFrame(
+        {
+            "event_id": 10_000_000 + np.arange(n),
+            "ts": pd.to_datetime(
+                1_700_000_000 + rng.randint(0, 5 * 86400, n), unit="s"
+            ),
+            "user_id": 999_999,
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "scroll"], n
+            ),
+            "value": 1.0,
+            "props": None,
+        }
+    )
+    df = sf001_events.unionByName(
+        spark.createDataFrame(hot, schema=sf001_events.schema),
+        allowMissingColumns=True,
+    )
+    kw = dict(steps=["view", "click", "purchase"])
+    plain = funnel_report(df, **kw)
+    split = funnel_report(df, split_bucket_seconds=3600.0, **kw)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
 
 
 # ----------------------------------------------------------- rangejoin
@@ -269,6 +418,68 @@ def test_range_join_validates(spark, sf001_events):
         range_join(sf001_events, sf001_events, "ts", "ts", "ts", 0.0)
     with pytest.raises(ValueError):
         range_join(sf001_events, sf001_events, "ts", "ts", "ts", 1.0, how="full")
+    with pytest.raises(ValueError, match="internals"):
+        range_join(
+            sf001_events.select("event_id", "user_id", "ts").withColumn(
+                "_bucket", F.lit(1)
+            ),
+            sf001_events.select("user_id", "start_ts", "end_ts")
+            if "start_ts" in sf001_events.columns
+            else sf001_events.selectExpr(
+                "user_id", "ts AS start_ts", "ts AS end_ts"
+            ),
+            "ts", "start_ts", "end_ts", 1.0, keys=["user_id"],
+        )
+
+
+def test_range_join_left_with_null_point_columns(spark):
+    """ADVICE r4: a matched point row carrying a NULL column must not be
+    re-emitted null-padded by the left reconstruction (the old anti-join
+    on all columns was null-unsafe). Also duplicate point rows must each
+    keep exactly their own match multiplicity."""
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-01 00:05:00")),  # matched, NULL payload
+            (2, "x", _ts("2024-01-01 02:00:00")),   # unmatched
+            (3, "y", _ts("2024-01-01 00:06:00")),   # matched
+            (3, "y", _ts("2024-01-01 00:06:00")),   # duplicate matched row
+            (4, None, _ts("2024-01-01 03:00:00")),  # unmatched, NULL payload
+        ],
+        "event_id long, payload string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00"))],
+        "session_idx long, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(pts, iv, "ts", "start_ts", "end_ts", 60.0, how="left")
+    rows = sorted(
+        (r["event_id"], r["session_idx"]) for r in out.collect()
+    )
+    assert rows == [(1, 7), (2, None), (3, 7), (3, 7), (4, None)]
+
+
+def test_range_join_fanout_guard(spark):
+    """A year-long interval at 7-s buckets must fail loudly, not explode
+    to millions of rows; max_span_buckets=None restores the old behavior."""
+    from pyspark.errors import PySparkRuntimeError
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-06-01 00:00:00"))], "event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(9, _ts("2024-01-01 00:00:00"), _ts("2024-12-31 00:00:00"))],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    guarded = range_join(pts, iv, "ts", "start_ts", "end_ts", 7.0)
+    with pytest.raises(Exception, match="max_span_buckets"):
+        guarded.collect()
+    ok = range_join(
+        pts, iv, "ts", "start_ts", "end_ts", 7.0, max_span_buckets=None
+    )
+    assert [r["iv_id"] for r in ok.collect()] == [9]
 
 
 # ------------------------------------------------------- heavy hitters
