@@ -3660,6 +3660,58 @@ def _q_funnel(spark, sf_dir):
     return funnel_report(ev, FUNNEL_STEPS)
 
 
+# Hot-key pre-split variants (r5): same queries through the
+# (key, coarse-time-bucket) bucketed-window path — the driver verifies
+# them against the SAME oracles as the unsplit gates, i.e. the stitch's
+# value-identity claim is itself gate-checked, not just pytest-checked.
+PRESPLIT_BUCKET_S = 6 * 3600.0
+
+
+def _q_asof_presplit(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id"], right_id="ref_id",
+        split_bucket_seconds=PRESPLIT_BUCKET_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ref_id_r").alias("signup_event_id"),
+        F.round(F.col("asof_lag_sec") * 1e6).cast("long").alias("lag_micro"),
+    )
+
+
+def _q_sessionize_presplit(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(
+        ev, gap_seconds=SESSION_GAP_S, split_bucket_seconds=PRESPLIT_BUCKET_S
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "duration_sec",
+        "n_events",
+        "n_event_types",
+        "sum_value_micro",
+    )
+
+
+def _q_funnel_presplit(spark, sf_dir):
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_report(
+        ev, FUNNEL_STEPS, split_bucket_seconds=PRESPLIT_BUCKET_S
+    )
+
+
 def _q_range_join(spark, sf_dir):
     from fulltextsearchengine_spark.operators.rangejoin import range_join
     from fulltextsearchengine_spark.operators.sessions import session_stats
@@ -3857,6 +3909,11 @@ _CORE_GATES = [
 # prior-round red row whose fix must show up green in CORRECTNESS_r{N}).
 _PRIORITY_GATES = [
     "ftse_hits_histogram",  # r4's only red row — oracle HUGEINT cast fixed r5
+    # r5 hot-key pre-split paths: driver-verify value identity vs the
+    # unsplit oracles this round
+    "events_asof_presplit",
+    "events_sessionize_presplit",
+    "events_funnel_presplit",
 ]
 
 
@@ -4040,6 +4097,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _q_mixture_temperature,
         "events_retention": _q_retention,
         "events_asof_forward": _q_asof_forward,
+        "events_asof_presplit": _q_asof_presplit,
+        "events_sessionize_presplit": _q_sessionize_presplit,
+        "events_funnel_presplit": _q_funnel_presplit,
         "ftse_query_clarity": _q_query_clarity,
         "corpus_law_fit": _q_corpus_law,
         "emb_kmeans": _q_kmeans,
@@ -5813,6 +5873,11 @@ WHERE t.cf >= {HH_PHI!r} * g.total_tokens
         "mixture_temperature": _mix_temperature_sql(MIX_TAU, MIX_BUDGET),
         "events_retention": _RETENTION_SQL,
         "events_asof_forward": _ASOF_FWD_SQL,
+        # pre-split variants: SAME oracles as the unsplit gates — the
+        # bucketed-window stitch must be value-identical by construction
+        "events_asof_presplit": _ASOF_SQL,
+        "events_sessionize_presplit": _sessionize_sql(SESSION_GAP_S),
+        "events_funnel_presplit": _events_funnel_sql(FUNNEL_STEPS),
         "ftse_query_clarity": _clarity_sql(GRADED_QUERIES, CLARITY_FB),
         "corpus_law_fit": _corpus_law_sql(LAW_TOP_R, LAW_POINTS),
         "emb_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),

@@ -94,14 +94,33 @@ def build_posting_blocks(
     bucket_range: int = DEFAULT_BUCKET_RANGE,
     k1: float = 1.2,
     b: float = 0.75,
+    group_range: int | None = None,
 ) -> DataFrame:
     """postings(term, doc_id, tf, doc_len) → compressed block table.
 
-    One shuffle on (term, bucket); numpy codec work runs Arrow-batched in
+    One shuffle on (term, group); numpy codec work runs Arrow-batched in
     ``applyInPandas``. blocks_per_bucket block_ids keep (bucket, local)
     ordering globally doc_id-ascending per term.
+
+    GROUPING granularity and BUCKET granularity are independent knobs
+    (r5): the shuffle groups on ``(term, (doc_id-1)//group_range)`` —
+    group_range defaults to max(bucket_range, DEFAULT_BUCKET_RANGE), so
+    per-task postings stay capped at ~4M (hot-term skew bound) and the
+    applyInPandas group count stays low (the 0.2 ms/group overhead made
+    a docs/512 grouping 10× slower at 1M docs). Inside a group, blocks
+    are cut per ``bucket_range`` sub-range — the fine granularity WAND's
+    bucket pruning wants (auto_bucket_range ≈ docs/512) — by numpy
+    boundary splits, costing no extra groups. Output is byte-identical
+    to grouping directly on (term, bucket).
     """
     blocks_per_bucket = -(-bucket_range // block_size)
+    if group_range is None:
+        group_range = max(bucket_range, DEFAULT_BUCKET_RANGE)
+    if group_range % bucket_range != 0:
+        raise ValueError(
+            f"group_range {group_range} must be a multiple of "
+            f"bucket_range {bucket_range} so buckets nest in groups"
+        )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -110,38 +129,45 @@ def build_posting_blocks(
         lens = pdf["doc_len"].to_numpy(np.float64)
         impact = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
         term = pdf["term"].iat[0]
-        bucket = int((doc_ids[0] - 1) // bucket_range)
+        buckets = (doc_ids - 1) // bucket_range
+        # consecutive-run boundaries: one slice per bucket in this group
+        cuts = np.flatnonzero(np.diff(buckets)) + 1
         out = []
-        for s in range(0, len(doc_ids), block_size):
-            e = min(s + block_size, len(doc_ids))
-            ids = doc_ids[s:e]
-            # gaps relative to first_doc_id-1 (first gap = 1): every
-            # encoded value ≤ bucket_range, fits uint32 even when absolute
-            # docIDs are 10^12-scale; absolute base is the first_doc_id col.
-            gaps = gaps_encode(ids, prev=int(ids[0]) - 1)
-            g_ctrl, g_data = svb_encode(gaps)
-            t_ctrl, t_data = tf_encode(tfs[s:e])
-            out.append(
-                (
-                    term,
-                    bucket,
-                    bucket * blocks_per_bucket + s // block_size,
-                    e - s,
-                    int(ids[0]),
-                    int(ids[-1]),
-                    int(tfs[s:e].max()),
-                    float(impact[s:e].max()),
-                    bytes(g_ctrl),
-                    bytes(g_data),
-                    bytes(t_ctrl),
-                    bytes(t_data),
+        for lo, hi in zip(
+            np.concatenate(([0], cuts)), np.concatenate((cuts, [len(doc_ids)]))
+        ):
+            bucket = int(buckets[lo])
+            for s in range(int(lo), int(hi), block_size):
+                e = min(s + block_size, int(hi))
+                ids = doc_ids[s:e]
+                # gaps relative to first_doc_id-1 (first gap = 1): every
+                # encoded value ≤ bucket_range, fits uint32 even when
+                # absolute docIDs are 10^12-scale; absolute base is the
+                # first_doc_id col.
+                gaps = gaps_encode(ids, prev=int(ids[0]) - 1)
+                g_ctrl, g_data = svb_encode(gaps)
+                t_ctrl, t_data = tf_encode(tfs[s:e])
+                out.append(
+                    (
+                        term,
+                        bucket,
+                        bucket * blocks_per_bucket + (s - int(lo)) // block_size,
+                        e - s,
+                        int(ids[0]),
+                        int(ids[-1]),
+                        int(tfs[s:e].max()),
+                        float(impact[s:e].max()),
+                        bytes(g_ctrl),
+                        bytes(g_data),
+                        bytes(t_ctrl),
+                        bytes(t_data),
+                    )
                 )
-            )
         return pd.DataFrame(out, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     grouped = postings.withColumn(
-        "bucket", ((F.col("doc_id") - 1) / F.lit(bucket_range)).cast("long")
-    ).groupBy("term", "bucket")
+        "_grp", ((F.col("doc_id") - 1) / F.lit(group_range)).cast("long")
+    ).groupBy("term", "_grp")
     return grouped.applyInPandas(encode_group, schema=BLOCK_SCHEMA)
 
 

@@ -912,6 +912,40 @@ def main() -> None:
          "!BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython"],
     ))
 
+    # Round-5: hot-key pre-split variants (verdict r4 #5). The windows
+    # must partition on (key, bucket) — visible as the extra partition
+    # column — and the stitch must stay equi-join shaped: no nested-loop
+    # join anywhere, and the only Python is funnel's bucket-count-sized
+    # applyInPandas fold (FlatMapGroupsInPandas), never row-at-a-time
+    # BatchEvalPython.
+    p = grab_plan(asof_join(
+        left, right, on="user_id", right_cols=["ref_id"],
+        split_bucket_seconds=86400.0,
+    ))
+    sections.append((
+        "As-of join, hot-key pre-split (bucketed windows + carry join)", p,
+        ["Window", "_abkt", "!BroadcastNestedLoopJoin", "!CartesianProduct",
+         "!BatchEvalPython"],
+    ))
+
+    from fulltextsearchengine_spark.operators.sessions import sessionize
+
+    p = grab_plan(sessionize(ev, gap_seconds=1800.0, split_bucket_seconds=86400.0))
+    sections.append((
+        "Sessionize, hot-key pre-split (bucketed windows + summary stitch)", p,
+        ["Window", "_sbkt", "!BroadcastNestedLoopJoin", "!CartesianProduct",
+         "!BatchEvalPython"],
+    ))
+
+    p = grab_plan(funnel_report(
+        ev, ["view", "click", "purchase"], split_bucket_seconds=86400.0
+    ))
+    sections.append((
+        "Funnel, hot-key pre-split (entry-level cascades + pandas fold)", p,
+        ["Window", "_fbkt", "FlatMapGroupsInPandas", "!BroadcastNestedLoopJoin",
+         "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths", ""]
     failures = []
     for title, plan, must in sections:
