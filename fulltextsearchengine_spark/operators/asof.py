@@ -44,7 +44,7 @@ from .sessions import _epoch_s
 
 _RESERVED = (
     "_akey", "_aeps", "_side", "_atie", "_apay", "_arow", "_am",
-    "_abkt", "_ablast", "_acarry", "asof_lag_sec",
+    "_abkt", "_ablast", "_acarry", "_ack", "_acb", "asof_lag_sec",
 )
 
 
@@ -53,13 +53,14 @@ def _tie_cast_type(dtype: str) -> str:
 
     Integral ids stay bigint — casting a long id > 2^53 to double loses
     precision and can flip equal-timestamp tie-breaks vs an exact
-    integer ORDER BY (advice r4). Floats/decimals compare as double,
-    strings lexicographically; anything else (timestamp, date, bool)
-    keeps its own orderable type.
+    integer ORDER BY (advice r4). Decimals keep their own exact type for
+    the same reason (decimal(38,0) ids > 2^53 are exact, double is not).
+    Floats compare as double, strings lexicographically; anything else
+    (timestamp, date, bool) keeps its own orderable type.
     """
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         return "bigint"
-    if dtype in ("float", "double") or dtype.startswith("decimal"):
+    if dtype in ("float", "double"):
         return "double"
     if dtype == "string":
         return "string"
@@ -195,15 +196,35 @@ def asof_join(
             .orderBy("_abkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # Null-safe joins: Window.partitionBy treats NULL _akey (and a
+        # NULL _abkt from a NULL timestamp) as an ordinary group, so the
+        # unsplit path matches across them; plain equi-joins would lose
+        # the carry-in for those groups and diverge. eqNullSafe keys stay
+        # hash/sort-merge joinable.
+        blast_r = blast.withColumnRenamed("_akey", "_ack").withColumnRenamed(
+            "_abkt", "_acb"
+        )
         carry = (
-            buckets.join(blast, on=["_akey", "_abkt"], how="left")
+            buckets.join(
+                blast_r,
+                F.col("_akey").eqNullSafe(F.col("_ack"))
+                & F.col("_abkt").eqNullSafe(F.col("_acb")),
+                how="left",
+            )
             .withColumn(
                 "_acarry", F.last("_ablast", ignorenulls=True).over(wc)
             )
             .select("_akey", "_abkt", "_acarry")
+            .withColumnRenamed("_akey", "_ack")
+            .withColumnRenamed("_abkt", "_acb")
         )
         out = (
-            u.join(carry, on=["_akey", "_abkt"], how="left")
+            u.join(
+                carry,
+                F.col("_akey").eqNullSafe(F.col("_ack"))
+                & F.col("_abkt").eqNullSafe(F.col("_acb")),
+                how="left",
+            )
             .withColumn("_am", F.coalesce(within, F.col("_acarry")))
         )
     out = out.filter(F.col("_arow").isNotNull())

@@ -185,9 +185,15 @@ def _funnel_split(
         )
 
     folded = summary.groupBy(user_col).applyInPandas(fold, schema=fold_schema)
-    # users with zero step-type events still appear (steps_completed 0)
+    # users with zero step-type events still appear (steps_completed 0).
+    # eqNullSafe: the unsplit path's groupBy keeps a NULL user as an
+    # ordinary group, so the join back must match it too (a plain
+    # equi-join would report that user as steps_completed=0).
     all_users = events.select(F.col(user_col)).distinct()
-    out = all_users.join(folded, on=user_col, how="left")
+    folded_r = folded.withColumnRenamed(user_col, "_fuser")
+    out = all_users.join(
+        folded_r, F.col(user_col).eqNullSafe(F.col("_fuser")), how="left"
+    )
     completed = sum(
         F.when(F.col(f"_t{j}").isNotNull(), 1).otherwise(0) for j in range(k)
     )

@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 from .sampling import stratified_sample
 
 
+def _domain_totals(
+    df: DataFrame,
+    domain_col: str,
+    cost_col: str,
+    restrict_to: list[str] | None,
+) -> dict[str, int]:
+    """domain → Σ cost as exact ints: ONE map-side-combining groupBy
+    over the domain cardinality, collected driver-side. Shared by every
+    planner here so each plan call scans the corpus exactly once."""
+    agg = df
+    if restrict_to is not None:
+        agg = agg.filter(F.col(domain_col).isin(sorted(restrict_to)))
+    rows = agg.groupBy(domain_col).agg(F.sum(cost_col).alias("total_cost")).collect()
+    return {r[domain_col]: int(r["total_cost"]) for r in rows}
+
+
 def mixture_plan(
     df: DataFrame,
     domain_col: str,
@@ -40,13 +56,7 @@ def mixture_plan(
     sumw = float(sum(weights.values()))
     if sumw <= 0:
         raise ValueError("weights must sum to > 0")
-    rows = (
-        df.filter(F.col(domain_col).isin(sorted(weights)))
-        .groupBy(domain_col)
-        .agg(F.sum(cost_col).alias("total_cost"))
-        .collect()
-    )
-    totals = {r[domain_col]: int(r["total_cost"]) for r in rows}
+    totals = _domain_totals(df, domain_col, cost_col, sorted(weights))
     plan: dict[str, tuple[int, float]] = {}
     for d in sorted(weights):
         total = totals.get(d, 0)
@@ -75,11 +85,15 @@ def temperature_weights(
     seen, empty-cost domains get weight 0)."""
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
-    agg = df
-    if domains is not None:
-        agg = agg.filter(F.col(domain_col).isin(sorted(domains)))
-    rows = agg.groupBy(domain_col).agg(F.sum(cost_col).alias("total_cost")).collect()
-    totals = {r[domain_col]: int(r["total_cost"]) for r in rows}
+    totals = _domain_totals(df, domain_col, cost_col, domains)
+    return _temperature_weights_from_totals(totals, tau, domains)
+
+
+def _temperature_weights_from_totals(
+    totals: dict[str, int],
+    tau: float,
+    domains: list[str] | None,
+) -> dict[str, float]:
     universe = sorted(domains) if domains is not None else sorted(totals)
     powered = {d: float(totals.get(d, 0)) ** tau if totals.get(d, 0) else 0.0 for d in universe}
     z = sum(powered.values())
@@ -98,23 +112,17 @@ def mixture_temperature_plan(
 ) -> dict[str, tuple[int, float, float]]:
     """domain → (total_cost, weight, keep_rate) under temperature-τ
     weights: rate_d = min(1, budget·w_d / total_cost_d). Composes
-    ``temperature_weights`` with the ``mixture_plan`` rate rule (one
-    extra tiny agg; both collects are domain-cardinality-sized)."""
-    w = temperature_weights(df, domain_col, cost_col, tau, domains)
-    # Rates computed DIRECTLY from the already-normalized w_d — routing
-    # through mixture_plan would re-normalize by sum(w)≈1.0, an extra
-    # float division whose rounding can flip a rate landing exactly on a
-    # .5 micro-rounding boundary vs the oracle's single p/z division
-    # (advice r4).
-    agg = df
-    if domains is not None:
-        agg = agg.filter(F.col(domain_col).isin(sorted(domains)))
-    else:
-        agg = agg.filter(F.col(domain_col).isin(sorted(w)))
-    rows = (
-        agg.groupBy(domain_col).agg(F.sum(cost_col).alias("total_cost")).collect()
-    )
-    totals = {r[domain_col]: int(r["total_cost"]) for r in rows}
+    ``temperature_weights`` with the ``mixture_plan`` rate rule."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    # ONE corpus scan: the same integer totals feed both the weights and
+    # the rates. Rates come DIRECTLY from the already-normalized w_d —
+    # routing through mixture_plan would re-normalize by sum(w)≈1.0, an
+    # extra float division whose rounding can flip a rate landing
+    # exactly on a .5 micro-rounding boundary vs the oracle's single
+    # p/z division (advice r4).
+    totals = _domain_totals(df, domain_col, cost_col, domains)
+    w = _temperature_weights_from_totals(totals, tau, domains)
     out: dict[str, tuple[int, float, float]] = {}
     for d in w:
         total = totals.get(d, 0)

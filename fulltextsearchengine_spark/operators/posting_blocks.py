@@ -116,6 +116,11 @@ def build_posting_blocks(
     blocks_per_bucket = -(-bucket_range // block_size)
     if group_range is None:
         group_range = max(bucket_range, DEFAULT_BUCKET_RANGE)
+        if group_range % bucket_range != 0:
+            # non-power-of-two bucket_range: fall back to one group per
+            # bucket (the pre-r5 behavior) rather than reject the call —
+            # only the derived default must nest, not the user's bucket.
+            group_range = bucket_range
     if group_range % bucket_range != 0:
         raise ValueError(
             f"group_range {group_range} must be a multiple of "

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .sessions import _epoch_s
 
 
-_RESERVED = ("_bucket", "_p_eps", "_s_eps", "_e_eps", "_rj_pid")
+_RESERVED = ("_bucket", "_p_eps", "_s_eps", "_e_eps")
 
 
 def range_join(
@@ -108,25 +108,30 @@ def range_join(
     pt = points.withColumn("_p_eps", p_eps).withColumn(
         "_bucket", F.floor(F.col("_p_eps") / F.lit(bw)).cast("long")
     )
-    if how == "left":
-        # Unique per-row id so left semantics survive NULL-bearing or
-        # duplicate point rows (an all-columns anti-join is null-unsafe:
-        # a matched row with a NULL column would be re-emitted null-padded).
-        pt = pt.withColumn("_rj_pid", F.monotonically_increasing_id())
 
     cond = (F.col("_p_eps") >= F.col("_s_eps")) & (F.col("_p_eps") <= F.col("_e_eps"))
     iv_cols = [c for c in intervals.columns if c not in keys]
-    joined = pt.join(iv, on=keys + ["_bucket"], how="inner").filter(cond)
     out_cols = [F.col(c) for c in points.columns] + [F.col(c) for c in iv_cols]
     if how == "inner":
-        return joined.select(*out_cols)
-    # left: anti-join matched point row-ids back — a point may match
-    # several intervals, so an outer bucket-join would both duplicate
-    # and null-pad; reconstruct left semantics explicitly.
-    matched = joined.select("_rj_pid", *out_cols)
-    unmatched = pt.join(
-        matched.select("_rj_pid").distinct(), on="_rj_pid", how="left_anti"
-    ).select(*points.columns)
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.drop("_rj_pid").unionByName(unmatched)
+        return pt.join(iv, on=keys + ["_bucket"], how="inner").filter(cond).select(*out_cols)
+    # left: ONE left join with the containment predicate inside the join
+    # condition. Because a point owns exactly one bucket, every matching
+    # interval replica meets it there, so match rows are exact and a
+    # matchless point null-pads once. (The earlier two-branch anti-join
+    # on monotonically_increasing_id evaluated the points subtree twice —
+    # nondeterministic upstream partition order could re-id rows between
+    # evaluations and corrupt left semantics.)
+    pta, iva = pt.alias("_rj_p"), iv.alias("_rj_i")
+    jc = F.lit(True)
+    for k in keys:
+        jc = jc & (F.col(f"_rj_p.`{k}`") == F.col(f"_rj_i.`{k}`"))
+    jc = (
+        jc
+        & (F.col("_rj_p._bucket") == F.col("_rj_i._bucket"))
+        & (F.col("_rj_p._p_eps") >= F.col("_rj_i._s_eps"))
+        & (F.col("_rj_p._p_eps") <= F.col("_rj_i._e_eps"))
+    )
+    return pta.join(iva, jc, "left").select(
+        *[F.col(f"_rj_p.`{c}`") for c in points.columns],
+        *[F.col(f"_rj_i.`{c}`") for c in iv_cols],
+    )

@@ -102,7 +102,8 @@ def _sessionize_split(
     ``global_idx = offset + local_idx - continues`` and the first event
     of a continuing bucket loses its is_session_start flag.
     """
-    reserved = {"_sbkt", "_seps", "_sloc", "_soff", "_scont", "_sstart"}
+    reserved = {"_sbkt", "_seps", "_sloc", "_soff", "_scont", "_sstart",
+                "_suser", "_sbkt2"}
     clash = set(events.columns) & reserved
     if clash:
         raise ValueError(
@@ -144,9 +145,20 @@ def _sessionize_split(
             F.lit(0),
         ),
     )
+    # Null-safe stitch join: Window.partitionBy groups NULL users (and
+    # NULL-ts rows, whose _sbkt is NULL) into a partition like any other
+    # key, so the join back must match them too — a plain equi-join
+    # would silently DROP those rows and diverge from the unsplit path.
+    # eqNullSafe keys still hash/sort-merge join (no nested loop).
+    sa = (
+        summary.select(user_col, "_sbkt", "_scont", "_soff")
+        .withColumnRenamed(user_col, "_suser")
+        .withColumnRenamed("_sbkt", "_sbkt2")
+    )
     out = e.join(
-        summary.select(user_col, "_sbkt", "_scont", "_soff"),
-        on=[user_col, "_sbkt"],
+        sa,
+        F.col(user_col).eqNullSafe(F.col("_suser"))
+        & F.col("_sbkt").eqNullSafe(F.col("_sbkt2")),
         how="inner",
     )
     is_start = F.when(

@@ -215,6 +215,33 @@ def test_sessionize_split_hot_key_parity(spark):
         sessionize(df, gap_seconds=120.0, split_bucket_seconds=0.0)
 
 
+def test_sessionize_split_null_user_and_ts_identity(spark):
+    """r5 review: Window.partitionBy groups NULL users (and NULL-ts
+    rows) like any key, so the split path's stitch join must be
+    null-safe — a plain equi-join silently DROPPED those rows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, None, "a", 1.0, None),
+        (2, base + dt.timedelta(seconds=50), None, "a", 1.0, None),
+        (3, base + dt.timedelta(seconds=4000), None, "a", 1.0, None),
+        (4, None, None, "a", 1.0, None),  # NULL user AND NULL ts
+        (5, None, 7, "a", 1.0, None),     # NULL ts, real user
+        (6, base + dt.timedelta(seconds=10), 7, "a", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    plain = sessionize(df, gap_seconds=600)
+    split = sessionize(df, gap_seconds=600, split_bucket_seconds=3600.0)
+    assert plain.count() == len(rows)
+    assert split.count() == len(rows)  # no silent row loss
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+
+
 def test_session_stats(spark):
     rows = {
         (r["user_id"], r["session_idx"]): r

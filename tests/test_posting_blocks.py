@@ -492,3 +492,23 @@ def test_auto_bucket_range_sizes_to_corpus():
         assert (1 << 12) <= r <= DEFAULT_BUCKET_RANGE
         if (1 << 12) < r < DEFAULT_BUCKET_RANGE:
             assert n / r <= 512 < 2 * n / r  # next_pow2 tightness
+
+
+def test_non_pow2_bucket_range_falls_back_to_per_bucket_groups(ctx):
+    """r5 review: bucket_range=1000 (not a divisor of the default
+    group_range) must work again — the derived default falls back to
+    one group per bucket; only an EXPLICIT non-nesting group_range
+    raises."""
+    golden, idx, _, stats = ctx
+    avgdl = stats["total_tokens"] / stats["num_docs"]
+    blocks = build_posting_blocks(idx.postings, avgdl=avgdl, bucket_range=1000)
+    got: dict[str, list[int]] = {}
+    for r in sorted(
+        blocks_to_postings(blocks).collect(), key=lambda r: (r["term"], r["doc_id"])
+    ):
+        got.setdefault(r["term"], []).extend([r["doc_id"], r["tf"]])
+    assert got == golden["term_to_postings"]
+    with pytest.raises(ValueError, match="multiple of"):
+        build_posting_blocks(
+            idx.postings, avgdl=avgdl, bucket_range=1000, group_range=4096
+        )

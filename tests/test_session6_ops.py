@@ -702,3 +702,114 @@ def test_range_join_rejects_column_clash(spark, sf001_events):
     )
     with pytest.raises(ValueError, match="share non-key columns"):
         range_join(sf001_events, iv, "ts", "ts", "end_ts", 60.0, keys=["user_id"])
+
+
+# ------------------------------------------- r5 review hardening
+
+
+def test_asof_presplit_null_key_identity(spark):
+    """r5 review: NULL join keys are one window group in the unsplit
+    path, so the split path's carry joins must be null-safe — plain
+    equi-joins lost the cross-bucket carry for NULL keys."""
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-02 00:00:00")),   # matches carry from day 1
+            (2, None, _ts("2024-01-01 00:20:00")),   # in-bucket match
+            (3, 10, _ts("2024-01-02 00:00:00")),     # real key, cross-bucket
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, None, _ts("2024-01-01 00:10:00"), "n1"),
+            (101, 10, _ts("2024-01-01 00:10:00"), "k1"),
+        ],
+        "ref_id long, user_id long, ts timestamp, tag string",
+    )
+    kw = dict(on="user_id", right_cols=["ref_id", "tag"], right_id="ref_id")
+    plain = asof_join(left, right, **kw)
+    split = asof_join(left, right, split_bucket_seconds=3600.0, **kw)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+    got = {r["event_id"]: r["ref_id_r"] for r in split.collect()}
+    assert got == {1: 100, 2: 100, 3: 101}
+
+
+def test_asof_decimal_tie_break_exact(spark):
+    """r5 review: decimal(38,0) ids > 2^53 must keep exact tie-breaks
+    (the bigint fix applied to decimals too)."""
+    from decimal import Decimal
+
+    from fulltextsearchengine_spark.operators.asof import asof_join
+
+    big = 1 << 60
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:30:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (Decimal(big + 1), 10, _ts("2024-01-01 00:30:00"), "hi"),
+            (Decimal(big), 10, _ts("2024-01-01 00:30:00"), "lo"),
+        ],
+        "ref_id decimal(38,0), user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["ref_id", "tag"], right_id="ref_id"
+    ).collect()
+    assert out[0]["tag_r"] == "hi"
+
+
+def test_funnel_presplit_null_user_identity(spark):
+    """r5 review: a NULL user's funnel must be computed, not reported as
+    steps_completed=0 (the all_users join back must be null-safe)."""
+    from fulltextsearchengine_spark.operators.funnel import funnel_report
+
+    rows = [
+        (1, None, _ts("2024-01-01 00:00:00"), "view"),
+        (2, None, _ts("2024-01-02 00:10:00"), "click"),  # next bucket
+        (3, 10, _ts("2024-01-01 00:00:00"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click"]
+    plain = funnel_report(ev, steps)
+    split = funnel_report(ev, steps, split_bucket_seconds=86400.0)
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+    null_row = [r for r in split.collect() if r["user_id"] is None][0]
+    assert null_row["steps_completed"] == 2
+
+
+def test_range_join_left_shared_lineage_no_row_id(spark, sf001_events):
+    """r5 review: how='left' is now ONE left join with the containment
+    predicate in the join condition — no monotonically_increasing_id
+    (whose two-branch evaluation could re-id rows nondeterministically
+    when the points side comes out of a shuffle, e.g. session_stats)."""
+    from fulltextsearchengine_spark.operators.rangejoin import range_join
+    from fulltextsearchengine_spark.operators.sessions import session_stats
+
+    ev = sf001_events
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    iv = session_stats(ev, gap_seconds=2 * 86400.0).select(
+        "user_id", "session_idx", "start_ts", "end_ts"
+    )
+    out = range_join(
+        pts, iv, "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"], how="left"
+    )
+    assert "monotonically_increasing_id" not in out._jdf.queryExecution().toString()
+    inner = range_join(
+        pts, iv, "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"], how="inner"
+    )
+    n_pts = pts.count()
+    n_inner = inner.count()
+    matched_pts = inner.select("event_id").distinct().count()
+    # left = all inner matches + one null-padded row per matchless point
+    assert out.count() == n_inner + (n_pts - matched_pts)
+    assert out.filter(F.col("session_idx").isNull()).count() == n_pts - matched_pts
+    assert out.exceptAll(inner).filter(F.col("session_idx").isNotNull()).count() == 0
