@@ -51,6 +51,13 @@ class TimeSlicedIndex:
         self.terms = spark.read.parquet(f"{path}/terms")
         self.stats = spark.read.parquet(f"{path}/stats")
 
+    # (doc_id, ts) is 16 packed bytes/row: 10M docs ≈ 160 MB — inside a
+    # comfortable executor broadcast budget. Beyond it (a 10^12-turn
+    # corpus), the ts-denormalization join falls back to shuffle, which
+    # is the correct plan at that scale anyway (repartition-on-slice
+    # dominates the job there).
+    BROADCAST_TS_MAX_DOCS = 10_000_000
+
     @classmethod
     def build(
         cls,
@@ -58,6 +65,7 @@ class TimeSlicedIndex:
         path: str,
         granularity: str = "day",
         files_per_slice: int = 1,
+        broadcast_ts: bool | None = None,
     ) -> "TimeSlicedIndex":
         """One postings⋈docs pass to denormalize ts, one partitioned
         write. The slice column is DERIVED (hidden-partitioning style):
@@ -71,9 +79,23 @@ class TimeSlicedIndex:
         ``files_per_slice`` > 1 splits a slice across that many tasks by
         term hash for corpora where one slice exceeds a task; rows stay
         sorted (slice, term, doc_id) so term predicates prune at the
-        row-group level."""
+        row-group level.
+
+        ``broadcast_ts``: the ts-denormalization join broadcasts the
+        (doc_id, ts) side when the corpus is small enough
+        (``BROADCAST_TS_MAX_DOCS``; the one-row stats table decides —
+        in-memory build plans carry no size stats, so AQE cannot always
+        make this call itself: measured 7.6 s shuffle-join vs 2.1 s
+        broadcast at sf0.1). Pass True/False to override."""
+        docs_ts = index.docs.select("doc_id", "ts")
+        if broadcast_ts is None:
+            broadcast_ts = (
+                index.stats_row()["num_docs"] <= cls.BROADCAST_TS_MAX_DOCS
+            )
+        if broadcast_ts:
+            docs_ts = F.broadcast(docs_ts)
         sliced = (
-            index.postings.join(index.docs.select("doc_id", "ts"), "doc_id")
+            index.postings.join(docs_ts, "doc_id")
             .withColumn("slice", slice_col(F.col("ts"), granularity))
             .select("term", "doc_id", "tf", "doc_len", "ts", "slice")
         )
@@ -93,15 +115,49 @@ class TimeSlicedIndex:
         meta = {"granularity": granularity}
         # meta goes through the SAME filesystem abstraction as the
         # tables (ADVICE r3): a local open() would break for HDFS/S3
-        # paths the parquet writers above accept
-        spark.createDataFrame(
-            [(granularity,)], "granularity string"
-        ).coalesce(1).write.mode("overwrite").json(f"{path}/_timeslice_meta")
+        # paths the parquet writers above accept. But not through a
+        # Spark JOB — a one-row createDataFrame().write.json() measured
+        # 4-5 s of pure scheduling/Arrow overhead (over half the whole
+        # sf0.1 build); the Hadoop FileSystem API writes the same byte
+        # stream to the same URI schemes with no job.
+        import json as _json
+
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_timeslice_meta/meta.json"
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            out = fs.create(jpath, True)
+            out.write(bytearray(_json.dumps(meta).encode("utf-8")))
+            out.close()
+        except Exception:  # pragma: no cover - non-py4j runtimes
+            spark.createDataFrame(
+                [(granularity,)], "granularity string"
+            ).coalesce(1).write.mode("overwrite").json(f"{path}/_timeslice_meta")
         return cls(spark, path, meta)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TimeSlicedIndex":
-        meta = spark.read.json(f"{path}/_timeslice_meta").first().asDict()
+        import json as _json
+
+        try:  # same no-job FS read as build's meta write
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_timeslice_meta/meta.json"
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                stream = fs.open(jpath)
+                n = fs.getFileStatus(jpath).getLen()
+                buf = bytearray(int(n))
+                stream.readFully(0, buf)
+                stream.close()
+                meta = _json.loads(bytes(buf).decode("utf-8"))
+            else:  # index written by the pre-r5 DataFrame meta writer
+                meta = spark.read.json(f"{path}/_timeslice_meta").first().asDict()
+        except Exception:  # pragma: no cover - non-py4j runtimes
+            meta = spark.read.json(f"{path}/_timeslice_meta").first().asDict()
         return cls(spark, path, meta)
 
     def searcher_for_range(self, ts_from: str, ts_to: str) -> Searcher:
