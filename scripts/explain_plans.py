@@ -872,6 +872,21 @@ def main() -> None:
          "!BatchEvalPython"],
     ))
 
+    # Round-5 review fix: how='left' is ONE left join with containment
+    # in the join condition — no monotonically_increasing_id (its
+    # two-branch anti-join evaluated the points subtree twice; a
+    # nondeterministic upstream order could re-id rows between branches)
+    # and still no nested-loop join.
+    p = grab_plan(range_join(
+        left.select("event_id", "user_id", "ts"), sess,
+        "ts", "start_ts", "end_ts", 86400.0, keys=["user_id"], how="left",
+    ))
+    sections.append((
+        "Range join LEFT (single join, no row-id, containment in condition)", p,
+        ["Generate explode", "!monotonically_increasing_id",
+         "!BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython"],
+    ))
+
     # Round-4 session-6: heavy hitters — sketch pass is MapInPandas
     # (zero shuffle), refinement joins a BROADCAST candidate set and
     # aggregates candidates only.
